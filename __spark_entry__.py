@@ -3,36 +3,56 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query registry lives in ``spark_tensors_spark.queries.*``; each module
+contributes a ``QUERIES`` dict (PySpark callables) and an ``ORACLES``
+dict (DuckDB ANSI SQL over the same parquet views).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from spark_tensors_spark.queries import relational
+
+    modules = [relational]
+    for name in ("kg", "mlops", "pipeline_queries"):
+        try:
+            mod = __import__(
+                f"spark_tensors_spark.queries.{name}", fromlist=[name]
+            )
+            modules.append(mod)
+        except ImportError:
+            pass
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from spark_tensors_spark.queries.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action that forces full
+evaluation without collecting result rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spark_tensors_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app_name="spark-tensors-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer caches once with the cheapest query
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

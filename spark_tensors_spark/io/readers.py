@@ -1,0 +1,116 @@
+"""Sources (SURVEY §2.1).
+
+S1/S2  N-Triples scan  — reference: Jena/rdflib per-partition parsing
+       (`RDFDatasetReader.scala:20-26`, `rdfio.py:42-50`).  Here: a pure
+       column-expression parse (regex extraction) — no Python boundary at
+       all, fully pushed into whole-stage codegen.
+S3/S4  TSV triple scan — reference: `TransE.scala:73-94`.  Here:
+       `spark.read.csv(sep='\t')` with an explicit schema.
+Parquet star schema   — driver testdata (TESTDATA.md).
+
+All readers return DataFrames with fixed, named schemas (the reference's
+positional-tuple schemas were inconsistent across files — SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# N-Triples line: <s> <p> <o> .   |   <s> <p> "literal" .
+# The reference keeps URI-only triples (`RDFDatasetReader.scala:22-25`);
+# the rdflib path inverts the filter — a bug we do not replicate
+# (`rdfio.py:46-47`, SURVEY §1.4).
+_NT_PATTERN = r"^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
+        # read as raw nanos (legacy conf) — convert to a µs timestamp with
+        # integer division (float division would lose precision at 2^53).
+        # DuckDB truncates ns→µs identically, so the oracle agrees.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the star-schema tables and register them as temp views."""
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, uri_only: bool = True
+) -> DataFrame:
+    """N-Triples → DataFrame(s, p, o) of strings.
+
+    Replaces the reference's per-partition Jena/rdflib parse
+    (`RDFDatasetReader.scala:20-26`, `rdfio.py:42-50`) with a JVM-side
+    regex projection: no Python worker, whole-stage codegen applies, and
+    the text scan parallelizes by file split at any scale.
+
+    uri_only=True keeps only triples whose object is also a URI — the
+    Scala reader's (correct) semantics (`RDFDatasetReader.scala:22-25`).
+    """
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_PATTERN, 1).alias("s"),
+        F.regexp_extract("value", _NT_PATTERN, 2).alias("p"),
+        F.regexp_extract("value", _NT_PATTERN, 3).alias("o_raw"),
+    ).filter(F.col("s") != "")
+    if uri_only:
+        parsed = parsed.filter(F.col("o_raw").rlike(r"^<[^>]*>$"))
+    is_uri = F.col("o_raw").rlike(r"^<[^>]*>$")
+    return parsed.select(
+        "s",
+        "p",
+        # unwrap <...> only for URI objects; literals (possibly carrying a
+        # ^^<datatype> suffix) pass through verbatim
+        F.when(is_uri, F.regexp_replace("o_raw", r"^<|>$", ""))
+        .otherwise(F.col("o_raw"))
+        .alias("o"),
+    )
+
+
+def read_tsv_triples(
+    spark: SparkSession,
+    path: str,
+    columns: tuple[str, str, str] = ("s", "p", "o"),
+) -> DataFrame:
+    """TSV triple files (`TransE.scala:79-94` reads head\ttail\trelation).
+
+    The reference hard-codes positional order per call site; here the
+    caller names the columns once and gets a fixed schema back.
+    """
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), False) for c in columns]
+    )
+    return spark.read.csv(path, sep="\t", schema=schema)

@@ -1,0 +1,367 @@
+"""Relational core queries Q1–Q13 (SURVEY §2.11, group B tables).
+
+These exercise every relational operator class in SURVEY §2: scans with
+predicate pushdown, projections/filters (P-class), all join flavors
+(J-class: shuffle equi, broadcast, anti, semi), aggregations (A-class),
+window/ranking (W-class), set ops / sort / limit (O-class).
+
+Scale intent: every query keeps filters and projections at the scan
+(Catalyst pushes them into the parquet reader), broadcasts genuinely
+small sides explicitly, and otherwise leaves physical strategy to
+Catalyst + AQE — on a 1000-executor cluster the same code auto-broadcasts,
+coalesces post-shuffle partitions, and splits skewed joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_tensors_spark.io.readers import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + group-agg (A1/A7/A11)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q2_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop equi join — the J1–J3 dictionary-encode shape.
+
+    nation (25 rows) and region (5 rows) are broadcast: zero shuffle of
+    the fact side beyond the final group-by.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("c_acctbal"), 6).alias("bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q3_filtered_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-sized dim join + filter (J1 + P-class)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join ≡ J4 negative-sample rejection (`sample.py:39-47`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def q5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join ≡ J5 LCWA admissibility (`sample.py:92-111`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def q6_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup union ≡ A2/O4 `(subjects ++ objects).distinct`
+    (`RDFDatasetReader.scala:30-33`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").alias("k")).union(
+        li.select(F.col("l_suppkey").alias("k"))
+    )
+    return keys.distinct().agg(F.count(F.lit(1)).alias("c"))
+
+
+def q7_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank ≡ W1 candidate ranking (`kge/hole.py:400-405`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.select("c_custkey", F.rank().over(w).alias("r"))
+        .filter(F.col("r") <= 3)
+        .orderBy("c_custkey")
+    )
+
+
+def q8_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (rowsBetween) over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 6).alias("w"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(1000)
+    )
+
+
+def q9_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k ≡ O2/O3 — Spark plans TakeOrderedAndProject (no full
+    sort shuffle; per-partition heaps then merge on driver)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q10_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("c"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("c")))
+        .orderBy("c")
+    )
+
+
+def q10_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("c"))
+        .subtract(supplier.select(F.col("s_nationkey").alias("c")))
+        .orderBy("c")
+    )
+
+
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q12_scalar_belt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function belt: string/math exprs stay in codegen."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("s"),
+            F.length("p_brand").alias("l"),
+            F.round(F.col("p_retailprice") * 1.1, 6).alias("m"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+def q12_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.col("l_shipdate").cast("date")).alias("mn"),
+        F.max(F.col("l_shipdate").cast("date")).alias("mx"),
+    )
+
+
+def q13_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour bucketing over events — the batch-checkable twin of the
+    streaming tumbling window (SURVEY §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("value"), 6).alias("v"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_region_nation_rollup": q2_region_nation_rollup,
+    "q3_filtered_dim_join": q3_filtered_dim_join,
+    "q4_anti_join": q4_anti_join,
+    "q5_semi_join": q5_semi_join,
+    "q6_distinct_union": q6_distinct_union,
+    "q7_rank_topk": q7_rank_topk,
+    "q8_frame_window": q8_frame_window,
+    "q9_topk": q9_topk,
+    "q10_intersect": q10_intersect,
+    "q10_except": q10_except,
+    "q11_rollup": q11_rollup,
+    "q12_scalar_belt": q12_scalar_belt,
+    "q12_dates": q12_dates,
+    "q13_time_buckets": q13_time_buckets,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_base,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q2_region_nation_rollup": """
+        SELECT r_name, n_name, COUNT(*) AS c,
+               ROUND(SUM(c_acctbal), 6) AS bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "q3_filtered_dim_join": """
+        SELECT o_orderpriority, COUNT(*) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q4_anti_join": """
+        SELECT COUNT(*) AS c
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q5_semi_join": """
+        SELECT COUNT(*) AS c
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    "q6_distinct_union": """
+        SELECT COUNT(*) AS c FROM (
+            SELECT l_partkey AS k FROM lineitem
+            UNION
+            SELECT l_suppkey FROM lineitem
+        ) t
+    """,
+    "q7_rank_topk": """
+        SELECT c_custkey, r FROM (
+            SELECT c_custkey,
+                   RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS r
+            FROM customer
+        ) t
+        WHERE r <= 3
+        ORDER BY c_custkey
+    """,
+    "q8_frame_window": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 1000
+    """,
+    "q9_topk": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q10_intersect": """
+        SELECT c FROM (
+            SELECT c_nationkey AS c FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        ) t ORDER BY c
+    """,
+    "q10_except": """
+        SELECT c FROM (
+            SELECT c_nationkey AS c FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        ) t ORDER BY c
+    """,
+    "q11_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q12_scalar_belt": """
+        SELECT p_partkey,
+               UPPER(SUBSTR(p_name, 1, 5)) AS s,
+               LENGTH(p_brand) AS l,
+               ROUND(p_retailprice * 1.1, 6) AS m
+        FROM part
+        ORDER BY p_partkey
+        LIMIT 500
+    """,
+    "q12_dates": """
+        SELECT COUNT(*) AS c,
+               CAST(MIN(l_shipdate) AS DATE) AS mn,
+               CAST(MAX(l_shipdate) AS DATE) AS mx
+        FROM lineitem
+    """,
+    "q13_time_buckets": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+               COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
