@@ -1,0 +1,159 @@
+"""Dictionary encoding: URI → dense integer id (SURVEY §2 J1–J3, Q14/Q15).
+
+Reference: `RDFDatasetReader.scala:28-33` uses `zipWithUniqueId`, whose ids
+depend on partitioning — two runs over the same file can disagree
+(SURVEY §1.4).  This engine assigns **deterministic** ids equivalent to
+``row_number() over (order by uri) - 1``.
+
+Scale design: a naive global-ORDER-BY window is a single-partition sort —
+the one known cliff at 100 TB (SURVEY §7.3).  ``assign_ids`` instead
+computes the same ids with bounded parallelism:
+
+1. deterministic ~1% sample of distinct URIs (``crc32(uri) % mod == 0``
+   — a pure function of the value, unlike ``repartitionByRange``'s
+   reservoir sampling, which draws different boundaries per job and
+   would desynchronize the two passes);
+2. driver sorts the sample and picks P-1 range boundaries; each row's
+   bucket is ``Σ (uri >= boundary_i)`` — a flat codegen-friendly sum;
+3. per-bucket counts → cumulative offsets (P scalars on the driver);
+4. ``row_number() over (partition by bucket order by uri)`` + offset —
+   a *partitioned* window, fully parallel.
+
+Result is bit-identical to the global window at any bucket count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_BUCKETS = 32
+
+
+def assign_ids(
+    uris: DataFrame,
+    uri_col: str = "uri",
+    num_partitions: int | None = None,
+    sample_mod: int = 101,
+) -> DataFrame:
+    """Distinct values of ``uri_col`` → DataFrame(uri, id) with dense ids
+    0..N-1 ordered by uri, equal to ``row_number() over (order by uri)-1``
+    but computed without a global single-partition sort.
+    """
+    p = num_partitions or DEFAULT_BUCKETS
+    distinct = uris.select(F.col(uri_col).alias("uri")).distinct()
+
+    sample = sorted(
+        r["uri"]
+        for r in distinct.filter(
+            F.crc32(F.col("uri").cast("binary")) % sample_mod == 0
+        ).collect()
+    )
+    boundaries: list[str] = []
+    if len(sample) >= p:
+        step = len(sample) / p
+        boundaries = sorted({sample[int(i * step)] for i in range(1, p)})
+
+    if boundaries:
+        bucket = reduce(
+            lambda acc, b: acc + (F.col("uri") >= F.lit(b)).cast("int"),
+            boundaries,
+            F.lit(0),
+        )
+    else:
+        bucket = F.lit(0)  # tiny dictionary: one bucket == global window
+    bucketed = distinct.withColumn("_b", bucket)
+
+    counts = bucketed.groupBy("_b").count().orderBy("_b").collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_b"]] = acc
+        acc += row["count"]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+
+    w = Window.partitionBy("_b").orderBy("uri")
+    return bucketed.select(
+        "uri",
+        (
+            F.row_number().over(w)
+            + F.element_at(offset_col, F.col("_b"))
+            - 1
+        ).cast("long").alias("id"),
+    )
+
+
+def build_dictionaries(
+    triples: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(entity_dict, relation_dict) from DataFrame(s, p, o).
+
+    Entities = distinct subjects ∪ objects (`RDFDatasetReader.scala:30-33`);
+    relations get their own id space 0..R-1 (the FB15k pickles share one
+    number line — we standardize on separate spaces, FIXTURES.md A2).
+    """
+    entities = triples.select(F.col("s").alias("uri")).union(
+        triples.select(F.col("o").alias("uri"))
+    )
+    relations = triples.select(F.col("p").alias("uri"))
+    return (
+        assign_ids(entities, num_partitions=num_partitions),
+        assign_ids(relations, num_partitions=num_partitions),
+    )
+
+
+def encode_triples(
+    triples: DataFrame,
+    entity_dict: DataFrame,
+    relation_dict: DataFrame,
+    broadcast_relations: bool = True,
+) -> DataFrame:
+    """(s,p,o) strings → (s_id, p_id, o_id) via three equi joins —
+    the J1–J3 pipeline (`RDFDatasetReader.scala:40-68`, `rdfio.py:60-70`).
+
+    The relation dictionary is broadcast (reference FB15k has 1,345
+    relations vs 14,951 entities; real KGs keep this ratio) so only the
+    two entity joins shuffle.  AQE handles skewed subjects.
+    """
+    ent_s = entity_dict.select(
+        F.col("uri").alias("_su"), F.col("id").alias("s_id")
+    )
+    ent_o = entity_dict.select(
+        F.col("uri").alias("_ou"), F.col("id").alias("o_id")
+    )
+    rel = relation_dict.select(
+        F.col("uri").alias("_pu"), F.col("id").alias("p_id")
+    )
+    if broadcast_relations:
+        rel = F.broadcast(rel)
+    return (
+        triples.join(ent_s, triples.s == ent_s._su)
+        .join(ent_o, triples.o == ent_o._ou)
+        .join(rel, triples.p == rel._pu)
+        .select("s_id", "p_id", "o_id")
+    )
+
+
+def decode_triples(
+    encoded: DataFrame, entity_dict: DataFrame, relation_dict: DataFrame
+) -> DataFrame:
+    """Inverse of :func:`encode_triples` — (s_id,p_id,o_id) → (s,p,o)."""
+    ent_s = entity_dict.select(
+        F.col("id").alias("_sid"), F.col("uri").alias("s")
+    )
+    ent_o = entity_dict.select(
+        F.col("id").alias("_oid"), F.col("uri").alias("o")
+    )
+    rel = F.broadcast(
+        relation_dict.select(F.col("id").alias("_pid"), F.col("uri").alias("p"))
+    )
+    return (
+        encoded.join(ent_s, encoded.s_id == ent_s._sid)
+        .join(ent_o, encoded.o_id == ent_o._oid)
+        .join(rel, encoded.p_id == rel._pid)
+        .select("s", "p", "o")
+    )

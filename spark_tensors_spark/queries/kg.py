@@ -1,0 +1,320 @@
+"""KG-surface queries Q14–Q19 (SURVEY §2.11, group A).
+
+The driver's DuckDB oracle only pre-registers the star-schema views, so
+every KG query *derives* its triple table from those views — identically
+on both sides: Spark via ``kg.graph_source.triples_raw`` +
+``kg.dictionary``, DuckDB via the ``TRIPLES_CTE`` below.
+
+Determinism notes:
+  - ids are ``row_number() over (order by uri) - 1`` on both sides (the
+    Spark side computes it distributed; see ``kg/dictionary.py``);
+  - the Q19 pseudo-score is pure integer arithmetic + one division —
+    bit-identical across engines (no libm transcendentals);
+  - Q18's corruption candidates are the deterministic FIXTURES.md A4
+    formula ``(o_id + k*7919) % N``, k=1..4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.kg.dictionary import build_dictionaries, encode_triples
+from spark_tensors_spark.kg.graph_source import triples_raw
+from spark_tensors_spark.kg.tensor import to_coo, with_block_ids
+
+TRIPLES_CTE = """
+WITH triples_raw AS (
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS s,
+           'in_nation' AS p,
+           'n:' || CAST(c_nationkey AS VARCHAR) AS o
+    FROM customer
+    UNION ALL
+    SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+           'n:' || CAST(s_nationkey AS VARCHAR)
+    FROM supplier
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+           'rg:' || CAST(n_regionkey AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+           'c:' || CAST(o_custkey AS VARCHAR)
+    FROM orders
+),
+entity_dict AS (
+    SELECT uri, CAST(ROW_NUMBER() OVER (ORDER BY uri) - 1 AS BIGINT) AS id
+    FROM (SELECT DISTINCT uri
+          FROM (SELECT s AS uri FROM triples_raw
+                UNION ALL
+                SELECT o FROM triples_raw) u) d
+),
+relation_dict AS (
+    SELECT uri, CAST(ROW_NUMBER() OVER (ORDER BY uri) - 1 AS BIGINT) AS id
+    FROM (SELECT DISTINCT p AS uri FROM triples_raw) d
+),
+triples_encoded AS (
+    SELECT es.id AS s_id, r.id AS p_id, eo.id AS o_id
+    FROM triples_raw t
+    JOIN entity_dict es ON t.s = es.uri
+    JOIN entity_dict eo ON t.o = eo.uri
+    JOIN relation_dict r ON t.p = r.uri
+)
+"""
+
+
+def _encoded(spark: SparkSession, sf_dir: str):
+    raw = triples_raw(spark, sf_dir)
+    ent, rel = build_dictionaries(raw)
+    return raw, ent, rel, encode_triples(raw, ent, rel)
+
+
+def kg_q14_entity_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = triples_raw(spark, sf_dir)
+    ent, _rel = build_dictionaries(raw)
+    return ent.orderBy("uri")
+
+
+def kg_q14_relation_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = triples_raw(spark, sf_dir)
+    _ent, rel = build_dictionaries(raw)
+    return rel.orderBy("uri")
+
+
+def kg_q15_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _raw, _e, _r, enc = _encoded(spark, sf_dir)
+    return enc.orderBy("s_id", "p_id", "o_id")
+
+
+def kg_q16_lcwa_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCWA (s,p) co-occurrence counts ≡ A4 (`sample.py:99-101`)."""
+    _raw, _e, _r, enc = _encoded(spark, sf_dir)
+    return (
+        enc.groupBy("s_id", "p_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("s_id", "p_id")
+    )
+
+
+def kg_q17_type_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation distinct subject/object counts ≡ A5 deterministic
+    form (`sample.py:114-121`)."""
+    _raw, _e, _r, enc = _encoded(spark, sf_dir)
+    return (
+        enc.groupBy("p_id")
+        .agg(
+            F.countDistinct("s_id").alias("ns"),
+            F.countDistinct("o_id").alias("no"),
+        )
+        .orderBy("p_id")
+    )
+
+
+def kg_q18_neg_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join rejection count over deterministic corruption
+    candidates ≡ J4/Q18 (`sample.py:39-47`; FIXTURES.md A4)."""
+    _raw, ent, _r, enc = _encoded(spark, sf_dir)
+    n_ent = ent.agg(F.count(F.lit(1)).alias("_n"))
+    cands = (
+        enc.crossJoin(F.broadcast(n_ent))
+        .withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(4))))
+        .select(
+            "s_id",
+            "p_id",
+            ((F.col("o_id") + F.col("k") * 7919) % F.col("_n")).alias("o_id"),
+        )
+    )
+    return (
+        cands.join(enc, on=["s_id", "p_id", "o_id"], how="left_anti")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q19_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Q19 core: rank the true customer of sampled orders among
+    all customer-entity candidates with a deterministic pseudo-score.
+
+    ≡ W1 ranking (`kge/hole.py:394-405`): per test triple, score every
+    candidate, rank the true object (ties broken by o_id).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    raw = triples_raw(spark, sf_dir)
+    ent, rel = build_dictionaries(raw)
+
+    test = orders.filter(F.col("o_orderkey") % 1009 == 0).select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("su"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("ou"),
+    )
+    ent_s = ent.select(F.col("uri").alias("su"), F.col("id").alias("s_id"))
+    ent_o = ent.select(F.col("uri").alias("ou"), F.col("id").alias("true_o"))
+    p_id = rel.filter(F.col("uri") == "placed_by").select(
+        F.col("id").alias("p_id")
+    )
+    test_ids = (
+        test.join(ent_s, "su")
+        .join(ent_o, "ou")
+        .crossJoin(F.broadcast(p_id))
+        .select("s_id", "p_id", "true_o")
+    )
+
+    cand = (
+        customer.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "cu"
+            )
+        )
+        .join(
+            ent.select(F.col("uri").alias("cu"), F.col("id").alias("o_id")),
+            "cu",
+        )
+        .select("o_id")
+    )
+
+    scored = test_ids.crossJoin(cand).select(
+        "s_id",
+        "p_id",
+        "true_o",
+        "o_id",
+        (
+            ((F.col("s_id") * 31 + F.col("p_id") * 17 + F.col("o_id") * 13)
+             % 1000003)
+            / F.lit(1000003.0)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("s_id").orderBy(F.col("score").desc(), "o_id")
+    return scored.withColumn("r", F.rank().over(w))
+
+
+def kg_q19_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _q19_ranked(spark, sf_dir)
+        .filter(F.col("o_id") == F.col("true_o"))
+        .select("s_id", "p_id", "o_id", F.col("r").cast("long").alias("r"))
+        .orderBy("s_id")
+    )
+
+
+def kg_q19_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / Hits@10 / mean rank ≡ W2/W3 (`kge/hole.py:411-420`)."""
+    ranked = _q19_ranked(spark, sf_dir).filter(
+        F.col("o_id") == F.col("true_o")
+    )
+    return ranked.agg(
+        F.round(F.avg(1.0 / F.col("r")), 6).alias("mrr"),
+        F.round(
+            F.avg(F.when(F.col("r") <= 10, 1.0).otherwise(0.0)), 6
+        ).alias("hits10"),
+        F.round(F.avg(F.col("r")), 6).alias("mean_rank"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def kg_tensor_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COO blockification histogram ≡ F19/A10 (`rdfio.py:12-35,73-78`,
+    completed).  Block grid (8, 8, 2) over (entities, entities,
+    relations)."""
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    coo = to_coo(enc)
+    blocked = with_block_ids(coo, (n_ent, n_ent, n_rel), (8, 8, 2))
+    return (
+        blocked.groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("v"), 6).alias("v"))
+        .orderBy("block_id")
+    )
+
+
+QUERIES = {
+    "kg_q14_entity_dict": kg_q14_entity_dict,
+    "kg_q14_relation_dict": kg_q14_relation_dict,
+    "kg_q15_encode": kg_q15_encode,
+    "kg_q16_lcwa_counts": kg_q16_lcwa_counts,
+    "kg_q17_type_index": kg_q17_type_index,
+    "kg_q18_neg_reject": kg_q18_neg_reject,
+    "kg_q19_ranks": kg_q19_ranks,
+    "kg_q19_metrics": kg_q19_metrics,
+    "kg_tensor_blocks": kg_tensor_blocks,
+}
+
+_Q19_RANKED_SQL = """
+test AS (
+    SELECT es.id AS s_id,
+           (SELECT id FROM relation_dict WHERE uri = 'placed_by') AS p_id,
+           eo.id AS true_o
+    FROM orders
+    JOIN entity_dict es ON es.uri = 'o:' || CAST(o_orderkey AS VARCHAR)
+    JOIN entity_dict eo ON eo.uri = 'c:' || CAST(o_custkey AS VARCHAR)
+    WHERE o_orderkey % 1009 = 0
+),
+cand AS (
+    SELECT e.id AS o_id
+    FROM (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS cu
+          FROM customer) c
+    JOIN entity_dict e ON e.uri = c.cu
+),
+ranked AS (
+    SELECT s_id, p_id, true_o, o_id,
+           RANK() OVER (
+               PARTITION BY s_id
+               ORDER BY ((s_id*31 + p_id*17 + o_id*13) % 1000003)
+                        / 1000003.0 DESC, o_id) AS r
+    FROM test CROSS JOIN cand
+)
+"""
+
+ORACLES = {
+    "kg_q14_entity_dict": TRIPLES_CTE
+    + "SELECT uri, id FROM entity_dict ORDER BY uri",
+    "kg_q14_relation_dict": TRIPLES_CTE
+    + "SELECT uri, id FROM relation_dict ORDER BY uri",
+    "kg_q15_encode": TRIPLES_CTE
+    + "SELECT s_id, p_id, o_id FROM triples_encoded ORDER BY s_id, p_id, o_id",
+    "kg_q16_lcwa_counts": TRIPLES_CTE
+    + """SELECT s_id, p_id, COUNT(*) AS c
+         FROM triples_encoded GROUP BY s_id, p_id ORDER BY s_id, p_id""",
+    "kg_q17_type_index": TRIPLES_CTE
+    + """SELECT p_id, COUNT(DISTINCT s_id) AS ns, COUNT(DISTINCT o_id) AS no
+         FROM triples_encoded GROUP BY p_id ORDER BY p_id""",
+    "kg_q18_neg_reject": TRIPLES_CTE
+    + """, cands AS (
+            SELECT s_id, p_id,
+                   (o_id + k * 7919) % (SELECT COUNT(*) FROM entity_dict)
+                       AS o_id
+            FROM triples_encoded
+            CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS k) ks
+        )
+        SELECT COUNT(*) AS c
+        FROM cands c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM triples_encoded t
+            WHERE t.s_id = c.s_id AND t.p_id = c.p_id AND t.o_id = c.o_id
+        )""",
+    "kg_q19_ranks": TRIPLES_CTE + "," + _Q19_RANKED_SQL
+    + """SELECT s_id, p_id, o_id, r
+         FROM ranked WHERE o_id = true_o ORDER BY s_id""",
+    "kg_q19_metrics": TRIPLES_CTE + "," + _Q19_RANKED_SQL
+    + """SELECT ROUND(AVG(1.0 / r), 6) AS mrr,
+                ROUND(AVG(CASE WHEN r <= 10 THEN 1.0 ELSE 0 END), 6)
+                    AS hits10,
+                ROUND(AVG(r), 6) AS mean_rank,
+                COUNT(*) AS n
+         FROM ranked WHERE o_id = true_o""",
+    "kg_tensor_blocks": TRIPLES_CTE
+    + """, consts AS (
+            SELECT CAST(CEIL((SELECT COUNT(*) FROM entity_dict) / 8.0)
+                        AS BIGINT) AS bs1,
+                   CAST(CEIL((SELECT COUNT(*) FROM entity_dict) / 8.0)
+                        AS BIGINT) AS bs2,
+                   CAST(CEIL((SELECT COUNT(*) FROM relation_dict) / 2.0)
+                        AS BIGINT) AS bs3
+        )
+        SELECT CAST(FLOOR(s_id / bs1) + FLOOR(o_id / bs2) * 8
+                   + FLOOR(p_id / bs3) * 64 AS BIGINT) AS block_id,
+               COUNT(*) AS c, ROUND(SUM(CAST(1.0 AS DOUBLE)), 6) AS v
+        FROM triples_encoded CROSS JOIN consts
+        GROUP BY 1 ORDER BY block_id""",
+}

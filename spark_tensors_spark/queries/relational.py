@@ -123,7 +123,7 @@ def q7_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return (
-        customer.select("c_custkey", F.rank().over(w).alias("r"))
+        customer.select("c_custkey", F.rank().over(w).cast("long").alias("r"))
         .filter(F.col("r") <= 3)
         .orderBy("c_custkey")
     )
