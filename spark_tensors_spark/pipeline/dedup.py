@@ -1,0 +1,255 @@
+"""Deduplication operators (north-star M4): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding near-dup.
+
+Scale design: every variant reduces the O(N²) pair space *before* any
+pairwise work —
+  - exact: one hash-groupBy (map-side partial agg);
+  - MinHash/LSH: shingle→signature scan-side, band→bucket self-join so
+    only same-bucket pairs are compared (the classic sub-quadratic path);
+  - SimHash: 64-bit signatures + band buckets on 16-bit chunks;
+  - embedding near-dup: LSH-bucketed candidates then exact cosine.
+
+MinHash integer math is engine-portable (no engine-specific hash
+functions): shingle code = ascii trigram packed into 24 bits, then
+universal hashing ``(a·x + b) mod p`` — the DuckDB oracle computes the
+identical formula (see queries/pipeline_queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 − 1
+
+# fixed universal-hash parameters (odd multipliers, distinct offsets)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (13, 7), (31, 3), (73, 11), (151, 17),
+    (283, 29), (541, 43), (1109, 59), (2213, 71),
+]
+
+
+def shingle_codes_col(text: Column | str = "text", k: int = 3) -> Column:
+    """Distinct k-gram character shingles packed as integers:
+    ``Σ ascii(cᵢ)·256^(k−1−i)`` — pure SQL, portable across engines."""
+    name = text if isinstance(text, str) else None
+    assert name is not None, "shingle_codes_col needs a column name"
+    # BIGINT arithmetic: downstream universal hashing multiplies by
+    # constants that overflow int32 (silently in Spark, loudly in DuckDB)
+    terms = " + ".join(
+        f"CAST(ascii(substr({name}, CAST(i AS INT) + {j}, 1)) AS BIGINT)"
+        f" * {256 ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({name}) - {k - 1}, 1)), "
+        f"i -> {terms}))"
+    )
+
+
+def minhash_signature_cols(
+    shingles: Column, n_hashes: int = 8
+) -> list[Column]:
+    """MinHash values m₀..m₇: min over shingles of (a·x + b) mod p."""
+    assert n_hashes <= len(MINHASH_PARAMS)
+
+    def _uhash(a: int, b: int):
+        # single-arg closure: Spark infers higher-order-function arity
+        # from the Python signature (defaulted extras would break it)
+        def f(x):
+            return (F.lit(a).cast("long") * x + F.lit(b)) % MERSENNE_P
+
+        return f
+
+    return [
+        F.array_min(F.transform(shingles, _uhash(a, b)))
+        .cast("long")
+        .alias(f"m{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 8
+) -> DataFrame:
+    sh = shingle_codes_col(text_col)
+    return df.select(
+        "doc_id", *[c for c in minhash_signature_cols(sh, n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (`bands` bands × `rows_per_band` hashes) and
+    self-join per band bucket → candidate near-dup pairs (a < b).
+
+    The self-join key is (band index, band value): only same-bucket rows
+    meet, so the shuffle is proportional to bucket sizes, never N².
+    """
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{i * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_vals).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.sig").alias("sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content hash group-by; returns groups with >1 doc
+    (hash-groupBy gets map-side partial aggregation for free)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over array columns (arrays must be distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; the token
+    hash is a numpy-vectorized FNV-1a so partitions process in C).
+
+    Returns (doc_id, simhash long).  Near-dup candidates are rows whose
+    signatures agree on any 16-bit chunk (see :func:`simhash_candidates`).
+    """
+
+    def batch(it):
+        for pdf in it:
+            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            for row_i, text in enumerate(pdf[text_col].astype(str)):
+                toks = [t for t in text.split(" ") if t]
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                hashes = np.array(
+                    [_fnv1a64(t) for t in toks], dtype=np.uint64
+                )
+                bits = (
+                    (hashes[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)
+                ).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b in range(64):
+                    if acc[b] > 0:
+                        sig |= np.uint64(1) << np.uint64(b)
+                sigs[row_i] = sig
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": sigs.astype(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batch, f"{id_col} long, simhash long"
+    )
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for ch in s.encode("utf-8"):
+            h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
+    return h
+
+
+def simhash_candidates(sim: DataFrame) -> DataFrame:
+    """Self-join on any equal 16-bit chunk of the simhash (4 bands)."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("sig"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sim.select("doc_id", F.explode(chunks).alias("bv")).select(
+        "doc_id", "bv.band", "bv.sig"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs above `threshold`.
+
+    Brute-force form (candidate generation for the bucketed path lives in
+    ``pipeline.similarity.lsh_buckets``): fine ≤ ~10⁵ rows; beyond that
+    pre-bucket then call this on candidates only.
+    """
+    from spark_tensors_spark.functions.columns import cosine_col
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col("va", "vb"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") > threshold)
+    )

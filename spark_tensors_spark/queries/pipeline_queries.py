@@ -1,0 +1,357 @@
+"""LLM-pipeline declared queries over `documents` / `embeddings`
+(north-star M4; graded alongside SURVEY §2.11).
+
+Engine side reuses ``pipeline.{text,dedup,similarity}``; oracle side
+recomputes the identical arithmetic in DuckDB (list comprehensions,
+ascii-packed shingles, universal hashing, list_cosine_similarity on
+DOUBLE[]).  Engine-specific signatures (SimHash FNV, LSH hyperplanes)
+have no oracle → driver records the weaker rows-only check; their
+semantics are covered by pytest property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.pipeline import dedup, similarity, text
+from spark_tensors_spark.pipeline.dedup import MERSENNE_P, MINHASH_PARAMS
+
+
+def doc_source_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup accounting per source: docs vs distinct content
+    hashes (hash-groupBy dedup shape, always non-empty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_duplicate_groups(docs)
+        .select("content_hash", "cnt", "keep_doc_id", "doc_ids")
+        .orderBy("content_hash")
+    )
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs).orderBy("doc_id")
+
+
+def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+def doc_trigram_jaccard_adjacent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """n-gram Jaccard similarity for adjacent doc-id pairs — exercises
+    the shingle + set-similarity kernel with a bounded pair list."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", dedup.shingle_codes_col("text").alias("sh")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sb"),
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(dedup.jaccard_col(F.col("sa"), F.col("sb")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a")
+    )
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs).orderBy("doc_id")
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.cosine_topk(emb, queries, k=5).orderBy(
+        "query_id", "rk"
+    )
+
+
+def emb_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_tensors_spark.functions.columns import l2_distance_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .select(
+            "query_id",
+            "nn_id",
+            F.round(l2_distance_col("qv", "cv"), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "nn_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("v"))
+        .orderBy("label", "pos")
+    )
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    return (
+        dedup.embedding_near_dups(emb, threshold=0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- rows-only
+# (engine-specific signatures; semantics pytest-covered, no SQL oracle)
+
+
+def doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim = dedup.simhash64(docs)
+    return dedup.simhash_candidates(sim).orderBy("doc_a", "doc_b")
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, k=5, n_planes=6).orderBy(
+        "query_id", "rk"
+    )
+
+
+QUERIES = {
+    "doc_source_hash_stats": doc_source_hash_stats,
+    "doc_exact_dup_groups": doc_exact_dup_groups,
+    "doc_minhash_signatures": doc_minhash_signatures,
+    "doc_lsh_pairs": doc_lsh_pairs,
+    "doc_trigram_jaccard_adjacent": doc_trigram_jaccard_adjacent,
+    "doc_text_stats": doc_text_stats,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_l2_topk": emb_l2_topk,
+    "emb_label_centroids": emb_label_centroids,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "doc_simhash_candidates": doc_simhash_candidates,
+    "emb_ann_lsh_topk": emb_ann_lsh_topk,
+}
+
+_SHINGLES = (
+    "[ascii(substr(text, CAST(i AS INT), 1)) * 65536"
+    " + ascii(substr(text, CAST(i AS INT) + 1, 1)) * 256"
+    " + ascii(substr(text, CAST(i AS INT) + 2, 1))"
+    " FOR i IN range(1, greatest(length(text) - 1, 2))]"
+)
+
+_MINHASH_COLS = ",\n           ".join(
+    f"list_min([(CAST({a} AS BIGINT) * x + {b}) % {MERSENNE_P} FOR x IN sh])"
+    f" AS m{j}"
+    for j, (a, b) in enumerate(MINHASH_PARAMS)
+)
+
+_SIGS_CTE = f"""
+WITH sh_t AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+    SELECT doc_id,
+           {_MINHASH_COLS}
+    FROM sh_t
+)
+"""
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOP_EN = "('the','and','of','to','a','in','is','it','that','for')"
+_STOP_DE = "('der','die','das','und','ist','ein','zu','mit','von','nicht')"
+_STOP_FR = "('le','la','les','et','est','un','une','de','que','pour')"
+
+ORACLES = {
+    "doc_source_hash_stats": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_distinct
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "doc_exact_dup_groups": """
+        SELECT md5(text) AS content_hash, COUNT(*) AS cnt,
+               MIN(doc_id) AS keep_doc_id,
+               list_sort(list(doc_id)) AS doc_ids
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        ORDER BY content_hash
+    """,
+    "doc_minhash_signatures": _SIGS_CTE
+    + "SELECT * FROM sigs ORDER BY doc_id",
+    "doc_lsh_pairs": _SIGS_CTE
+    + """, banded AS (
+            SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ORDER BY doc_a, doc_b""",
+    "doc_trigram_jaccard_adjacent": f"""
+        WITH sh_t AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.sh, b.sh)))
+                     ELSE 0 END, 6) AS jaccard
+        FROM sh_t a JOIN sh_t b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a
+    """,
+    "doc_text_stats": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKENS} AS toks,
+                   CAST(length(regexp_replace(text, '[^,.!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) AS praw
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       AS BIGINT) AS n_bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks) ELSE 0 END
+                       AS avg_token_len_raw,
+                   praw,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_EN}))
+                            AS DOUBLE) / len(toks) ELSE 0 END AS sraw,
+                   CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_EN}))
+                        AS DOUBLE) AS en_s,
+                   CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_DE}))
+                        AS DOUBLE) AS de_s,
+                   CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_FR}))
+                        AS DOUBLE) AS fr_s,
+                   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       AS fingerprint
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+               ROUND(avg_token_len_raw, 6) AS avg_token_len,
+               ROUND(praw, 6) AS punct_ratio,
+               ROUND(sraw, 6) AS stopword_ratio,
+               ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                     + 0.5 * LEAST(sraw * 5.0, 1.0)
+                     - 0.25 * LEAST(praw * 10.0, 1.0), 6) AS quality,
+               CASE WHEN fr_s > GREATEST(de_s, en_s) THEN 'fr'
+                    WHEN en_s > de_s THEN 'en'
+                    ELSE 'de' END AS lang_guess,
+               fingerprint
+        FROM s ORDER BY doc_id
+    """,
+    "emb_cosine_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, nn_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, nn_id)
+                       AS BIGINT) AS rk
+            FROM scored
+        )
+        SELECT query_id, nn_id, sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk
+    """,
+    "emb_l2_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                   ROUND(list_distance(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS dist
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, nn_id, dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY dist, nn_id)
+                       AS BIGINT) AS rk
+            FROM scored
+        )
+        SELECT query_id, nn_id, dist, rk FROM ranked WHERE rk <= 3
+        ORDER BY query_id, rk
+    """,
+    "emb_label_centroids": """
+        SELECT label, CAST(pos AS INT) AS pos,
+               ROUND(AVG(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE)), 6)
+                   AS v
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(64)) AS pos) p
+        GROUP BY label, pos ORDER BY label, pos
+    """,
+    "emb_near_dup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 300 AND b.vec_id < 300
+          AND ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) > 0.8
+        ORDER BY id_a, id_b
+    """,
+}

@@ -1,0 +1,117 @@
+"""Property tests for the numeric kernels (SURVEY §5.2 item 3).
+
+NumPy-level: fast, no Spark. The Spark UDF wrappers are exercised in
+test_sampling_eval.py / the Q20 oracle query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_tensors_spark.functions.init import _hash_uniform, init_matrix_np
+from spark_tensors_spark.functions.kernels import (
+    cconv_np,
+    ccorr_naive_np,
+    ccorr_np,
+    hole_np,
+    rescal_np,
+    similarity_np,
+    transe_np,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _rand(b=8, d=16):
+    return RNG.standard_normal((b, d))
+
+
+def test_ccorr_equals_naive():
+    a, b = _rand(), _rand()
+    np.testing.assert_allclose(ccorr_np(a, b), ccorr_naive_np(a, b), atol=1e-9)
+
+
+def test_cconv_commutes():
+    a, b = _rand(), _rand()
+    np.testing.assert_allclose(cconv_np(a, b), cconv_np(b, a), atol=1e-9)
+
+
+def test_ccorr_is_cconv_of_involution():
+    """ccorr(a,b) = cconv(ā, b) where ā[i] = a[-i mod d]."""
+    a, b = _rand(), _rand()
+    a_inv = np.roll(a[:, ::-1], 1, axis=1)
+    np.testing.assert_allclose(ccorr_np(a, b), cconv_np(a_inv, b), atol=1e-9)
+
+
+def test_transe_zero_translation_is_perfect():
+    h = _rand()
+    np.testing.assert_allclose(
+        transe_np(h, np.zeros_like(h), h), np.zeros(len(h)), atol=1e-12
+    )
+    assert (transe_np(_rand(), _rand(), _rand()) <= 0).all()
+
+
+def test_rescal_identity_reduces_to_dot():
+    s, o = _rand(), _rand()
+    d = s.shape[1]
+    w = np.tile(np.eye(d).ravel(), (len(s), 1))
+    np.testing.assert_allclose(
+        rescal_np(s, w, o), (s * o).sum(axis=1), atol=1e-9
+    )
+
+
+def test_hole_equals_explicit_sum():
+    r, s, o = _rand(), _rand(), _rand()
+    np.testing.assert_allclose(
+        hole_np(r, s, o), (r * ccorr_naive_np(s, o)).sum(axis=1), atol=1e-9
+    )
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["cosine", "dot", "polynomial", "sigmoid", "rbf", "euclidean", "l1",
+     "exponential", "gesd", "aesd"],
+)
+def test_similarity_zoo_shapes_and_ranges(mode):
+    a, b = _rand(), _rand()
+    s = similarity_np(a, b, mode, gamma=0.5, c=1.0, d=2)
+    assert s.shape == (len(a),)
+    assert np.isfinite(s).all()
+    same = similarity_np(a, a, mode, gamma=0.5, c=1.0, d=2)
+    if mode == "cosine":
+        np.testing.assert_allclose(same, 1.0, atol=1e-9)
+    if mode in ("euclidean", "rbf", "exponential"):
+        np.testing.assert_allclose(same, 1.0, atol=1e-9)
+        assert (s <= 1.0 + 1e-12).all()
+    if mode == "l1":
+        np.testing.assert_allclose(same, 0.0, atol=1e-9)
+
+
+def test_similarity_invalid_mode():
+    with pytest.raises(ValueError):
+        similarity_np(_rand(), _rand(), "nope")
+
+
+def test_hash_uniform_deterministic_and_uniform():
+    ids = np.arange(1000)
+    u1 = _hash_uniform(7, ids, 8)
+    u2 = _hash_uniform(7, ids, 8)
+    np.testing.assert_array_equal(u1, u2)
+    assert ((u1 >= 0) & (u1 < 1)).all()
+    assert abs(u1.mean() - 0.5) < 0.01
+    assert not np.array_equal(u1, _hash_uniform(8, ids, 8))
+
+
+def test_init_kinds_bounds():
+    ids = np.arange(500)
+    d = 16
+    unif = init_matrix_np(1, ids, d, "unif")
+    assert (np.abs(unif) <= 1 / np.sqrt(d)).all()
+    nunif = init_matrix_np(1, ids, d, "nunif")
+    assert (np.abs(nunif) <= np.sqrt(6) / np.sqrt(2 * d)).all()
+    randn = init_matrix_np(1, ids, d, "randn")
+    assert abs(randn.mean()) < 0.05 and abs(randn.std() - 1) < 0.05
+    # order-independence: subset rows equal full-matrix rows
+    sub = init_matrix_np(1, ids[100:200], d, "unif")
+    np.testing.assert_array_equal(sub, unif[100:200])

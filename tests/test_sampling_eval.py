@@ -1,0 +1,235 @@
+"""Spark-level tests: samplers N1–N6 invariants, eval ranking, UDF
+kernels vs their NumPy cores, deterministic init via mapInPandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.functions import (
+    ccorr_udf,
+    cosine_col,
+    similarity_udf,
+    transe_udf,
+)
+from spark_tensors_spark.functions.columns import (
+    l2_distance_col,
+    logistic_loss_col,
+    margin_loss_col,
+    normalize_col,
+    normless1_col,
+    transe_score_col,
+)
+from spark_tensors_spark.functions.init import init_embeddings, init_matrix_np
+from spark_tensors_spark.functions.kernels import ccorr_np, similarity_np, transe_np
+from spark_tensors_spark.kg import eval as kgeval
+from spark_tensors_spark.kg import sampling
+
+N_ENT, N_REL = 50, 4
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    """Deterministic toy KG: 200 distinct triples over 50 entities."""
+    rows = [
+        (int((i * 7) % N_ENT), int(i % N_REL), int((i * 13 + 3) % N_ENT))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        sorted(set(rows)), "s_id long, p_id long, o_id long"
+    )
+    df.cache().count()
+    return df
+
+
+def test_random_mode_sampler_invariants(spark, triples):
+    neg = sampling.random_mode_sampler(triples, N_ENT, n=4, seed=1)
+    rows = neg.collect()
+    assert len(rows) > 0
+    # no sample collides with a true triple (J4 invariant)
+    true = {(r.s_id, r.p_id, r.o_id) for r in triples.collect()}
+    assert all((r.s_id, r.p_id, r.o_id) not in true for r in rows)
+    assert all(r.label == -1.0 for r in rows)
+    assert all(0 <= r.o_id < N_ENT for r in rows)
+    # deterministic across partitionings
+    again = sampling.random_mode_sampler(
+        triples.repartition(7), N_ENT, n=4, seed=1
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_sampler_ranges(spark, triples):
+    neg = sampling.random_sampler(triples, N_ENT, N_REL, n=2, seed=3)
+    rows = neg.collect()
+    assert all(0 <= r.s_id < N_ENT and 0 <= r.o_id < N_ENT for r in rows)
+    assert all(0 <= r.p_id < N_REL for r in rows)
+
+
+def test_corrupted_sampler_type_constraint(spark, triples):
+    neg = sampling.corrupted_sampler(triples, n=3, seed=5, mode="o")
+    idx = {
+        r.p_id: set(r.o_cands)
+        for r in sampling.type_index(triples).collect()
+    }
+    assert all(r.o_id in idx[r.p_id] for r in neg.collect())
+
+
+def test_lcwa_sampler_sp_constraint(spark, triples):
+    neg = sampling.lcwa_sampler(triples, N_ENT, n=3, seed=7)
+    sp = {(r.s_id, r.p_id) for r in triples.collect()}
+    rows = neg.collect()
+    assert len(rows) > 0
+    assert all((r.s_id, r.p_id) in sp for r in rows)
+
+
+def test_with_positives_labels(spark, triples):
+    neg = sampling.random_mode_sampler(triples, N_ENT, n=1, seed=9)
+    xy = sampling.with_positives(triples, neg)
+    counts = {r.label: r.c for r in xy.groupBy("label").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert counts[1.0] == triples.count()
+    assert counts[-1.0] == neg.count()
+
+
+def test_udf_kernels_match_numpy(spark):
+    rng = np.random.default_rng(0)
+    data = [
+        (list(map(float, rng.standard_normal(8))),
+         list(map(float, rng.standard_normal(8))),
+         list(map(float, rng.standard_normal(8))))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        data, "a array<double>, b array<double>, c array<double>"
+    )
+    out = df.select(
+        ccorr_udf("a", "b").alias("cc"),
+        transe_udf("a", "b", "c").alias("te"),
+        transe_score_col("a", "b", "c").alias("te_sql"),
+        similarity_udf("gesd", gamma=0.5, c=1.0)("a", "b").alias("gesd"),
+        cosine_col("a", "b").alias("cos"),
+        l2_distance_col("a", "b").alias("l2"),
+    ).collect()
+    a = np.array([d[0] for d in data])
+    b = np.array([d[1] for d in data])
+    c = np.array([d[2] for d in data])
+    np.testing.assert_allclose(
+        np.array([r.cc for r in out]), ccorr_np(a, b), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.array([r.te for r in out]), transe_np(a, b, c), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.array([r.te_sql for r in out]), transe_np(a, b, c), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.array([r.gesd for r in out]),
+        similarity_np(a, b, "gesd", gamma=0.5, c=1.0),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.array([r.cos for r in out]),
+        similarity_np(a, b, "cosine"),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.array([r.l2 for r in out]),
+        np.sqrt(((a - b) ** 2).sum(axis=1)),
+        atol=1e-9,
+    )
+
+
+def test_loss_and_constraint_columns(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.5), (-1.0, -0.5), (1.0, -40.0)], "y double, s double"
+    )
+    rows = df.select(
+        margin_loss_col(F.lit(1.0), F.col("s"), margin=0.5).alias("m"),
+        logistic_loss_col("y", "s").alias("ll"),
+    ).collect()
+    np.testing.assert_allclose(
+        [r.m for r in rows], [2.0, 0.0, 0.0], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        [r.ll for r in rows],
+        [np.log1p(np.exp(-2.5)), np.log1p(np.exp(-0.5)), 40.0],
+        atol=1e-6,
+    )
+
+    vdf = spark.createDataFrame(
+        [([3.0, 4.0],), ([0.3, 0.4],)], "v array<double>"
+    )
+    out = vdf.select(
+        normalize_col("v").alias("n"), normless1_col("v").alias("p")
+    ).collect()
+    np.testing.assert_allclose(out[0].n, [0.6, 0.8], atol=1e-9)
+    np.testing.assert_allclose(out[0].p, [0.6, 0.8], atol=1e-9)
+    np.testing.assert_allclose(out[1].p, [0.3, 0.4], atol=1e-9)  # untouched
+
+
+def test_init_embeddings_distributed_matches_local(spark):
+    df = init_embeddings(spark, 100, 8, kind="unif", seed=11, num_partitions=5)
+    rows = {r.id: np.array(r.vec) for r in df.collect()}
+    assert len(rows) == 100
+    expected = init_matrix_np(11, np.arange(100), 8, "unif")
+    got = np.stack([rows[i] for i in range(100)])
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_rank_against_all_entities_transe(spark):
+    """Golden-ish eval: broadcast-matrix ranks equal the SQL window path."""
+    n, d = 30, 8
+    emat = init_matrix_np(3, np.arange(n), d, "unif")
+    rmat = init_matrix_np(4, np.arange(2), d, "unif")
+    ent = spark.createDataFrame(
+        [(int(i), list(map(float, emat[i]))) for i in range(n)],
+        "id long, vec array<double>",
+    )
+    rel = spark.createDataFrame(
+        [(int(i), list(map(float, rmat[i]))) for i in range(2)],
+        "id long, vec array<double>",
+    )
+    test = spark.createDataFrame(
+        [(int(i % n), int(i % 2), int((i * 11 + 2) % n)) for i in range(12)],
+        "s_id long, p_id long, o_id long",
+    )
+
+    def score_batch(E, S, R):
+        return -np.sqrt(
+            ((S[:, None, :] + R[:, None, :] - E[None, :, :]) ** 2).sum(-1)
+        )
+
+    fast = {
+        (r.s_id, r.p_id, r.o_id): r.r
+        for r in kgeval.rank_against_all_entities(
+            test, ent, rel, score_batch, d
+        ).collect()
+    }
+
+    # SQL-window path over the materialized cross product
+    cand = ent.select(F.col("id").alias("cand_o"), F.col("vec").alias("ov"))
+    scored = (
+        test.join(ent.select(F.col("id").alias("s_id"),
+                             F.col("vec").alias("sv")), "s_id")
+        .join(rel.select(F.col("id").alias("p_id"),
+                         F.col("vec").alias("rv")), "p_id")
+        .crossJoin(cand)
+        .select(
+            "s_id", "p_id", "o_id", "cand_o",
+            transe_score_col("sv", "rv", "ov").alias("score"),
+        )
+    )
+    ranked = kgeval.rank_candidates(
+        scored, group_cols=("s_id", "p_id", "o_id"), cand_col="cand_o"
+    )
+    slow = {
+        (r.s_id, r.p_id, r.o_id): r.r
+        for r in ranked.filter(F.col("cand_o") == F.col("o_id")).collect()
+    }
+    assert fast == slow
+
+    m = kgeval.link_prediction_metrics(
+        kgeval.rank_against_all_entities(test, ent, rel, score_batch, d)
+    ).collect()[0]
+    assert 0 < m.mrr <= 1 and m.n == 12
