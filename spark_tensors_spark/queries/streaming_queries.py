@@ -1,0 +1,111 @@
+"""Streaming-operator queries in batch mode (SURVEY §2.9 / M5).
+
+The same functions run on readStream inputs (tests/test_streaming.py
+proves batch≡stream); here they run batch over `events` so the driver's
+DuckDB oracle can check them:
+  - tumbling window ≡ epoch-aligned hour buckets;
+  - sliding window  ≡ two shifted 15-min buckets per event;
+  - session window  ≡ gaps-and-islands (break at gap ≥ 5 min);
+  - stateful dedup  ≡ DISTINCT on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_dedup,
+    tumbling_window_agg,
+)
+
+
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, window="1 hour").orderBy(
+        "w_start", "event_type"
+    )
+
+
+def ev_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(ev, window="30 minutes", slide="15 minutes").orderBy(
+        "w_start", "event_type"
+    )
+
+
+def ev_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(ev, gap="5 minutes").orderBy(
+        "user_id", "w_start"
+    )
+
+
+def ev_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = stateful_dedup(ev, keys=("user_id", "event_type"))
+    return out.agg(F.count(F.lit(1)).alias("c"))
+
+
+QUERIES = {
+    "ev_tumbling_hour": ev_tumbling_hour,
+    "ev_sliding_30m_15m": ev_sliding_30m_15m,
+    "ev_session_5m": ev_session_5m,
+    "ev_dedup_keys": ev_dedup_keys,
+}
+
+ORACLES = {
+    "ev_tumbling_hour": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+                   AS w_end,
+               event_type, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY w_start, event_type
+    """,
+    "ev_sliding_30m_15m": """
+        WITH base AS (
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900)
+                        AS TIMESTAMP) AS b0, ts, event_type
+            FROM events
+        ),
+        expanded AS (
+            SELECT b0 AS w_start, event_type FROM base
+            UNION ALL
+            SELECT b0 - INTERVAL 15 MINUTE, event_type FROM base
+        )
+        SELECT w_start, event_type, COUNT(*) AS c
+        FROM expanded
+        GROUP BY 1, 2
+        ORDER BY w_start, event_type
+    """,
+    "ev_session_5m": """
+        WITH x AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        y AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+            FROM x
+        )
+        SELECT CAST(MIN(ts) AS TIMESTAMP) AS w_start,
+               CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS w_end,
+               user_id, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+        FROM y
+        GROUP BY user_id, grp
+        ORDER BY user_id, w_start
+    """,
+    "ev_dedup_keys": """
+        SELECT COUNT(*) AS c
+        FROM (SELECT DISTINCT user_id, event_type FROM events) t
+    """,
+}

@@ -1,0 +1,13 @@
+from spark_tensors_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_dedup,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stateful_dedup",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,4 @@
+from spark_tensors_spark.train.optim import SGD, AdaGrad, Adam
+from spark_tensors_spark.train.trainer import KGETrainer
+
+__all__ = ["SGD", "AdaGrad", "Adam", "KGETrainer"]

@@ -1,0 +1,115 @@
+"""Batch score + closed-form gradient kernels for the three KGE models
+(SURVEY M3; math re-derived, not ported: TransE `TransE.scala:38-41`
+margin formulation; RESCAL bilinear `holek.py:136-150`; HolE
+`hole.py:19-85` kbc).
+
+All functions are pure NumPy over index arrays + the two parameter
+matrices, so they run identically inside Arrow batches on executors and
+in unit tests (including numerical gradient checks).
+
+Gradient conventions: each function returns
+``(loss_vector, [(param_name, ids, grads)])`` where grads are the
+*sum* contributions per occurrence; the trainer's segment-sum divides by
+multiplicity (`util.py:53-60` mean-normalization semantics, A6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_tensors_spark.functions.kernels import cconv_np, ccorr_np
+
+
+def transe_pairwise(
+    E: np.ndarray,
+    R: np.ndarray,
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    o_neg: np.ndarray,
+    margin: float = 1.0,
+):
+    """Pairwise margin loss on L2 distances:
+    loss = max(0, margin + ‖h+r−t⁺‖ − ‖h+r−t⁻‖).
+
+    Gradients flow only through margin violations (P4 filter,
+    kbc `hole.py:56-58` shape).
+    """
+    h, r = E[s], R[p]
+    dp = h + r - E[o]
+    dn = h + r - E[o_neg]
+    npos = np.sqrt((dp * dp).sum(-1)) + 1e-12
+    nneg = np.sqrt((dn * dn).sum(-1)) + 1e-12
+    loss = margin + npos - nneg
+    viol = loss > 0
+    loss = np.maximum(loss, 0.0)
+
+    gp = dp / npos[:, None]  # ∂‖·‖/∂(h+r−t⁺)
+    gn = dn / nneg[:, None]
+    w = viol[:, None].astype(np.float64)
+    grad_h = (gp - gn) * w
+    grad_r = grad_h
+    grad_tp = -gp * w
+    grad_tn = gn * w
+    return loss, [
+        ("E", s, grad_h),
+        ("E", o, grad_tp),
+        ("E", o_neg, grad_tn),
+        ("R", p, grad_r),
+    ]
+
+
+def _logistic(y: np.ndarray, score: np.ndarray):
+    """loss = log1p(exp(−y·score)); dloss/dscore = −y·σ(−y·score)."""
+    x = -y * score
+    loss = np.where(x > 30, x, np.log1p(np.exp(np.minimum(x, 30))))
+    g = -y / (1.0 + np.exp(-x))
+    return loss, g
+
+
+def rescal_pointwise(
+    E: np.ndarray,
+    W: np.ndarray,  # (n_rel, d, d)
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    y: np.ndarray,
+):
+    """Pointwise logistic RESCAL: score = sᵀ W_p o."""
+    S, O, Wp = E[s], E[o], W[p]
+    score = np.einsum("bd,bde,be->b", S, Wp, O)
+    loss, g = _logistic(y, score)
+    gs = g[:, None] * np.einsum("bde,be->bd", Wp, O)
+    go = g[:, None] * np.einsum("bd,bde->be", S, Wp)
+    gw = g[:, None, None] * S[:, :, None] * O[:, None, :]
+    return loss, [("E", s, gs), ("E", o, go), ("W", p, gw)]
+
+
+def hole_pointwise(
+    E: np.ndarray,
+    R: np.ndarray,
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    y: np.ndarray,
+):
+    """Pointwise logistic HolE: score = r·ccorr(s,o).
+
+    ∂score/∂r = ccorr(s,o); ∂/∂s = ccorr(r,o); ∂/∂o = cconv(s,r)
+    (derived from the index algebra of circular correlation).
+    """
+    S, O, Rp = E[s], E[o], R[p]
+    sc = (Rp * ccorr_np(S, O)).sum(-1)
+    loss, g = _logistic(y, sc)
+    gr = g[:, None] * ccorr_np(S, O)
+    gs = g[:, None] * ccorr_np(Rp, O)
+    go = g[:, None] * cconv_np(S, Rp)
+    return loss, [("E", s, gs), ("E", o, go), ("R", p, gr)]
+
+
+def transe_score_all(E: np.ndarray, S: np.ndarray, R: np.ndarray):
+    """(b, N) TransE scores of every entity as object — for
+    ``kg.eval.rank_against_all_entities``."""
+    return -np.sqrt(
+        ((S[:, None, :] + R[:, None, :] - E[None, :, :]) ** 2).sum(-1)
+    )

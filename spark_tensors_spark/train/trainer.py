@@ -1,0 +1,263 @@
+"""Distributed minibatch KGE trainer (SURVEY §3.3 Spark-native lifecycle).
+
+Per epoch (one Catalyst-planned job per phase):
+  1. negatives drawn by the deterministic samplers (kg.sampling, seed
+     varies per epoch) → pairwise (TransE) or labeled pointwise
+     (RESCAL/HolE) training rows;
+  2. ``mapInPandas`` computes batch gradients with the *broadcast*
+     parameter matrices (numpy, Arrow batches) and pre-aggregates per id
+     within the batch (np.add.at) — map-side combine;
+  3. ``applyInPandas`` segment-sums gradients per (param, id) — the A6
+     `grad_sum_matrix` semantics (`util.py:53-60`) including mean
+     normalization by multiplicity;
+  4. the driver applies the optimizer step (F13) and re-broadcasts.
+
+Scale notes: parameter matrices are MBs at reference scale (14,951×100
+floats ≈ 6 MB — SURVEY §4.3) so broadcast-per-epoch is the right
+physical plan; at 100 TB-triples scale the same loop holds but steps 3–4
+become a join-merge against an embeddings DataFrame (documented, not v1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.functions.init import init_matrix_np
+from spark_tensors_spark.kg import sampling
+from spark_tensors_spark.train import models as M
+from spark_tensors_spark.train.optim import AdaGrad
+
+
+class KGETrainer:
+    """model ∈ {'transe', 'rescal', 'hole'}."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_entities: int,
+        n_relations: int,
+        dim: int = 16,
+        model: str = "transe",
+        margin: float = 1.0,
+        optimizer=None,
+        seed: int = 42,
+        neg_per_pos: int = 1,
+    ):
+        self.spark = spark
+        self.model = model
+        self.margin = margin
+        self.seed = seed
+        self.neg = neg_per_pos
+        self.n_entities = n_entities
+        self.n_relations = n_relations
+        self.dim = dim
+        self.opt = optimizer or AdaGrad(lr=0.1)
+
+        ent_ids = np.arange(n_entities)
+        rel_ids = np.arange(n_relations)
+        self.E = init_matrix_np(seed, ent_ids, dim, "nunif")
+        if model == "rescal":
+            self.W = init_matrix_np(seed + 1, rel_ids, dim * dim, "nunif").reshape(
+                n_relations, dim, dim
+            )
+        else:
+            self.R = init_matrix_np(seed + 1, rel_ids, dim, "nunif")
+        self.loss_history: list[float] = []
+
+    # ------------------------------------------------------------ epoch
+
+    def _training_rows(self, triples: DataFrame, epoch: int) -> DataFrame:
+        """Pairwise rows for TransE; pointwise ±1-labeled for others."""
+        seed = self.seed * 1_000_003 + epoch
+        if self.model == "transe":
+            # keep the (positive, corrupted-object) pairing explicit
+            base = triples.withColumn(
+                "_k", F.explode(F.sequence(F.lit(1), F.lit(self.neg)))
+            )
+            neg_o = F.pmod(
+                F.xxhash64("s_id", "p_id", "o_id", "_k", F.lit(seed)),
+                F.lit(self.n_entities),
+            ).cast("long")
+            return base.select(
+                "s_id", "p_id", "o_id", neg_o.alias("o_neg")
+            ).filter(F.col("o_neg") != F.col("o_id"))
+        negs = sampling.random_mode_sampler(
+            triples, self.n_entities, n=self.neg, seed=seed, mode="o"
+        )
+        return sampling.with_positives(triples, negs)
+
+    def _epoch_gradients(self, rows: DataFrame):
+        model = self.model
+        margin = self.margin
+        E = self.E
+        P = self.W if model == "rescal" else self.R  # noqa: N806
+
+        def batch_grads(batches):
+            for pdf in batches:
+                s = pdf["s_id"].to_numpy()
+                p = pdf["p_id"].to_numpy()
+                o = pdf["o_id"].to_numpy()
+                if model == "transe":
+                    loss, grads = M.transe_pairwise(
+                        E, P, s, p, o, pdf["o_neg"].to_numpy(), margin
+                    )
+                elif model == "rescal":
+                    loss, grads = M.rescal_pointwise(
+                        E, P, s, p, o, pdf["label"].to_numpy()
+                    )
+                else:
+                    loss, grads = M.hole_pointwise(
+                        E, P, s, p, o, pdf["label"].to_numpy()
+                    )
+                out_param, out_id, out_g, out_c = [], [], [], []
+                for name, ids, g in grads:
+                    uniq, inv = np.unique(ids, return_inverse=True)
+                    acc = np.zeros((len(uniq),) + g.shape[1:])
+                    np.add.at(acc, inv, g)
+                    cnt = np.bincount(inv, minlength=len(uniq))
+                    out_param.extend([name] * len(uniq))
+                    out_id.extend(uniq.tolist())
+                    out_g.extend(acc.reshape(len(uniq), -1).tolist())
+                    out_c.extend(cnt.tolist())
+                # batch loss/count ride on the FIRST output row only —
+                # replicating them would overcount in the final sum
+                k = len(out_param)
+                loss_col = [float(loss.sum())] + [0.0] * (k - 1)
+                n_col = [len(pdf)] + [0] * (k - 1)
+                yield pd.DataFrame(
+                    {
+                        "param": out_param,
+                        "id": out_id,
+                        "g": out_g,
+                        "cnt": out_c,
+                        "loss": loss_col,
+                        "n": n_col,
+                    }
+                )
+
+        schema = (
+            "param string, id long, g array<double>, cnt long, "
+            "loss double, n long"
+        )
+        contrib = rows.mapInPandas(batch_grads, schema)
+
+        def segment_sum(key, pdf):
+            g = np.stack(pdf["g"].to_numpy()).sum(axis=0)
+            c = int(pdf["cnt"].sum())
+            return pd.DataFrame(
+                {
+                    "param": [key[0]],
+                    "id": [key[1]],
+                    "g": [list(g / max(c, 1))],  # mean normalization (A6)
+                    "cnt": [c],
+                }
+            )
+
+        agg = contrib.groupBy("param", "id").applyInPandas(
+            segment_sum, "param string, id long, g array<double>, cnt long"
+        )
+        loss_df = contrib.select("loss", "n").groupBy().agg(
+            F.sum("loss").alias("loss"), F.sum("n").alias("n")
+        )
+        return agg, loss_df
+
+    def fit(self, triples: DataFrame, epochs: int = 5) -> "KGETrainer":
+        triples = triples.select("s_id", "p_id", "o_id").cache()
+        triples.count()
+        for epoch in range(epochs):
+            rows = self._training_rows(triples, epoch)
+            agg, loss_df = self._epoch_gradients(rows)
+            collected = agg.collect()
+            lrow = loss_df.collect()[0]
+            self.loss_history.append(
+                float(lrow["loss"]) / max(int(lrow["n"]), 1)
+            )
+            for name in ("E", "R", "W"):
+                rows_p = [r for r in collected if r["param"] == name]
+                if not rows_p:
+                    continue
+                ids = np.array([r["id"] for r in rows_p])
+                if name == "E":
+                    g = np.array([r["g"] for r in rows_p])
+                    self.opt.step(self.E, ids, g)
+                elif name == "R":
+                    g = np.array([r["g"] for r in rows_p])
+                    self.opt.step(self.R, ids, g)
+                else:
+                    g = np.array([r["g"] for r in rows_p]).reshape(
+                        len(ids), self.dim, self.dim
+                    )
+                    self.opt.step(self.W, ids, g)
+        triples.unpersist()
+        return self
+
+    # ----------------------------------------------------------- export
+
+    def entity_embeddings(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(int(i), [float(x) for x in self.E[i]]) for i in range(self.n_entities)],
+            "id long, vec array<double>",
+        )
+
+    def relation_embeddings(self) -> DataFrame:
+        mat = self.W.reshape(self.n_relations, -1) if self.model == "rescal" else self.R
+        return self.spark.createDataFrame(
+            [(int(i), [float(x) for x in mat[i]]) for i in range(self.n_relations)],
+            "id long, vec array<double>",
+        )
+
+    def evaluate(self, test: DataFrame) -> DataFrame:
+        """Link-prediction metrics via the broadcast-matrix ranker
+        (object-corruption protocol, `kge/hole.py:389-420` semantics)."""
+        from spark_tensors_spark.functions.kernels import ccorr_np
+        from spark_tensors_spark.kg import eval as kgeval
+
+        E = self.E
+        if self.model == "rescal":
+            W = self.W
+
+            def rescal_rank(batches):
+                for pdf in batches:
+                    s = pdf["s_id"].to_numpy()
+                    p = pdf["p_id"].to_numpy()
+                    o = pdf["o_id"].to_numpy()
+                    scores = np.einsum("bd,bde,ne->bn", E[s], W[p], E)
+                    true_score = scores[np.arange(len(pdf)), o]
+                    gt = (scores > true_score[:, None]).sum(axis=1)
+                    eq = (
+                        (scores == true_score[:, None])
+                        & (np.arange(len(E))[None, :] < o[:, None])
+                    ).sum(axis=1)
+                    yield pd.DataFrame(
+                        {"s_id": s, "p_id": p, "o_id": o, "r": gt + eq + 1}
+                    )
+
+            ranked = test.select("s_id", "p_id", "o_id").mapInPandas(
+                rescal_rank, "s_id long, p_id long, o_id long, r long"
+            )
+            return kgeval.link_prediction_metrics(ranked)
+
+        if self.model == "transe":
+            score_all = M.transe_score_all
+        else:  # hole: r·ccorr(s, e) for every candidate e
+
+            def score_all(E_, S_, R_):
+                return np.stack(
+                    [
+                        (R_[i] * ccorr_np(np.tile(S_[i], (len(E_), 1)), E_)).sum(-1)
+                        for i in range(len(S_))
+                    ]
+                )
+
+        return kgeval.link_prediction_metrics(
+            kgeval.rank_against_all_entities(
+                test,
+                self.entity_embeddings(),
+                self.relation_embeddings(),
+                score_all,
+                self.dim,
+            )
+        )

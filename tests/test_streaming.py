@@ -1,0 +1,96 @@
+"""Streaming tests: oracle parity in batch mode + genuine readStream
+runs (availableNow trigger → memory sink) proving batch ≡ stream."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.queries import streaming_queries as sq
+from spark_tensors_spark.streaming.windows import (
+    stateful_dedup,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+SF = SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(sq.ORACLES))
+def test_streaming_query_matches_oracle(spark, duck, name):
+    ok, detail = compare(
+        sq.QUERIES[name], sq.ORACLES[name], spark, SF, con=duck
+    )
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark):
+    """events re-written as a multi-file parquet dir (µs timestamps) so
+    readStream can consume it."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, SF, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    schema = ev.schema
+    return d, schema
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_equals_batch(spark, stream_source):
+    d, schema = stream_source
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
+    _run_stream(out, "tumbling_mem")
+    got = {
+        (r.w_start, r.event_type): (r.c, r.v)
+        for r in spark.sql("SELECT * FROM tumbling_mem").collect()
+    }
+    batch = {
+        (r.w_start, r.event_type): (r.c, r.v)
+        for r in tumbling_window_agg(
+            load_table(spark, SF, "events"), window="1 hour"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_append(spark, stream_source):
+    d, schema = stream_source
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stateful_dedup(stream, keys=("user_id", "event_type"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.sql("SELECT COUNT(*) c FROM dedup_mem").collect()[0].c
+    n_batch = (
+        stateful_dedup(load_table(spark, SF, "events"),
+                       keys=("user_id", "event_type")).count()
+    )
+    assert n_stream == n_batch
