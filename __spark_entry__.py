@@ -27,7 +27,14 @@ def _registry():
     from spark_tensors_spark.queries import relational
 
     modules = [relational]
-    for name in ("kg", "mlops", "pipeline_queries", "streaming_queries"):
+    for name in (
+        "kg",
+        "mlops",
+        "pipeline_queries",
+        "streaming_queries",
+        "multimodal_queries",
+        "temporal_queries",
+    ):
         try:
             mod = __import__(
                 f"spark_tensors_spark.queries.{name}", fromlist=[name]

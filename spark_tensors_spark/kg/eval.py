@@ -86,6 +86,22 @@ def rank_against_all_entities(
     ent_ids = np.array([r["id"] for r in ent_rows])
     rel_rows = rel_emb.orderBy("id").collect()
     rmat = np.array([r["vec"] for r in rel_rows], dtype=np.float64)
+    return rank_against_all_entities_np(
+        test, emat, ent_ids, rmat, score_batch
+    )
+
+
+def rank_against_all_entities_np(
+    test: DataFrame,
+    emat: np.ndarray,
+    ent_ids: np.ndarray,
+    rmat: np.ndarray,
+    score_batch: Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray],
+) -> DataFrame:
+    """Matrix-direct variant: callers that already hold the parameter
+    matrices in numpy (the trainer) skip the DataFrame round trip — at
+    166k entities the list→createDataFrame→collect detour costs tens of
+    seconds and serializes the whole matrix through the driver twice."""
 
     def ranks(batches):
         for pdf in batches:

@@ -1,0 +1,8 @@
+"""Composite operators Spark lacks as built-ins, expressed Spark-first
+(single-shuffle window tricks, bucketed range joins) — never via
+driver-side loops or row-at-a-time UDFs."""
+
+from spark_tensors_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    bucketed_interval_join,
+)

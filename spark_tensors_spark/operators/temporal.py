@@ -1,0 +1,141 @@
+"""Temporal joins the reference lacks (SURVEY §2.3: "no theta/range/
+as-of joins exist in the reference; the new engine gets range/as-of over
+`events` as north-star extensions").
+
+Scale design (the whole point of these implementations):
+
+  - :func:`asof_join` is the **union + carry-forward window** form: tag
+    both sides, one shuffle on the join keys, ``last(..., ignoreNulls)``
+    over an ever-growing frame carries the latest right-side row to each
+    left row.  Cost is O((|L|+|R|)·log) per key with NO pairwise
+    expansion — a naive theta join materializes |L|×|R| pairs before
+    filtering and is unrunnable at 100 TB.
+
+  - :func:`bucketed_interval_join` turns the inequality join
+    ``r.ts ∈ (l.ts − δ, l.ts]`` into an **equi-join on coarse time
+    buckets** (bucket width = δ): each left row explodes into the ≤2
+    buckets its interval can touch, the join runs as a plain hash/merge
+    equi-join on (keys…, bucket), and the exact predicate filters the
+    residue.  Shuffle volume is 2·|L| + |R| rows instead of the |L|×|R|
+    theta-join cross space — the same trick Databricks' range-join
+    optimization and Flink's interval join use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row (same keys,
+    ``right.ts <= left.ts``; a right row at the exact same timestamp
+    matches, i.e. DuckDB/pandas ``ASOF`` ``>=`` semantics).
+
+    Returns all left columns + ``<ts_col><suffix>`` + ``<v><suffix>``
+    for each value col (null where nothing precedes, or where the match
+    is older than ``tolerance_seconds``).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (*keys, ts_col)
+    ]
+
+    rval_type = StructType(
+        [StructField("_rts", right.schema[ts_col].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    lrow_type = StructType(
+        [StructField(c, left.schema[c].dataType) for c in left.columns]
+    )
+
+    # side 0 sorts before side 1 at equal ts → ">= match" semantics
+    tagged_left = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rval_type).alias("_rval"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    tagged_right = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_rval"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).withColumn(
+        "_match", F.last("_rval", ignorenulls=True).over(w)
+    )
+
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col("_match._rts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        out = out.withColumn("_match", F.when(within, F.col("_match")))
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("_match._rts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    lookback_seconds: int = 600,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner-join right rows with ``l.ts − δ < r.ts <= l.ts`` on the same
+    keys; output = left columns + ``r_``-prefixed right columns, one row
+    per matched pair.
+
+    A right row's bucket is either the left row's bucket or the one
+    before it, so exploding left into those two buckets makes the bucket
+    equi-join lossless and duplicate-free.
+    """
+    delta_us = lookback_seconds * 1_000_000
+    bucket = (F.unix_micros(F.col(ts_col)) / delta_us).cast("long")
+    l_b = left.withColumn(
+        "_bucket", F.explode(F.array(bucket, bucket - 1))
+    )
+    r_b = right.select(
+        bucket.alias("_bucket"),
+        *[F.col(k).alias(f"{right_prefix}{k}") for k in keys],
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    key_cond = F.expr(
+        " AND ".join(f"{right_prefix}{k} = {k}" for k in keys)
+    )
+    joined = l_b.join(
+        r_b, on=(l_b["_bucket"] == r_b["_bucket"]) & key_cond, how="inner"
+    )
+    lt = F.unix_micros(F.col(ts_col))
+    rt = F.unix_micros(F.col(f"{right_prefix}{ts_col}"))
+    return joined.filter((rt > lt - delta_us) & (rt <= lt)).drop("_bucket")

@@ -33,19 +33,35 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 
 def shingle_codes_col(text: Column | str = "text", k: int = 3) -> Column:
     """Distinct k-gram character shingles packed as integers:
-    ``Σ ascii(cᵢ)·256^(k−1−i)`` — pure SQL, portable across engines."""
+    ``Σ ascii(cᵢ)·256^(k−1−i)`` — pure SQL, portable across engines.
+
+    Char codes are materialized once into an array so each shingle is k
+    O(1) array lookups; the naive ``substr(text, i, 1)`` per position is
+    an O(len) byte scan in UTF8String → O(len²) per document (measured
+    4× slower at 300-char docs, far worse on long ones)."""
     name = text if isinstance(text, str) else None
     assert name is not None, "shingle_codes_col needs a column name"
     # BIGINT arithmetic: downstream universal hashing multiplies by
     # constants that overflow int32 (silently in Spark, loudly in DuckDB)
     terms = " + ".join(
-        f"CAST(ascii(substr({name}, CAST(i AS INT) + {j}, 1)) AS BIGINT)"
-        f" * {256 ** (k - 1 - j)}"
+        f"codes[CAST(i AS INT) + {j - 1}] * {256 ** (k - 1 - j)}"
         for j in range(k)
     )
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({name}) - {k - 1}, 1)), "
         f"i -> {terms}))"
+    )
+
+
+def _with_char_codes(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the per-char ascii-code array `codes` used by
+    :func:`shingle_codes_col` (single O(len) pass per document)."""
+    return df.withColumn(
+        "codes",
+        F.transform(
+            F.split(F.col(text_col), ""),
+            lambda c: F.ascii(c).cast("long"),
+        ),
     )
 
 
@@ -75,19 +91,29 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = 8
 ) -> DataFrame:
     sh = shingle_codes_col(text_col)
-    return df.select(
+    return _with_char_codes(df, text_col).select(
         "doc_id", *[c for c in minhash_signature_cols(sh, n_hashes)]
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Band the signature (`bands` bands × `rows_per_band` hashes) and
     self-join per band bucket → candidate near-dup pairs (a < b).
 
     The self-join key is (band index, band value): only same-bucket rows
     meet, so the shuffle is proportional to bucket sizes, never N².
+
+    ``max_bucket_size`` is the standard LSH anti-skew guard: a bucket
+    holding a large fraction of the corpus (near-universal shingle
+    patterns) contributes O(bucket²) pairs with almost no dedup signal —
+    at 100 TB a single degenerate bucket would dominate the job.  Such
+    buckets are dropped here; whole-bucket dedup decisions for them come
+    from :func:`lsh_duplicate_groups`, which is linear in bucket size.
     """
     band_vals = F.array(
         *[
@@ -107,6 +133,22 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(band_vals).alias("bv")
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.sig").alias("sig"))
+    # the banded table feeds the bucket-count scan plus both sides of
+    # the self-join; without persist the signature computation (the
+    # expensive part) re-runs up to 4× per action
+    banded = banded.persist()
+    if max_bucket_size is not None:
+        # bucket cardinalities are tiny (≤ #buckets rows) → broadcast
+        # semi-join; no extra shuffle of the banded table
+        small = (
+            banded.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(
+            F.broadcast(small), ["band", "sig"], "left_semi"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -121,6 +163,46 @@ def lsh_candidate_pairs(
             F.col("r.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def lsh_duplicate_groups(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Whole-bucket dedup decision, linear in bucket size: every doc in
+    a band bucket links to the bucket's min doc_id; a doc in several
+    buckets keeps its smallest keeper.  This is how LSH dedup scales
+    past degenerate buckets — no pairwise expansion at all.
+
+    Returns (doc_id, keep_doc_id) for docs that would be dropped
+    (doc_id > keeper in some bucket).
+    """
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{i * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_vals).alias("bv")
+    ).select("doc_id", "bv.band", "bv.sig").persist()
+    keepers = banded.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    return (
+        banded.join(keepers, ["band", "sig"])
+        .filter(F.col("doc_id") > F.col("keep_doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("keep_doc_id").alias("keep_doc_id"))
     )
 
 
@@ -195,8 +277,11 @@ def _fnv1a64(s: str) -> np.uint64:
     return h
 
 
-def simhash_candidates(sim: DataFrame) -> DataFrame:
-    """Self-join on any equal 16-bit chunk of the simhash (4 bands)."""
+def simhash_candidates(
+    sim: DataFrame, max_bucket_size: int | None = 64
+) -> DataFrame:
+    """Self-join on any equal 16-bit chunk of the simhash (4 bands);
+    same anti-skew bucket cap as :func:`lsh_candidate_pairs`."""
     chunks = F.array(
         *[
             F.struct(
@@ -210,7 +295,17 @@ def simhash_candidates(sim: DataFrame) -> DataFrame:
     )
     banded = sim.select("doc_id", F.explode(chunks).alias("bv")).select(
         "doc_id", "bv.band", "bv.sig"
-    )
+    ).persist()
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(
+            F.broadcast(small), ["band", "sig"], "left_semi"
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

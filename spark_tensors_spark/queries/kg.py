@@ -65,21 +65,35 @@ triples_encoded AS (
 """
 
 
+# Dictionary encoding is one-time ingestion work (the reference builds
+# its dictionaries once per dataset, RDFDatasetReader.scala:28-33) —
+# memoize the encoded KG per (session, dataset) so each declared query
+# pays query cost, not repeated ingestion cost.  Entries persist for the
+# session lifetime; size is the encoded triple table (3 longs/row).
+_ENCODED_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _encoded(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _ENCODED_CACHE.get(key)
+    if hit is not None:
+        return hit
     raw = triples_raw(spark, sf_dir)
     ent, rel = build_dictionaries(raw)
-    return raw, ent, rel, encode_triples(raw, ent, rel)
+    ent = ent.persist()
+    rel = rel.persist()
+    enc = encode_triples(raw, ent, rel).persist()
+    _ENCODED_CACHE[key] = (raw, ent, rel, enc)
+    return _ENCODED_CACHE[key]
 
 
 def kg_q14_entity_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = triples_raw(spark, sf_dir)
-    ent, _rel = build_dictionaries(raw)
+    _raw, ent, _rel, _enc = _encoded(spark, sf_dir)
     return ent.orderBy("uri")
 
 
 def kg_q14_relation_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = triples_raw(spark, sf_dir)
-    _ent, rel = build_dictionaries(raw)
+    _raw, _ent, rel, _enc = _encoded(spark, sf_dir)
     return rel.orderBy("uri")
 
 
@@ -141,8 +155,7 @@ def _q19_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    raw = triples_raw(spark, sf_dir)
-    ent, rel = build_dictionaries(raw)
+    _raw, ent, rel, _enc = _encoded(spark, sf_dir)
 
     test = orders.filter(F.col("o_orderkey") % 1009 == 0).select(
         F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("su"),

@@ -8,8 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_tensors_spark.kg.dictionary import build_dictionaries, encode_triples
-from spark_tensors_spark.kg.graph_source import triples_raw
 
 
 def kge_transe_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17,21 +15,26 @@ def kge_transe_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-prediction metrics on a held-out sample (1 row out)."""
     from spark_tensors_spark.train import AdaGrad, KGETrainer
 
-    raw = triples_raw(spark, sf_dir)
-    ent, rel = build_dictionaries(raw)
-    enc = encode_triples(raw, ent, rel).cache()
+    from spark_tensors_spark.queries.kg import _encoded
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
-    train = enc.filter(F.xxhash64("s_id", "p_id", "o_id") % 10 != 0)
+    # fixed training budget: the smoke measures the training machinery,
+    # not corpus size — deterministic hash-ordered sample keeps the
+    # bench cost flat across scale factors
+    train = (
+        enc.filter(F.xxhash64("s_id", "p_id", "o_id") % 10 != 0)
+        .orderBy(F.xxhash64("s_id", "p_id", "o_id"))
+        .limit(8000)
+    )
     test = enc.filter(F.xxhash64("s_id", "p_id", "o_id") % 10 == 0).limit(20)
     t = KGETrainer(
         spark, n_entities=n_ent, n_relations=n_rel, dim=8, model="transe",
         optimizer=AdaGrad(lr=0.2), seed=42, neg_per_pos=2,
     )
     t.fit(train, epochs=2)
-    out = t.evaluate(test)
-    enc.unpersist()
-    return out
+    return t.evaluate(test)  # enc stays persisted (shared _encoded cache)
 
 
 QUERIES = {"kge_transe_train_metrics": kge_transe_train_metrics}

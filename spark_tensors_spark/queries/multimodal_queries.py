@@ -1,0 +1,167 @@
+"""Declared queries + DuckDB oracles for the multimodal operators
+(pipeline/multimodal.py).
+
+The corpus is derived deterministically from ``documents`` (ASCII text →
+payload bytes), so even the ``mapInPandas`` stages are oracle-checkable:
+DuckDB recomputes the same numbers from ``ascii()`` codes in pure SQL
+while Spark runs the real Arrow-batched Python path.  That is the
+strongest check available for UDF plumbing — two totally different
+execution paths, identical results.
+
+Constants (WIDTH_MOD etc.) must stay in sync with pipeline/multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.pipeline import multimodal as mm
+
+# DuckDB fragments shared by the oracles
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+_NBYTES_SQL = "octet_length(encode(text))"
+_CODES_SQL = (
+    "list_transform(range(1, length(text) + 1), "
+    "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+)
+
+
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only catalog rollup: never touches payload bytes (column
+    pruning drops the binary column at the parquet scan)."""
+    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.sum("n_frames").alias("total_frames"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MM_MEDIA_CATALOG_SQL = f"""
+SELECT {_MEDIA_TYPE_SQL} AS media_type,
+       COUNT(*) AS n,
+       SUM({_NBYTES_SQL}) AS total_bytes,
+       ROUND(AVG(32 + {_NBYTES_SQL} % {mm.WIDTH_MOD}), 6) AS avg_width,
+       ROUND(AVG(32 + {_NBYTES_SQL} % {mm.HEIGHT_MOD}), 6) AS avg_height,
+       SUM(CAST(ceil({_NBYTES_SQL} / {mm.FRAME_BYTES}.0) AS BIGINT)) AS total_frames,
+       MAX(CAST(floor({_NBYTES_SQL} * 1000.0 / 16000) AS BIGINT)) AS max_duration_ms
+FROM documents
+GROUP BY 1
+ORDER BY media_type
+"""
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake-decode → intensity stats + 4-bin histogram
+    (exposed as h0..h3 scalar columns for cross-engine hashing)."""
+    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
+    feats = mm.image_features(media, n_bins=4)
+    return feats.select(
+        "doc_id",
+        "mean_intensity",
+        "max_intensity",
+        *[F.element_at("histogram", i + 1).alias(f"h{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+MM_IMAGE_FEATURES_SQL = f"""
+SELECT doc_id,
+       ROUND(list_avg(codes), 6) AS mean_intensity,
+       CAST(list_max(codes) AS DOUBLE) AS max_intensity,
+       len(list_filter(codes, c -> c >= 0 AND c < 64)) AS h0,
+       len(list_filter(codes, c -> c >= 64 AND c < 128)) AS h1,
+       len(list_filter(codes, c -> c >= 128 AND c < 192)) AS h2,
+       len(list_filter(codes, c -> c >= 192 AND c < 256)) AS h3
+FROM (SELECT doc_id, {_CODES_SQL} AS codes
+      FROM documents WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
+def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over "video" payloads: every 4th 64-byte frame."""
+    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media).orderBy("doc_id", "frame_no")
+
+
+MM_FRAME_INDEX_SQL = f"""
+SELECT doc_id,
+       f * {mm.SAMPLE_EVERY} AS frame_no,
+       f * {mm.SAMPLE_EVERY} * {mm.FRAME_BYTES} AS offset,
+       ROUND(list_avg(list_transform(
+           range(1 + f * {mm.SAMPLE_EVERY} * {mm.FRAME_BYTES},
+                 1 + least((f * {mm.SAMPLE_EVERY} + 1) * {mm.FRAME_BYTES},
+                           length(text))),
+           i -> ascii(substr(text, CAST(i AS INT), 1)))), 6) AS frame_mean
+FROM documents,
+     UNNEST(range(CAST(ceil(length(text) / ({mm.SAMPLE_EVERY} * {mm.FRAME_BYTES}.0)) AS BIGINT))) AS t(f)
+WHERE doc_id % 3 = 2
+ORDER BY doc_id, frame_no
+"""
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over "audio" payloads (256-byte windows)."""
+    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
+    return mm.audio_windows(media, window_bytes=256).orderBy(
+        "doc_id", "win_no"
+    )
+
+
+MM_AUDIO_ENERGY_SQL = """
+SELECT doc_id,
+       w AS win_no,
+       ROUND(sqrt(list_avg(list_transform(
+           range(1 + w * 256, 1 + least((w + 1) * 256, length(text))),
+           i -> ascii(substr(text, CAST(i AS INT), 1))
+                * ascii(substr(text, CAST(i AS INT), 1))))), 6) AS rms
+FROM documents,
+     UNNEST(range(CAST(ceil(length(text) / 256.0) AS BIGINT))) AS t(w)
+WHERE doc_id % 3 = 1
+ORDER BY doc_id, win_no
+"""
+
+
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4 block-mean resize (rows-only check: the grid padding/pooling
+    geometry is numpy-specific; covered by unit tests instead)."""
+    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
+    thumbs = mm.resize_image(media)
+    return thumbs.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                "thumb", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / F.size("thumb"),
+            6,
+        ).alias("thumb_mean"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "mm_media_catalog": mm_media_catalog,
+    "mm_image_features": mm_image_features,
+    "mm_frame_index": mm_frame_index,
+    "mm_audio_energy": mm_audio_energy,
+    "mm_thumbnails": mm_thumbnails,
+}
+
+ORACLES = {
+    "mm_media_catalog": MM_MEDIA_CATALOG_SQL,
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
+    "mm_frame_index": MM_FRAME_INDEX_SQL,
+    "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
+}

@@ -54,14 +54,22 @@ def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
+def doc_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-in-bucket-size dedup decision (scales past the degenerate
+    buckets that the pair form must cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_duplicate_groups(sigs).orderBy("doc_id")
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """n-gram Jaccard similarity for adjacent doc-id pairs — exercises
     the shingle + set-similarity kernel with a bounded pair list."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", dedup.shingle_codes_col("text").alias("sh")
-    )
+    docs = dedup._with_char_codes(
+        load_table(spark, sf_dir, "documents"), "text"
+    ).select("doc_id", dedup.shingle_codes_col("text").alias("sh"))
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
     )
@@ -171,6 +179,7 @@ QUERIES = {
     "doc_exact_dup_groups": doc_exact_dup_groups,
     "doc_minhash_signatures": doc_minhash_signatures,
     "doc_lsh_pairs": doc_lsh_pairs,
+    "doc_lsh_dup_groups": doc_lsh_dup_groups,
     "doc_trigram_jaccard_adjacent": doc_trigram_jaccard_adjacent,
     "doc_text_stats": doc_text_stats,
     "emb_cosine_topk": emb_cosine_topk,
@@ -226,6 +235,24 @@ ORACLES = {
     "doc_minhash_signatures": _SIGS_CTE
     + "SELECT * FROM sigs ORDER BY doc_id",
     "doc_lsh_pairs": _SIGS_CTE
+    + """, banded_all AS (
+            SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+        ),
+        banded AS (
+            SELECT * FROM banded_all
+            QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ORDER BY doc_a, doc_b""",
+    "doc_lsh_dup_groups": _SIGS_CTE
     + """, banded AS (
             SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
             UNION ALL
@@ -234,11 +261,15 @@ ORACLES = {
             SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
             UNION ALL
             SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+        ),
+        linked AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY band, sig) AS keep_doc_id
+            FROM banded
         )
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-        ORDER BY doc_a, doc_b""",
+        SELECT doc_id, MIN(keep_doc_id) AS keep_doc_id
+        FROM linked WHERE doc_id > keep_doc_id
+        GROUP BY doc_id ORDER BY doc_id""",
     "doc_trigram_jaccard_adjacent": f"""
         WITH sh_t AS (
             SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents

@@ -1,0 +1,111 @@
+"""Declared queries + DuckDB oracles for the temporal join operators
+(operators/temporal.py): as-of join and bucketed interval (range) join
+over the `events` table.
+
+The DuckDB oracle uses its native ``ASOF JOIN`` / inequality join while
+the engine runs the scale-safe single-shuffle forms — different
+algorithms, identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.operators.temporal import (
+    asof_join,
+    bucketed_interval_join,
+)
+
+
+def ev_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event → most recent preceding click by the same user
+    (any age), with the click's value and the µs gap."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, clicks, keys=["user_id"], ts_col="ts",
+        value_cols=["value"], suffix="_click",
+    )
+    # no-match rows surface as -1 sentinels (never NULL): the driver's
+    # row-sort hashing is not guaranteed NULL-safe across engines
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("err_value"),
+        F.coalesce(F.round("value_click", 6), F.lit(-1.0)).alias(
+            "click_value"
+        ),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("ts_click"),
+            F.lit(-1).cast("long"),
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+EV_ASOF_LAST_CLICK_SQL = """
+SELECT l.event_id,
+       l.user_id,
+       ROUND(l.value, 6) AS err_value,
+       COALESCE(ROUND(r.value, 6), -1.0) AS click_value,
+       COALESCE(CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT), -1) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def ev_range_click_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: count and value-sum of same-user clicks in the
+    preceding 10 minutes (range join → aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = bucketed_interval_join(
+        errors, clicks, keys=["user_id"], ts_col="ts",
+        lookback_seconds=600,
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("r_value"), 6).alias("click_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_RANGE_CLICK_STATS_SQL = """
+SELECT l.event_id,
+       COUNT(*) AS n_clicks,
+       ROUND(SUM(r.value), 6) AS click_sum
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON r.user_id = l.user_id
+ AND r.ts > l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts
+GROUP BY l.event_id
+ORDER BY l.event_id
+"""
+
+
+QUERIES = {
+    "ev_asof_last_click": ev_asof_last_click,
+    "ev_range_click_stats": ev_range_click_stats,
+}
+
+ORACLES = {
+    "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
+    "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
+}

@@ -122,75 +122,72 @@ class KGETrainer:
                     out_id.extend(uniq.tolist())
                     out_g.extend(acc.reshape(len(uniq), -1).tolist())
                     out_c.extend(cnt.tolist())
-                # batch loss/count ride on the FIRST output row only —
-                # replicating them would overcount in the final sum
-                k = len(out_param)
-                loss_col = [float(loss.sum())] + [0.0] * (k - 1)
-                n_col = [len(pdf)] + [0] * (k - 1)
+                # loss travels as a pseudo-parameter row so ONE Spark
+                # action per epoch yields gradients AND loss (a second
+                # action would recompute every gradient batch)
+                out_param.append("_loss")
+                out_id.append(0)
+                out_g.append([float(loss.sum())])
+                out_c.append(len(pdf))
                 yield pd.DataFrame(
                     {
                         "param": out_param,
                         "id": out_id,
                         "g": out_g,
                         "cnt": out_c,
-                        "loss": loss_col,
-                        "n": n_col,
                     }
                 )
 
-        schema = (
-            "param string, id long, g array<double>, cnt long, "
-            "loss double, n long"
-        )
+        schema = "param string, id long, g array<double>, cnt long"
         contrib = rows.mapInPandas(batch_grads, schema)
 
-        def segment_sum(key, pdf):
-            g = np.stack(pdf["g"].to_numpy()).sum(axis=0)
-            c = int(pdf["cnt"].sum())
-            return pd.DataFrame(
-                {
-                    "param": [key[0]],
-                    "id": [key[1]],
-                    "g": [list(g / max(c, 1))],  # mean normalization (A6)
-                    "cnt": [c],
-                }
-            )
-
-        agg = contrib.groupBy("param", "id").applyInPandas(
-            segment_sum, "param string, id long, g array<double>, cnt long"
+        # A6 segment-sum in pure SQL: explode gradient components and
+        # hash-aggregate JVM-side (partial + final, no Python workers);
+        # cnt replicates across an id's components, so every pos group
+        # sums to the same total multiplicity
+        flat = contrib.select(
+            "param", "id", "cnt", F.posexplode("g").alias("pos", "val")
         )
-        loss_df = contrib.select("loss", "n").groupBy().agg(
-            F.sum("loss").alias("loss"), F.sum("n").alias("n")
+        return flat.groupBy("param", "id", "pos").agg(
+            F.sum("val").alias("v"), F.sum("cnt").alias("c")
         )
-        return agg, loss_df
 
     def fit(self, triples: DataFrame, epochs: int = 5) -> "KGETrainer":
         triples = triples.select("s_id", "p_id", "o_id").cache()
         triples.count()
         for epoch in range(epochs):
             rows = self._training_rows(triples, epoch)
-            agg, loss_df = self._epoch_gradients(rows)
-            collected = agg.collect()
-            lrow = loss_df.collect()[0]
-            self.loss_history.append(
-                float(lrow["loss"]) / max(int(lrow["n"]), 1)
-            )
-            for name in ("E", "R", "W"):
-                rows_p = [r for r in collected if r["param"] == name]
-                if not rows_p:
-                    continue
-                ids = np.array([r["id"] for r in rows_p])
+            collected = self._epoch_gradients(rows).collect()
+
+            by_param: dict[str, dict[int, dict[int, tuple]]] = {}
+            for r in collected:
+                by_param.setdefault(r["param"], {}).setdefault(
+                    r["id"], {}
+                )[r["pos"]] = (r["v"], r["c"])
+
+            lrow = by_param.pop("_loss", {}).get(0, {}).get(0)
+            if lrow is not None:
+                self.loss_history.append(
+                    float(lrow[0]) / max(int(lrow[1]), 1)
+                )
+
+            for name, per_id in by_param.items():
+                ids = np.array(sorted(per_id))
+                width = max(len(v) for v in per_id.values())
+                g = np.zeros((len(ids), width))
+                for i, pid in enumerate(ids):
+                    comps = per_id[pid]
+                    c = max(int(next(iter(comps.values()))[1]), 1)
+                    for pos, (v, _) in comps.items():
+                        g[i, pos] = v / c  # mean normalization (A6)
                 if name == "E":
-                    g = np.array([r["g"] for r in rows_p])
                     self.opt.step(self.E, ids, g)
                 elif name == "R":
-                    g = np.array([r["g"] for r in rows_p])
                     self.opt.step(self.R, ids, g)
                 else:
-                    g = np.array([r["g"] for r in rows_p]).reshape(
-                        len(ids), self.dim, self.dim
+                    self.opt.step(
+                        self.W, ids, g.reshape(len(ids), self.dim, self.dim)
                     )
-                    self.opt.step(self.W, ids, g)
         triples.unpersist()
         return self
 
@@ -252,12 +249,14 @@ class KGETrainer:
                     ]
                 )
 
+        # matrices are already numpy on the driver — go matrix-direct
+        # (no createDataFrame/collect round trip of N×d rows)
         return kgeval.link_prediction_metrics(
-            kgeval.rank_against_all_entities(
+            kgeval.rank_against_all_entities_np(
                 test,
-                self.entity_embeddings(),
-                self.relation_embeddings(),
+                self.E,
+                np.arange(self.n_entities),
+                self.R,
                 score_all,
-                self.dim,
             )
         )

@@ -65,7 +65,10 @@ def normalize(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
     data = sorted(
-        tuple(_norm_cell(row[i]) for i in order) for row in rows
+        (tuple(_norm_cell(row[i]) for i in order) for row in rows),
+        key=lambda r: tuple(
+            (x is None, str(type(x)), str(x)) for x in r
+        ),
     )
     return cols, data
 
