@@ -34,6 +34,7 @@ def _registry():
         "streaming_queries",
         "multimodal_queries",
         "temporal_queries",
+        "tensor_queries",
     ):
         try:
             mod = __import__(

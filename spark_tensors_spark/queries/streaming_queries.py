@@ -50,11 +50,21 @@ def ev_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("c"))
 
 
+def ev_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator in batch mode (stream mode is
+    applyInPandasWithState; tests prove stream ≡ batch)."""
+    from spark_tensors_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    return running_user_totals(ev).orderBy("user_id")
+
+
 QUERIES = {
     "ev_tumbling_hour": ev_tumbling_hour,
     "ev_sliding_30m_15m": ev_sliding_30m_15m,
     "ev_session_5m": ev_session_5m,
     "ev_dedup_keys": ev_dedup_keys,
+    "ev_running_user_totals": ev_running_user_totals,
 }
 
 ORACLES = {
@@ -107,5 +117,10 @@ ORACLES = {
     "ev_dedup_keys": """
         SELECT COUNT(*) AS c
         FROM (SELECT DISTINCT user_id, event_type FROM events) t
+    """,
+    "ev_running_user_totals": """
+        SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS total,
+               MAX(epoch_us(ts)) AS last_ts_us
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
 }

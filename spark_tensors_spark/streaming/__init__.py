@@ -1,3 +1,4 @@
+from spark_tensors_spark.streaming.stateful import running_user_totals
 from spark_tensors_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -6,6 +7,7 @@ from spark_tensors_spark.streaming.windows import (
 )
 
 __all__ = [
+    "running_user_totals",
     "session_window_agg",
     "sliding_window_agg",
     "stateful_dedup",

@@ -193,18 +193,80 @@ class KGETrainer:
 
     # ----------------------------------------------------------- export
 
-    def entity_embeddings(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(int(i), [float(x) for x in self.E[i]]) for i in range(self.n_entities)],
-            "id long, vec array<double>",
+    def save(self, path: str) -> None:
+        """Checkpoint (SURVEY S6/S7): pickles/HDF5 become parquet
+        embedding tables + a JSON hyperparameter sidecar — columnar,
+        splittable, schema'd; readable by any engine."""
+        import json
+        import os
+
+        self.entity_embeddings().write.mode("overwrite").parquet(
+            os.path.join(path, "entities.parquet")
         )
+        self.relation_embeddings().write.mode("overwrite").parquet(
+            os.path.join(path, "relations.parquet")
+        )
+        meta = {
+            "model": self.model,
+            "dim": self.dim,
+            "margin": self.margin,
+            "seed": self.seed,
+            "neg_per_pos": self.neg,
+            "n_entities": self.n_entities,
+            "n_relations": self.n_relations,
+            "loss_history": self.loss_history,
+        }
+        with open(os.path.join(path, "model.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KGETrainer":
+        import json
+        import os
+
+        with open(os.path.join(path, "model.json")) as fh:
+            meta = json.load(fh)
+        t = cls(
+            spark,
+            n_entities=meta["n_entities"],
+            n_relations=meta["n_relations"],
+            dim=meta["dim"],
+            model=meta["model"],
+            margin=meta["margin"],
+            seed=meta["seed"],
+            neg_per_pos=meta["neg_per_pos"],
+        )
+        t.loss_history = list(meta["loss_history"])
+        ent = spark.read.parquet(
+            os.path.join(path, "entities.parquet")
+        ).collect()
+        for r in ent:
+            t.E[r["id"]] = np.asarray(r["vec"])
+        rel = spark.read.parquet(
+            os.path.join(path, "relations.parquet")
+        ).collect()
+        for r in rel:
+            if meta["model"] == "rescal":
+                t.W[r["id"]] = np.asarray(r["vec"]).reshape(
+                    meta["dim"], meta["dim"]
+                )
+            else:
+                t.R[r["id"]] = np.asarray(r["vec"])
+        return t
+
+    def entity_embeddings(self) -> DataFrame:
+        return self._matrix_df(self.E)
 
     def relation_embeddings(self) -> DataFrame:
         mat = self.W.reshape(self.n_relations, -1) if self.model == "rescal" else self.R
-        return self.spark.createDataFrame(
-            [(int(i), [float(x) for x in mat[i]]) for i in range(self.n_relations)],
-            "id long, vec array<double>",
+        return self._matrix_df(mat)
+
+    def _matrix_df(self, mat: np.ndarray) -> DataFrame:
+        # Arrow path: one pandas frame, not N driver-side Python rows
+        pdf = pd.DataFrame(
+            {"id": np.arange(len(mat)), "vec": [row.tolist() for row in mat]}
         )
+        return self.spark.createDataFrame(pdf, "id long, vec array<double>")
 
     def evaluate(self, test: DataFrame) -> DataFrame:
         """Link-prediction metrics via the broadcast-matrix ranker

@@ -1,0 +1,82 @@
+"""CP-ALS / MTTKRP: oracle parity, numpy equivalence, convergence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.queries import tensor_queries as tq
+from spark_tensors_spark.train.parafac import CPALS, mttkrp, _factor_df
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+SF = SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+def test_mttkrp_matches_oracle(spark, duck):
+    ok, detail = compare(
+        tq.QUERIES["tns_mttkrp"], tq.ORACLES["tns_mttkrp"], spark, SF,
+        con=duck,
+    )
+    assert ok, detail
+
+
+def test_mttkrp_matches_numpy(spark):
+    """Distributed MTTKRP ≡ dense numpy einsum on a small random COO."""
+    rng = np.random.default_rng(7)
+    ni, nj, nk, rank, nnz = 6, 5, 4, 3, 40
+    i = rng.integers(0, ni, nnz)
+    j = rng.integers(0, nj, nnz)
+    k = rng.integers(0, nk, nnz)
+    v = rng.normal(size=nnz)
+    B = rng.normal(size=(nj, rank))
+    C = rng.normal(size=(nk, rank))
+
+    dense = np.zeros((ni, nj, nk))
+    for a, b, c, x in zip(i, j, k, v):
+        dense[a, b, c] += x
+    want = np.einsum("ijk,jr,kr->ir", dense, B, C)
+
+    coo = spark.createDataFrame(
+        [(int(a), int(b), int(c), float(x)) for a, b, c, x in zip(i, j, k, v)],
+        "i long, j long, k long, v double",
+    )
+    out = mttkrp(
+        coo, _factor_df(spark, B, "j"), _factor_df(spark, C, "k")
+    ).collect()
+    got = np.zeros((ni, rank))
+    for r in out:
+        got[r["i"], r["pos"]] = r["m"]
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_cp_als_reconstructs_rank1(spark):
+    """A rank-1 tensor is recovered (fit → ~1) in a few sweeps."""
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([0.5, 1.5])
+    c = np.array([2.0, 1.0])
+    rows = [
+        (i, j, k, float(a[i] * b[j] * c[k]))
+        for i in range(3)
+        for j in range(2)
+        for k in range(2)
+    ]
+    coo = spark.createDataFrame(rows, "i long, j long, k long, v double")
+    model = CPALS(spark, 3, 2, 2, rank=2, seed=1).fit(coo, sweeps=4)
+    assert model.fit_history[-1] > 0.999
+    assert max(model.fit_history) > 0.999
+
+
+def test_cp_als_fit_query_runs(spark):
+    df = tq.QUERIES["tns_cp_als_fit"](spark, SF)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(-1.0 <= r["fit"] <= 1.0 for r in rows)

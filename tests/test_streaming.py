@@ -94,3 +94,38 @@ def test_stream_dedup_append(spark, stream_source):
                        keys=("user_id", "event_type")).count()
     )
     assert n_stream == n_batch
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, stream_source):
+    """applyInPandasWithState final per-user state ≡ batch aggregate."""
+    from spark_tensors_spark.streaming.stateful import running_user_totals
+
+    d, schema = stream_source
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per microbatch; the row with max n per user
+    # is that user's final state
+    got = {
+        r.user_id: (r.n, round(r.total, 6), r.last_ts_us)
+        for r in spark.sql(
+            """SELECT user_id, n, total, last_ts_us FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC) AS rk
+                 FROM totals_mem) WHERE rk = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total, r.last_ts_us)
+        for r in running_user_totals(
+            load_table(spark, SF, "events")
+        ).collect()
+    }
+    assert got == batch

@@ -145,3 +145,25 @@ def test_trainer_deterministic(spark, kg_triples):
     b.fit(kg_triples, epochs=2)
     np.testing.assert_array_equal(a.E, b.E)
     assert a.loss_history == b.loss_history
+
+
+def test_checkpoint_roundtrip(spark, kg_triples, tmp_path):
+    """S6/S7 mapping: parquet embeddings + JSON sidecar round-trip."""
+    t = KGETrainer(spark, 40, 2, dim=8, model="transe", seed=9)
+    t.fit(kg_triples, epochs=2)
+    path = str(tmp_path / "ckpt")
+    t.save(path)
+    back = KGETrainer.load(spark, path)
+    np.testing.assert_allclose(back.E, t.E)
+    np.testing.assert_allclose(back.R, t.R)
+    assert back.loss_history == t.loss_history
+    assert back.model == "transe" and back.dim == 8
+
+
+def test_checkpoint_roundtrip_rescal(spark, kg_triples, tmp_path):
+    t = KGETrainer(spark, 40, 2, dim=4, model="rescal", seed=9)
+    t.fit(kg_triples, epochs=1)
+    path = str(tmp_path / "ckpt_r")
+    t.save(path)
+    back = KGETrainer.load(spark, path)
+    np.testing.assert_allclose(back.W, t.W)
