@@ -64,6 +64,56 @@ def blockify(
     return with_block_ids(coo, shape, blocks).repartition("block_id")
 
 
+def spectral_init(coo: DataFrame, rank: int):
+    """F16 ``init_nvecs`` (`util.py:80-90`): top-`rank` eigenvectors of
+    S = Σ_k (T_k + T_kᵀ).
+
+    The symmetrization + slice-sum is pure SQL (a union with swapped
+    indices and one hash aggregate — distributed, nothing driver-side
+    until the final sparse matrix), then `scipy.sparse.linalg.eigsh`
+    runs on the driver: S has one entry per (i,j) pair of the KG —
+    FB15k-scale MBs.  Beyond that, the same aggregate feeds MLlib's
+    ``RowMatrix.computeSVD`` (documented scale path, SURVEY §2.7 F16).
+    """
+    import numpy as np
+
+    sym = (
+        coo.select("i", "j", "v")
+        .unionAll(
+            coo.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("v")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    pdf = sym.toPandas()
+    n = int(max(pdf["i"].max(), pdf["j"].max())) + 1
+    try:  # sparse Lanczos when scipy is available (the at-scale path)
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.linalg import eigsh
+
+        s = coo_matrix(
+            (pdf["v"].to_numpy(dtype=np.float64), (pdf["i"], pdf["j"])),
+            shape=(n, n),
+        ).tocsr()
+        _vals, vecs = eigsh(s, k=min(rank, n - 1))
+        return vecs  # (n, rank)
+    except ImportError:
+        if n > 20000:
+            raise NotImplementedError(
+                "dense eigh fallback capped at n=20000; install scipy "
+                "for the sparse Lanczos path"
+            ) from None
+        dense = np.zeros((n, n))
+        dense[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf[
+            "v"
+        ].to_numpy(dtype=np.float64)
+        vals, vecs = np.linalg.eigh(dense)
+        top = np.argsort(vals)[::-1][:rank]
+        return vecs[:, top]
+
+
 def frontal_slices(coo: DataFrame):
     """Iterator of (relation id k, scipy.sparse.lil_matrix) — the
     reference's ``to_tensor`` layout (`util.py:72-77`), materialized one
