@@ -38,21 +38,52 @@ def cosine_topk(
     query_vec_col: str = "query_vec",
     include_self: bool = False,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector."""
-    cand = emb.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("_qv"),
-    )
-    pairs = q.crossJoin(cand)
-    if not include_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("nn_id"))
-    scored = pairs.select(
-        "query_id",
-        "nn_id",
-        F.round(cosine_col("_qv", "_cv"), 6).alias("sim"),
+    """Exact top-k cosine neighbors for each query vector.
+
+    Distributed brute-force kNN shape: the query matrix (the small side
+    by construction) is collected once and ships in the task closure;
+    each candidate partition scores all queries with ONE numpy matmul
+    and emits only its per-partition top-k per query — the |Q|×|C| score
+    matrix never shuffles, only ≤ k·partitions rows per query do.  The
+    global window then finalizes exact ranks (per-partition truncation
+    cannot evict a global top-k row: its ≥k better rows travel too).
+    """
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col)
+    ).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def partition_topk(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = cm / np.maximum(
+                np.linalg.norm(cm, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(qn @ cn.T, 6)  # (nq, nc)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = (
+                    np.ones(len(c_ids), dtype=bool)
+                    if include_self
+                    else c_ids != q_ids[qi]
+                )
+                ids_m, row_m = c_ids[mask], row[mask]
+                order = np.lexsort((ids_m, -row_m))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids_m[order].tolist())
+                out_s.extend(row_m[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "nn_id": out_n, "sim": out_s}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        partition_topk, "query_id long, nn_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("nn_id")

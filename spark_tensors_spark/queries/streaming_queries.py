@@ -59,8 +59,28 @@ def ev_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_totals(ev).orderBy("user_id")
 
 
+def ev_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props parsing (SURVEY §1.2 MapType surface): extract a typed
+    field scan-side and aggregate — the 100 TB form of semi-structured
+    columns (parse in the projection, never a Python UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_tumbling_hour": ev_tumbling_hour,
+    "ev_props_json_stats": ev_props_json_stats,
     "ev_sliding_30m_15m": ev_sliding_30m_15m,
     "ev_session_5m": ev_session_5m,
     "ev_dedup_keys": ev_dedup_keys,
@@ -122,5 +142,12 @@ ORACLES = {
         SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS total,
                MAX(epoch_us(ts)) AS last_ts_us
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "ev_props_json_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
