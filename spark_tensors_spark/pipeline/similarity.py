@@ -94,6 +94,67 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k Euclidean neighbors — same broadcast-queries +
+    per-partition matmul shape as :func:`cosine_topk` (‖q−c‖² =
+    ‖q‖² − 2q·c + ‖c‖², one GEMM per partition), ranked by distance
+    ascending with nn_id tie-break."""
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col)
+    ).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_sq = (qm * qm).sum(axis=1)
+
+    def partition_topk(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_sq = (cm * cm).sum(axis=1)
+            d2 = np.maximum(
+                q_sq[:, None] - 2.0 * (qm @ cm.T) + c_sq[None, :], 0.0
+            )
+            dists = np.round(np.sqrt(d2), 6)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                row = dists[qi]
+                mask = (
+                    np.ones(len(c_ids), dtype=bool)
+                    if include_self
+                    else c_ids != q_ids[qi]
+                )
+                ids_m, row_m = c_ids[mask], row[mask]
+                order = np.lexsort((ids_m, row_m))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids_m[order].tolist())
+                out_d.extend(row_m[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "nn_id": out_n, "dist": out_d}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        partition_topk, "query_id long, nn_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,

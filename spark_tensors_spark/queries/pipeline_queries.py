@@ -119,30 +119,12 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_tensors_spark.functions.columns import l2_distance_col
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
     )
-    cand = emb.select(
-        F.col("vec_id").alias("nn_id"), F.col("embedding").alias("cv")
-    )
-    scored = (
-        q.crossJoin(cand)
-        .filter(F.col("query_id") != F.col("nn_id"))
-        .select(
-            "query_id",
-            "nn_id",
-            F.round(l2_distance_col("qv", "cv"), 6).alias("dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("dist", "nn_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .orderBy("query_id", "rk")
-    )
+    return similarity.l2_topk(emb, q, k=3).orderBy("query_id", "rk")
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

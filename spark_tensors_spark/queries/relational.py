@@ -184,10 +184,34 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        .select(
+            # sentinel instead of NULL grouping markers: cross-engine
+            # row-hashing over NULL sort order is not guaranteed
+            F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("l_linestatus"),
+            "c",
         )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping combinations (SURVEY §2.4 — free in Spark
+    SQL, absent in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("l_linestatus"),
+            "c",
+            "qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -244,6 +268,7 @@ QUERIES = {
     "q10_intersect": q10_intersect,
     "q10_except": q10_except,
     "q11_rollup": q11_rollup,
+    "q11_cube": q11_cube,
     "q12_scalar_belt": q12_scalar_belt,
     "q12_dates": q12_dates,
     "q13_time_buckets": q13_time_buckets,
@@ -337,10 +362,21 @@ ORACLES = {
         ) t ORDER BY c
     """,
     "q11_rollup": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
+               COALESCE(l_linestatus, '*') AS l_linestatus,
+               COUNT(*) AS c
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q11_cube": """
+        SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
+               COALESCE(l_linestatus, '*') AS l_linestatus,
+               COUNT(*) AS c,
+               ROUND(SUM(l_quantity), 6) AS qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
     """,
     "q12_scalar_belt": """
         SELECT p_partkey,

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+(pushdown, pruning, broadcast, partial agg, top-k pushdown) must be
+visible in the actual plans — a refactor that silently loses one of
+these passes value-correctness but regresses at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from spark_tensors_spark.queries import relational as rq
+from tests.conftest import SF_SMOKE
+
+SF = SF_SMOKE
+
+
+def plan(spark, fn):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = plan(spark, rq.QUERIES["q1_pricing_summary"])
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruning: no unused lineitem columns in the scan schema
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan(spark, rq.QUERIES["q1_pricing_summary"])
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    p = plan(spark, rq.QUERIES["q3_filtered_dim_join"])
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # filter pushed pre-broadcast
+
+
+def test_q9_topk_never_full_sorts(spark):
+    p = plan(spark, rq.QUERIES["q9_topk"])
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q7_window_group_limit(spark):
+    p = plan(spark, rq.QUERIES["q7_rank_topk"])
+    assert "WindowGroupLimit" in p  # rank<=k truncates before exchange
+
+
+def test_q4_plans_anti_join(spark):
+    p = plan(spark, rq.QUERIES["q4_anti_join"])
+    assert "LeftAnti" in p
+
+
+def test_q5_plans_semi_join(spark):
+    p = plan(spark, rq.QUERIES["q5_semi_join"])
+    assert "LeftSemi" in p
+
+
+def test_multimodal_catalog_prunes_payload(spark):
+    """Metadata rollup must not deserialize document text beyond the
+    projection — the payload-free-scan property of SCALE.md."""
+    from spark_tensors_spark.queries import multimodal_queries as mq
+
+    p = plan(spark, mq.QUERIES["mm_media_catalog"])
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
