@@ -74,7 +74,9 @@ _ENCODED_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _encoded(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a recycled object address must not
+    # resurrect DataFrames bound to a stopped SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _ENCODED_CACHE.get(key)
     if hit is not None:
         return hit

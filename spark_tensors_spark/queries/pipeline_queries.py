@@ -50,7 +50,7 @@ _SIGS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIGS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _SIGS_CACHE[key] = dedup.minhash_signatures(docs).persist()
