@@ -52,10 +52,10 @@ def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_MEDIA_CATALOG_SQL = f"""
 SELECT {_MEDIA_TYPE_SQL} AS media_type,
        COUNT(*) AS n,
-       SUM({_NBYTES_SQL}) AS total_bytes,
+       CAST(SUM({_NBYTES_SQL}) AS BIGINT) AS total_bytes,
        ROUND(AVG(32 + {_NBYTES_SQL} % {mm.WIDTH_MOD}), 6) AS avg_width,
        ROUND(AVG(32 + {_NBYTES_SQL} % {mm.HEIGHT_MOD}), 6) AS avg_height,
-       SUM(CAST(ceil({_NBYTES_SQL} / {mm.FRAME_BYTES}.0) AS BIGINT)) AS total_frames,
+       CAST(SUM(CAST(ceil({_NBYTES_SQL} / {mm.FRAME_BYTES}.0) AS BIGINT)) AS BIGINT) AS total_frames,
        MAX(CAST(floor({_NBYTES_SQL} * 1000.0 / 16000) AS BIGINT)) AS max_duration_ms
 FROM documents
 GROUP BY 1

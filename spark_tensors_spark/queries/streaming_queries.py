@@ -145,7 +145,8 @@ ORACLES = {
     """,
     "ev_props_json_stats": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type ORDER BY event_type
