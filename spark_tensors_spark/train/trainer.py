@@ -92,10 +92,16 @@ class KGETrainer:
     def _epoch_gradients(self, rows: DataFrame):
         model = self.model
         margin = self.margin
-        E = self.E
-        P = self.W if model == "rescal" else self.R  # noqa: N806
+        # explicit broadcast: matrices in the task closure would be
+        # re-pickled into every task binary (10+ MB at 166k entities);
+        # broadcast ships once per executor and Python workers read it
+        # from the local spill file
+        bc = self.spark.sparkContext.broadcast(
+            (self.E, self.W if model == "rescal" else self.R)
+        )
 
         def batch_grads(batches):
+            E, P = bc.value  # noqa: N806
             for pdf in batches:
                 s = pdf["s_id"].to_numpy()
                 p = pdf["p_id"].to_numpy()
@@ -148,16 +154,19 @@ class KGETrainer:
         flat = contrib.select(
             "param", "id", "cnt", F.posexplode("g").alias("pos", "val")
         )
-        return flat.groupBy("param", "id", "pos").agg(
+        agg = flat.groupBy("param", "id", "pos").agg(
             F.sum("val").alias("v"), F.sum("cnt").alias("c")
         )
+        return agg, bc
 
     def fit(self, triples: DataFrame, epochs: int = 5) -> "KGETrainer":
         triples = triples.select("s_id", "p_id", "o_id").cache()
         triples.count()
         for epoch in range(epochs):
             rows = self._training_rows(triples, epoch)
-            collected = self._epoch_gradients(rows).collect()
+            agg, bc = self._epoch_gradients(rows)
+            collected = agg.collect()
+            bc.destroy()  # epoch's snapshot is stale once collected
 
             by_param: dict[str, dict[int, dict[int, tuple]]] = {}
             for r in collected:
