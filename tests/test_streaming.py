@@ -129,3 +129,60 @@ def test_stateful_running_totals_stream_equals_batch(spark, stream_source):
         ).collect()
     }
     assert got == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark must not reach a finalized window
+    (late-data semantics, not just window arithmetic).
+
+    Single-file microbatches (maxFilesPerTrigger=1, mod-time order):
+    batch 0 raises event time to 11:00; batch 1 advances the committed
+    watermark to 10:50, finalizing the 10:00-10:30 window; the late
+    10:05 row arrives in batch 2 — *two* batches later, because Spark
+    applies the watermark filter with a one-batch lag (the predicate
+    uses the previous batch's committed watermark).
+    """
+    import time as _time
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / name))
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    t = lambda s: __import__("datetime").datetime(2024, 1, 1, *s)
+    write("b1", [(t((10, 1)), "a", 1.0), (t((10, 2)), "a", 1.0),
+                 (t((11, 0)), "a", 1.0)])
+    write("b2", [(t((12, 0)), "a", 1.0)])
+    write("b3", [(t((10, 5)), "a", 100.0),   # LATE: watermark is 11:50
+                 (t((13, 0)), "a", 1.0)])
+    write("b4", [(t((14, 0)), "a", 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["w"].start.hour, r["w"].start.minute): (r["c"], r["v"])
+        for r in spark.sql("SELECT * FROM late_mem").collect()
+    }
+    # the 10:00-10:30 window finalized WITHOUT the late 100.0 row
+    assert rows.get((10, 0)) == (2, 2.0), rows
