@@ -1,0 +1,61 @@
+"""Skew-mitigation operators (SURVEY §4.2 / north-star scale list:
+"skewed keys → salting or AQE skew-join").
+
+AQE's skew-join splitting handles join-side skew automatically
+(enabled in `session.py`); *aggregation* skew on a hot key still
+funnels every row of that key through one reducer.  `salted_agg` is the
+standard two-phase fix: pre-aggregate on (key, salt) — spreading a hot
+key over `n_salts` reducers — then combine the partials.  For algebraic
+aggregates (sum/count/min/max) the result is exactly the plain groupBy.
+
+At 100 TB with a Zipf key (the KG's `placed_by` object side, FIXTURES
+A1), phase 1 bounds any single task at ~|hot key|/n_salts rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name →
+    (input column, fn) with fn ∈ {count, sum, min, max}.
+
+    The salt must be a deterministic function of the ROW (not `rand()`:
+    retried tasks would re-salt differently and double-count).  Default
+    salt hashes all columns.
+    """
+    salt = (
+        F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        if salt_on is None
+        else salt_on
+    )
+    phase1_aggs, phase2_aggs = [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*phase1_aggs)
+    )
+    return partial.groupBy(*key_cols).agg(*phase2_aggs)

@@ -243,7 +243,29 @@ def kg_tensor_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top in-degree entities on the Zipf-skewed object side, computed
+    with explicit two-phase salting (operators/skew.salted_agg) — the
+    aggregation-skew mitigation AQE does not provide.  The oracle is the
+    plain GROUP BY: salting must be result-invisible."""
+    from spark_tensors_spark.operators.skew import salted_agg
+
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    deg = salted_agg(
+        enc,
+        ["o_id"],
+        {
+            "n": ("s_id", "count"),
+            "min_s": ("s_id", "min"),
+            "max_s": ("s_id", "max"),
+        },
+        n_salts=16,
+    )
+    return deg.orderBy(F.col("n").desc(), "o_id").limit(100)
+
+
 QUERIES = {
+    "kg_salted_degree": kg_salted_degree,
     "kg_q14_entity_dict": kg_q14_entity_dict,
     "kg_q14_relation_dict": kg_q14_relation_dict,
     "kg_q15_encode": kg_q15_encode,
@@ -282,6 +304,11 @@ ranked AS (
 """
 
 ORACLES = {
+    "kg_salted_degree": TRIPLES_CTE
+    + """SELECT o_id, COUNT(*) AS n,
+                MIN(s_id) AS min_s, MAX(s_id) AS max_s
+         FROM triples_encoded GROUP BY o_id
+         ORDER BY n DESC, o_id LIMIT 100""",
     "kg_q14_entity_dict": TRIPLES_CTE
     + "SELECT uri, id FROM entity_dict ORDER BY uri",
     "kg_q14_relation_dict": TRIPLES_CTE

@@ -115,3 +115,50 @@ def test_init_kinds_bounds():
     # order-independence: subset rows equal full-matrix rows
     sub = init_matrix_np(1, ids[100:200], d, "unif")
     np.testing.assert_array_equal(sub, unif[100:200])
+
+
+# ------------------------------------------------------- hypothesis
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+def _vec(n):
+    return arrays(
+        np.float64, (2, n),
+        elements=st.floats(-100, 100, allow_nan=False, width=32),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 64).flatmap(_vec), st.integers(2, 64).flatmap(_vec))
+def test_hyp_ccorr_equals_naive(a, b):
+    if a.shape[1] != b.shape[1]:
+        b = np.resize(b, a.shape)
+    np.testing.assert_allclose(
+        ccorr_np(a, b), ccorr_naive_np(a, b), atol=1e-6
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 64).flatmap(_vec))
+def test_hyp_cconv_commutes_and_identity(ab):
+    a, b = ab[0:1], ab[1:2]
+    np.testing.assert_allclose(cconv_np(a, b), cconv_np(b, a), atol=1e-6)
+    # δ-impulse is the cconv identity
+    delta = np.zeros_like(a)
+    delta[0, 0] = 1.0
+    np.testing.assert_allclose(cconv_np(a, delta), a, atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 32).flatmap(_vec))
+def test_hyp_hole_score_shift_structure(ab):
+    """HolE with r = δ reduces to plain dot(s, o)."""
+    s, o = ab[0:1], ab[1:2]
+    delta = np.zeros_like(s)
+    delta[0, 0] = 1.0
+    np.testing.assert_allclose(
+        hole_np(delta, s, o), (s * o).sum(axis=1), atol=1e-5
+    )
