@@ -44,7 +44,10 @@ def assign_ids(
     but computed without a global single-partition sort.
     """
     p = num_partitions or DEFAULT_BUCKETS
-    distinct = uris.select(F.col(uri_col).alias("uri")).distinct()
+    # persisted: the distinct set feeds three actions (sample collect,
+    # bucket counts, final id assignment) — without it the upstream
+    # union+distinct shuffle runs three times
+    distinct = uris.select(F.col(uri_col).alias("uri")).distinct().persist()
 
     sample = sorted(
         r["uri"]
