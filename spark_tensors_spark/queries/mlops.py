@@ -1,74 +1,120 @@
 """Training / eval queries (rows-only: iterative SGD is not
 SQL-expressible — the driver records the weaker check; semantics are
 covered by gradient checks + determinism tests in tests/test_training.py).
+
+Each smoke takes a fixed-budget hash-ordered triple sample (cost flat
+across scale factors) and **re-maps it to a dense id space** so the
+experiment is self-consistent: the trainer sizes its matrices to the
+sampled sub-KG and evaluation ranks the true object against that
+sub-KG's entities — metrics are interpretable (vs. ranking a 4k-entity
+sample against 166k untouched embeddings, which is noise by
+construction).  The remap is the same J1–J3 dictionary-encode shape,
+applied twice.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
-
-def kge_transe_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end M3 pipeline: derive KG → encode → 2 TransE epochs →
-    link-prediction metrics on a held-out sample (1 row out)."""
-    from spark_tensors_spark.train import AdaGrad, KGETrainer
-
+def _dense_sample(spark, sf_dir, budget: int):
+    """(remapped sample DataFrame, n_entities, n_relations): fixed-size
+    deterministic sample with dense ids 0..N-1."""
     from spark_tensors_spark.queries.kg import _encoded
 
-    _raw, ent, rel, enc = _encoded(spark, sf_dir)
-    n_ent = ent.count()
-    n_rel = rel.count()
-    # fixed training budget: the smoke measures the training machinery,
-    # not corpus size — deterministic hash-ordered sample keeps the
-    # bench cost flat across scale factors
-    train = (
-        enc.filter(F.xxhash64("s_id", "p_id", "o_id") % 10 != 0)
-        .orderBy(F.xxhash64("s_id", "p_id", "o_id"))
-        .limit(8000)
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    h = F.xxhash64("s_id", "p_id", "o_id")
+    sample = enc.orderBy(h).limit(budget)
+
+    ents = (
+        sample.select(F.col("s_id").alias("old"))
+        .union(sample.select(F.col("o_id").alias("old")))
+        .distinct()
+        .select(
+            "old",
+            (F.row_number().over(Window.orderBy("old")) - 1)
+            .cast("long")
+            .alias("new"),
+        )
+    ).persist()
+    rels = (
+        sample.select(F.col("p_id").alias("old"))
+        .distinct()
+        .select(
+            "old",
+            (F.row_number().over(Window.orderBy("old")) - 1)
+            .cast("long")
+            .alias("new"),
+        )
+    ).persist()
+    remapped = (
+        sample.join(ents.withColumnRenamed("old", "s_id"), "s_id")
+        .withColumnRenamed("new", "s_new")
+        .join(ents.withColumnRenamed("old", "o_id"), "o_id")
+        .withColumnRenamed("new", "o_new")
+        .join(F.broadcast(rels.withColumnRenamed("old", "p_id")), "p_id")
+        .select(
+            F.col("s_new").alias("s_id"),
+            F.col("new").alias("p_id"),
+            F.col("o_new").alias("o_id"),
+        )
     )
-    test = enc.filter(F.xxhash64("s_id", "p_id", "o_id") % 10 == 0).limit(20)
-    t = KGETrainer(
-        spark, n_entities=n_ent, n_relations=n_rel, dim=8, model="transe",
-        optimizer=AdaGrad(lr=0.2), seed=42, neg_per_pos=2,
-    )
-    t.fit(train, epochs=2)
-    return t.evaluate(test)  # enc stays persisted (shared _encoded cache)
+    return remapped, ents.count(), rels.count()
 
 
-def _small_train_eval(spark, sf_dir, model, dim, optimizer):
-    """Shared harness for the RESCAL/HolE smokes: fixed 2k-triple budget
-    (machinery check, not corpus-scaling work)."""
-    from spark_tensors_spark.queries.kg import _encoded
+def _train_eval(spark, sf_dir, model, dim, optimizer, budget, epochs,
+                neg_per_pos=2, n_test=20):
     from spark_tensors_spark.train import KGETrainer
 
-    _raw, ent, rel, enc = _encoded(spark, sf_dir)
-    n_ent = ent.count()
-    n_rel = rel.count()
-    h = F.xxhash64("s_id", "p_id", "o_id")
-    train = enc.filter(h % 10 != 0).orderBy(h).limit(2000)
-    test = enc.filter(h % 10 == 0).limit(10)
+    triples, n_ent, n_rel = _dense_sample(spark, sf_dir, budget)
+    train = triples.persist()
+    # eval on TRAINING triples (memorization check): every subject in
+    # this KG has out-degree 1, so a held-out edge always has an
+    # untrained subject — structurally unrankable.  The reference's
+    # during-training eval has the same shape (`TransE.scala:135-146`);
+    # generalization is covered by tests on the ring-KG fixture.
+    test = train.orderBy(
+        F.xxhash64("s_id", "p_id", "o_id", F.lit(1))
+    ).limit(n_test)
     t = KGETrainer(
         spark, n_entities=n_ent, n_relations=n_rel, dim=dim, model=model,
-        optimizer=optimizer, seed=42, neg_per_pos=1,
+        optimizer=optimizer, seed=42, neg_per_pos=neg_per_pos,
     )
-    t.fit(train, epochs=1)
+    t.fit(train, epochs=epochs)
     return t.evaluate(test)
 
 
-def kge_rescal_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RESCAL (bilinear sᵀWᵖo, `holek.py:136-137`) epoch + eval."""
-    from spark_tensors_spark.train import Adam
+def kge_transe_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end M3 pipeline: derive KG → encode → dense sub-KG →
+    TransE epochs → link-prediction metrics (1 row out)."""
+    from spark_tensors_spark.train import AdaGrad
 
-    return _small_train_eval(spark, sf_dir, "rescal", 6, Adam(lr=0.01))
+    return _train_eval(
+        spark, sf_dir, "transe", dim=16, optimizer=AdaGrad(lr=0.2),
+        budget=8000, epochs=2,
+    )
+
+
+def kge_rescal_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESCAL (bilinear sᵀWᵖo, `holek.py:136-137`) epochs + eval."""
+    from spark_tensors_spark.train import AdaGrad
+
+    return _train_eval(
+        spark, sf_dir, "rescal", dim=8, optimizer=AdaGrad(lr=0.5),
+        budget=2000, epochs=3, neg_per_pos=2, n_test=10,
+    )
 
 
 def kge_hole_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HolE (σ(rᵀccorr(s,o)), `hole.py:19-20`) epoch + eval."""
-    from spark_tensors_spark.train import SGD
+    """HolE (σ(rᵀccorr(s,o)), `hole.py:19-20`) epochs + eval."""
+    from spark_tensors_spark.train import AdaGrad
 
-    return _small_train_eval(spark, sf_dir, "hole", 8, SGD(lr=0.05))
+    return _train_eval(
+        spark, sf_dir, "hole", dim=8, optimizer=AdaGrad(lr=0.5),
+        budget=2000, epochs=3, neg_per_pos=2, n_test=10,
+    )
 
 
 QUERIES = {
