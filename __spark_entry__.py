@@ -24,30 +24,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _registry():
-    from spark_tensors_spark.queries import relational
+    # imports are intentionally NOT guarded: a broken module must fail
+    # the whole registry loudly, not silently shrink the query surface
+    from spark_tensors_spark.queries import (
+        kg,
+        mlops,
+        multimodal_queries,
+        pipeline_queries,
+        relational,
+        streaming_queries,
+        temporal_queries,
+        tensor_queries,
+    )
 
-    modules = [relational]
-    for name in (
-        "kg",
-        "mlops",
-        "pipeline_queries",
-        "streaming_queries",
-        "multimodal_queries",
-        "temporal_queries",
-        "tensor_queries",
-    ):
-        try:
-            mod = __import__(
-                f"spark_tensors_spark.queries.{name}", fromlist=[name]
-            )
-            modules.append(mod)
-        except ImportError:
-            pass
+    modules = [
+        relational,
+        kg,
+        mlops,
+        pipeline_queries,
+        streaming_queries,
+        multimodal_queries,
+        temporal_queries,
+        tensor_queries,
+    ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in modules:
-        queries.update(getattr(mod, "QUERIES", {}))
-        oracles.update(getattr(mod, "ORACLES", {}))
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
     return queries, oracles
 
 
