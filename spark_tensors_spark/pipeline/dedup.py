@@ -350,6 +350,50 @@ def simhash_candidates(
     )
 
 
+def embedding_near_dups_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    → exact cosine only within a bucket (candidate space Σ bucket², not
+    N²).  Recall < 1 by construction (multiprobe raises it — see
+    ``similarity.lsh_bucketed_topk``); exact duplicates always share a
+    bucket, so true dups are never missed.
+    """
+    from spark_tensors_spark.functions.columns import cosine_col
+    from spark_tensors_spark.pipeline.similarity import lsh_buckets
+
+    b = lsh_buckets(
+        emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    with_b = emb.join(b, id_col)
+    left = with_b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    right = with_b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col("va", "vb"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") > threshold)
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -358,9 +402,8 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Cosine near-duplicate pairs above `threshold`.
 
-    Brute-force form (candidate generation for the bucketed path lives in
-    ``pipeline.similarity.lsh_buckets``): fine ≤ ~10⁵ rows; beyond that
-    pre-bucket then call this on candidates only.
+    Brute-force form (oracle baseline); the sub-quadratic variant is
+    :func:`embedding_near_dups_bucketed`.
     """
     from spark_tensors_spark.functions.columns import cosine_col
 

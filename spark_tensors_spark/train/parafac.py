@@ -186,6 +186,54 @@ class CPALS:
         resid_sq = max(norm_x_sq - 2 * inner + norm_hat_sq, 0.0)
         return 1.0 - np.sqrt(resid_sq) / max(np.sqrt(norm_x_sq), 1e-12)
 
+    # ----------------------------------------------------------- export
+
+    def save(self, path: str) -> None:
+        """Checkpoint: one parquet per factor + JSON sidecar (same S6/S7
+        mapping as the KGE trainer)."""
+        import json
+        import os
+
+        for name, mat in (("A", self.A), ("B", self.B), ("C", self.C)):
+            pdf = pd.DataFrame(
+                {"id": np.arange(len(mat)),
+                 "vec": [r.tolist() for r in mat]}
+            )
+            self.spark.createDataFrame(
+                pdf, "id long, vec array<double>"
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, f"factor_{name}.parquet")
+            )
+        with open(os.path.join(path, "model.json"), "w") as fh:
+            json.dump(
+                {
+                    "rank": self.rank,
+                    "n_i": self.n_i, "n_j": self.n_j, "n_k": self.n_k,
+                    "fit_history": self.fit_history,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CPALS":
+        import json
+        import os
+
+        with open(os.path.join(path, "model.json")) as fh:
+            meta = json.load(fh)
+        m = cls(
+            spark, meta["n_i"], meta["n_j"], meta["n_k"],
+            rank=meta["rank"],
+        )
+        m.fit_history = list(meta["fit_history"])
+        for name in ("A", "B", "C"):
+            mat = getattr(m, name)
+            for r in spark.read.parquet(
+                os.path.join(path, f"factor_{name}.parquet")
+            ).collect():
+                mat[r["id"]] = np.asarray(r["vec"])
+        return m
+
     def fit(self, coo: DataFrame, sweeps: int = 5) -> "CPALS":
         coo = coo.select("i", "j", "k", "v").cache()
         stats = coo.agg(

@@ -80,3 +80,16 @@ def test_cp_als_fit_query_runs(spark):
     rows = df.collect()
     assert len(rows) == 2
     assert all(-1.0 <= r["fit"] <= 1.0 for r in rows)
+
+
+def test_cpals_checkpoint_roundtrip(spark, tmp_path):
+    rows = [(i % 3, i % 2, i % 2, float(i + 1)) for i in range(8)]
+    coo = spark.createDataFrame(rows, "i long, j long, k long, v double")
+    m = CPALS(spark, 3, 2, 2, rank=2, seed=4).fit(coo, sweeps=2)
+    path = str(tmp_path / "cp_ckpt")
+    m.save(path)
+    back = CPALS.load(spark, path)
+    np.testing.assert_allclose(back.A, m.A)
+    np.testing.assert_allclose(back.B, m.B)
+    np.testing.assert_allclose(back.C, m.C)
+    assert back.fit_history == m.fit_history

@@ -77,3 +77,29 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall > 0.2, f"recall {recall} suspiciously low"
     # exact matches within buckets carry correct sims: spot-check subset
     assert a, "ANN returned nothing"
+
+
+def test_bucketed_near_dups_subset_of_brute_force(spark):
+    """LSH-bucketed near-dup pairs ⊆ brute-force pairs, and exact
+    duplicates (identical vectors) are always found."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(30)]
+    rows.append((100, rows[5][1]))   # exact duplicate of vec 5
+    rows.append((101, rows[7][1]))   # exact duplicate of vec 7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups_bucketed(
+            emb, threshold=0.9
+        ).collect()
+    }
+    assert bucketed <= brute
+    assert (5, 100) in bucketed and (7, 101) in bucketed
