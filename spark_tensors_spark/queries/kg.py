@@ -264,7 +264,33 @@ def kg_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.orderBy(F.col("n").desc(), "o_id").limit(100)
 
 
+def kg_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability (order → customer → nation): chained
+    self-joins on the encoded triple table — the multi-hop traversal
+    pattern (each hop is one equi-join; relation filters push to the
+    persisted scan).  Returns per-nation path counts."""
+    _raw, _ent, rel, enc = _encoded(spark, sf_dir)
+    placed = rel.filter(F.col("uri") == "placed_by").first()["id"]
+    in_nation = rel.filter(F.col("uri") == "in_nation").first()["id"]
+    hop1 = enc.filter(F.col("p_id") == placed).select(
+        F.col("s_id").alias("order_id"), F.col("o_id").alias("cust_id")
+    )
+    hop2 = enc.filter(F.col("p_id") == in_nation).select(
+        F.col("s_id").alias("cust_id"), F.col("o_id").alias("nation_id")
+    )
+    return (
+        hop1.join(hop2, "cust_id")
+        .groupBy("nation_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("cust_id").alias("n_customers"),
+        )
+        .orderBy("nation_id")
+    )
+
+
 QUERIES = {
+    "kg_two_hop_paths": kg_two_hop_paths,
     "kg_salted_degree": kg_salted_degree,
     "kg_q14_entity_dict": kg_q14_entity_dict,
     "kg_q14_relation_dict": kg_q14_relation_dict,
@@ -304,6 +330,15 @@ ranked AS (
 """
 
 ORACLES = {
+    "kg_two_hop_paths": TRIPLES_CTE
+    + """SELECT h2.o_id AS nation_id,
+                COUNT(*) AS n_paths,
+                COUNT(DISTINCT h1.o_id) AS n_customers
+         FROM triples_encoded h1
+         JOIN triples_encoded h2 ON h1.o_id = h2.s_id
+         JOIN relation_dict r1 ON h1.p_id = r1.id AND r1.uri = 'placed_by'
+         JOIN relation_dict r2 ON h2.p_id = r2.id AND r2.uri = 'in_nation'
+         GROUP BY h2.o_id ORDER BY nation_id""",
     "kg_salted_degree": TRIPLES_CTE
     + """SELECT o_id, COUNT(*) AS n,
                 MIN(s_id) AS min_s, MAX(s_id) AS max_s
