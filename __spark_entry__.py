@@ -50,8 +50,14 @@ def _registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in modules:
+        dup = queries.keys() & mod.QUERIES.keys()
+        if dup:  # a name collision would silently shadow a query
+            raise ValueError(f"duplicate query names in {mod.__name__}: {dup}")
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
+    unknown = oracles.keys() - queries.keys()
+    if unknown:
+        raise ValueError(f"oracles without queries: {unknown}")
     return queries, oracles
 
 
