@@ -1,3 +1,4 @@
+from spark_tensors_spark.streaming.joins import interval_join
 from spark_tensors_spark.streaming.stateful import running_user_totals
 from spark_tensors_spark.streaming.windows import (
     session_window_agg,
@@ -7,6 +8,7 @@ from spark_tensors_spark.streaming.windows import (
 )
 
 __all__ = [
+    "interval_join",
     "running_user_totals",
     "session_window_agg",
     "sliding_window_agg",

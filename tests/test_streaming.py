@@ -186,3 +186,51 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
     # the 10:00-10:30 window finalized WITHOUT the late 100.0 row
     assert rows.get((10, 0)) == (2, 2.0), rows
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_source):
+    """Watermarked stream-stream interval join produces exactly the
+    batch range-join pairs once both streams drain."""
+    from spark_tensors_spark.streaming.joins import interval_join
+
+    d, schema = stream_source
+    errors_s = (
+        spark.readStream.schema(schema).parquet(d)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks_s = (
+        spark.readStream.schema(schema).parquet(d)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+    )
+    joined = interval_join(
+        errors_s, clicks_s, keys=["user_id"], lookback_seconds=600,
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.r_ts)
+        for r in spark.sql("SELECT event_id, r_ts FROM ssj_mem").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        ),
+        keys=["user_id"],
+        lookback_seconds=600,
+    )
+    want = {(r.event_id, r.r_ts) for r in batch.collect()}
+    assert got == want and len(want) > 0
