@@ -104,6 +104,39 @@ def langid_struct_col(text: Column | str = "text") -> Column:
     return best
 
 
+def rolling_hashes_col(
+    codes: Column | str = "codes", k: int = 5,
+    base: int = 257, mod: int = 1_000_003,
+) -> Column:
+    """Rabin-Karp rolling hashes of char k-grams over the `codes`
+    char-code array (`dedup._with_char_codes`): O(1) array lookups per
+    position, pure integer SQL (DuckDB-reproducible)."""
+    name = codes if isinstance(codes, str) else "codes"
+    terms = " + ".join(
+        f"{name}[CAST(i AS INT) + {j - 1}] * {base ** (k - 1 - j) % mod}"
+        for j in range(k)
+    )
+    return F.expr(
+        f"transform(sequence(1, greatest(size({name}) - {k - 1}, 1)), "
+        f"i -> ({terms}) % {mod})"
+    )
+
+
+def winnow_col(hashes: Column | str, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al.): distinct min-hash of every
+    length-`window` run of rolling hashes.  Any shared substring of
+    length ≥ k+window−1 between two documents shares a fingerprint —
+    the plagiarism/near-dup detection primitive.  Materialize `hashes`
+    (rolling_hashes_col) in its own projection first, or the rolling
+    pass re-evaluates per window."""
+    name = hashes if isinstance(hashes, str) else "h"
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({name}) - {window - 1}, 1)), "
+        f"w -> array_min(slice({name}, CAST(w AS INT), {window}))))"
+    )
+
+
 def fingerprint64_col(text: Column | str = "text") -> Column:
     """Deterministic 32-bit document fingerprint from the md5 prefix —
     cross-engine reproducible (same md5 hex on any platform)."""

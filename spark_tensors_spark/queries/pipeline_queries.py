@@ -73,6 +73,29 @@ def doc_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_duplicate_groups(sigs).orderBy("doc_id")
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char-grams, window 4):
+    per-doc fingerprint count + min/max/sum — the content-defined
+    signature set used for plagiarism-style overlap detection."""
+    from spark_tensors_spark.pipeline import text as T
+
+    docs = dedup._with_char_codes(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+    fp = docs.select(
+        "doc_id", T.rolling_hashes_col("codes").alias("h")
+    ).select("doc_id", T.winnow_col("h").alias("fps"))
+    return fp.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+    ).orderBy("doc_id")
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -173,6 +196,7 @@ QUERIES = {
     "doc_minhash_signatures": doc_minhash_signatures,
     "doc_lsh_pairs": doc_lsh_pairs,
     "doc_lsh_dup_groups": doc_lsh_dup_groups,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_trigram_jaccard_adjacent": doc_trigram_jaccard_adjacent,
     "doc_text_stats": doc_text_stats,
     "emb_cosine_topk": emb_cosine_topk,
@@ -263,6 +287,38 @@ ORACLES = {
         SELECT doc_id, MIN(keep_doc_id) AS keep_doc_id
         FROM linked WHERE doc_id > keep_doc_id
         GROUP BY doc_id ORDER BY doc_id""",
+    "doc_winnow_fingerprints": """
+        WITH codes_t AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                       i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
+            FROM documents
+        ),
+        h_t AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(codes) - 4, 1) + 1),
+                       i -> (codes[CAST(i AS INT)] * 457315
+                           + codes[CAST(i AS INT) + 1] * 974545
+                           + codes[CAST(i AS INT) + 2] * 66049
+                           + codes[CAST(i AS INT) + 3] * 257
+                           + codes[CAST(i AS INT) + 4]) % 1000003) AS h
+            FROM codes_t
+        ),
+        f_t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(h) - 3, 1) + 1),
+                       w -> list_min(list_slice(h, CAST(w AS INT),
+                                                CAST(w AS INT) + 3)))) AS fps
+            FROM h_t
+        )
+        SELECT doc_id,
+               len(fps) AS n_fp,
+               list_min(fps) AS min_fp,
+               list_max(fps) AS max_fp,
+               CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        FROM f_t ORDER BY doc_id
+    """,
     "doc_trigram_jaccard_adjacent": f"""
         WITH sh_t AS (
             SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents

@@ -103,3 +103,48 @@ def test_bucketed_near_dups_subset_of_brute_force(spark):
     }
     assert bucketed <= brute
     assert (5, 100) in bucketed and (7, 101) in bucketed
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+window-1 (= 8) share at
+    least one winnowing fingerprint; disjoint-alphabet docs share none."""
+    from spark_tensors_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "xxxx COMMONCHUNK yyyy"),
+            (1, "aaaa COMMONCHUNK bbbb"),
+            (2, "zzzzzzzzzzzzzzzzzzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = (
+        dedup._with_char_codes(docs, "text")
+        .select("doc_id", T.rolling_hashes_col("codes").alias("h"))
+        .select("doc_id", T.winnow_col("h").alias("fps"))
+    )
+    sets = {r.doc_id: set(r.fps) for r in fp.collect()}
+    assert sets[0] & sets[1], "shared substring must share a fingerprint"
+    assert not (sets[0] & sets[2])
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """partitionBy layout: a filter on the partition column must become
+    a PartitionFilter (directory pruning), not a data filter."""
+    import contextlib
+    import io as _io
+
+    from spark_tensors_spark.io.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(event_type" in plan  # expr ids vary
+    assert "= error)" in plan
+    n_err = ev.filter("event_type = 'error'").count()
+    assert df.count() == n_err
