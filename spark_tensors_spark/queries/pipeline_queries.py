@@ -96,6 +96,37 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def emb_similarity_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 similarity zoo THROUGH the Arrow pandas_udf path, pinned by a
+    DuckDB oracle computing the same formulas in SQL — the strongest
+    in-engine check the kernel layer gets (unit tests only cover the
+    numpy functions).  Adjacent vec_id pairs keep the row count = N."""
+    from spark_tensors_spark.functions.kernels import similarity_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "id_a")
+    cos = similarity_udf("cosine")
+    rbf = similarity_udf("rbf", gamma=0.01)
+    l1 = similarity_udf("l1")
+    euc = similarity_udf("euclidean")
+    poly = similarity_udf("polynomial", gamma=0.1, c=1.0, d=2)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cos("va", "vb"), 6).alias("cos"),
+        F.round(rbf("va", "vb"), 6).alias("rbf"),
+        F.round(l1("va", "vb"), 6).alias("l1"),
+        F.round(euc("va", "vb"), 6).alias("euclid"),
+        F.round(poly("va", "vb"), 6).alias("poly2"),
+    ).orderBy("id_a")
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -197,6 +228,7 @@ QUERIES = {
     "doc_lsh_pairs": doc_lsh_pairs,
     "doc_lsh_dup_groups": doc_lsh_dup_groups,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "emb_similarity_zoo": emb_similarity_zoo,
     "doc_trigram_jaccard_adjacent": doc_trigram_jaccard_adjacent,
     "doc_text_stats": doc_text_stats,
     "emb_cosine_topk": emb_cosine_topk,
@@ -287,6 +319,34 @@ ORACLES = {
         SELECT doc_id, MIN(keep_doc_id) AS keep_doc_id
         FROM linked WHERE doc_id > keep_doc_id
         GROUP BY doc_id ORDER BY doc_id""",
+    "emb_similarity_zoo": """
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(a.embedding AS DOUBLE[]) AS va,
+                   CAST(b.embedding AS DOUBLE[]) AS vb
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        ),
+        m AS (
+            SELECT id_a, id_b,
+                   list_sum(list_transform(range(1, len(va) + 1),
+                       i -> va[CAST(i AS INT)] * vb[CAST(i AS INT)])) AS dot,
+                   list_sum(list_transform(va, x -> x * x)) AS sa,
+                   list_sum(list_transform(vb, x -> x * x)) AS sb,
+                   sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                       i -> (va[CAST(i AS INT)] - vb[CAST(i AS INT)])
+                          * (va[CAST(i AS INT)] - vb[CAST(i AS INT)])))) AS l2,
+                   list_sum(list_transform(range(1, len(va) + 1),
+                       i -> abs(va[CAST(i AS INT)] - vb[CAST(i AS INT)]))) AS l1d
+            FROM pairs
+        )
+        SELECT id_a, id_b,
+               ROUND(dot / sqrt(sa * sb), 6) AS cos,
+               ROUND(exp(-0.01 * l2 * l2), 6) AS rbf,
+               ROUND(-l1d, 6) AS l1,
+               ROUND(1.0 / (1.0 + l2), 6) AS euclid,
+               ROUND((0.1 * dot + 1.0) * (0.1 * dot + 1.0), 6) AS poly2
+        FROM m ORDER BY id_a
+    """,
     "doc_winnow_fingerprints": """
         WITH codes_t AS (
             SELECT doc_id,
