@@ -188,7 +188,11 @@ def _q19_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_id")
     )
 
-    scored = test_ids.crossJoin(cand).select(
+    # J7 expansion: broadcast the tiny test side so the cross product
+    # plans as BroadcastNestedLoopJoin over cand's partitions — without
+    # the hint both sides shuffle and the cartesian stage explodes to
+    # (#part)² tasks (observed 200×200 = 40k under default partitions)
+    scored = F.broadcast(test_ids).crossJoin(cand).select(
         "s_id",
         "p_id",
         "true_o",
