@@ -71,3 +71,40 @@ def test_multimodal_catalog_prunes_payload(spark):
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_asof_join_is_windowed_not_joined(spark):
+    """The as-of join must plan as union + window (single shuffle on the
+    key) — any Join node means the pairwise-expansion form snuck back."""
+    from spark_tensors_spark.queries import temporal_queries as tq
+
+    p = plan(spark, tq.QUERIES["ev_asof_last_click"])
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_interval_join_is_equi_not_cartesian(spark):
+    from spark_tensors_spark.queries import temporal_queries as tq
+
+    p = plan(spark, tq.QUERIES["ev_range_click_stats"])
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_mttkrp_broadcasts_factors(spark):
+    from spark_tensors_spark.queries import tensor_queries as tq
+
+    p = plan(spark, tq.QUERIES["tns_mttkrp"])
+    assert p.count("BroadcastHashJoin") >= 2  # both factor sides
+    assert "CartesianProduct" not in p
+
+
+def test_q19_expansion_broadcasts_test_side(spark):
+    from spark_tensors_spark.queries import kg as kq
+
+    p = plan(spark, kq.QUERIES["kg_q19_ranks"])
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
