@@ -155,6 +155,180 @@ def l2_topk(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic hash-sampled seed centroids +
+    `lloyd_iters` distributed Lloyd iterations (assign = per-partition
+    argmax matmul; update = groupBy mean — one shuffle of (cell, sum)
+    partials per iteration, map-side combined).
+
+    Returns (assignments DataFrame(id, cell), centroids ndarray).  The
+    centroid table is O(n_cells × d) — driver/broadcast scale at any N.
+    """
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    # deterministic seeds: the n_cells vectors with smallest xxhash(id)
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
+    )
+
+    def assign(cents: np.ndarray):
+        c_sq = (cents * cents).sum(axis=1)
+
+        def f(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ cents.T)
+                    + c_sq[None, :]
+                )
+                out = pd.DataFrame(
+                    {"_id": pdf["_id"], "cell": d2.argmin(axis=1)}
+                )
+                # partial centroid sums ride along → update shuffles
+                # (cell, partial-sum) rows, not vectors per point
+                yield out
+
+        return f
+
+    pts = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    for _ in range(lloyd_iters):
+        a = pts.mapInPandas(assign(centroids), "_id long, cell long")
+        means = (
+            emb.join(a, emb[id_col] == a["_id"])
+            .select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in means:
+            acc.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        for cell, v in acc.items():
+            new_c[cell] = v / max(cnt[cell], 1)
+        centroids = new_c
+
+    final = pts.mapInPandas(assign(centroids), "_id long, cell long")
+    return final.select(F.col("_id").alias(id_col), "cell"), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN self-top-k via IVF: each vector probes its `nprobe` nearest
+    cells; exact cosine re-rank only within probed cells (one numpy
+    matmul per cell — same bucket-local shape as the LSH path).
+    Candidate space is Σ cell·nprobe ≪ N²."""
+    assignments, centroids = ivf_index(
+        emb, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    with_cell = emb.join(assignments, id_col)
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def probes(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            sims = mn @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), nprobe),
+                    "cell": top.reshape(-1),
+                }
+            )
+
+    q_probe = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(probes, "_id long, cell long")
+
+    cands = with_cell.select(
+        "cell", F.lit(False).alias("is_q"),
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+    )
+    qrys = (
+        q_probe.join(emb, q_probe["_id"] == emb[id_col])
+        .select(
+            "cell", F.lit(True).alias("is_q"),
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        )
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf[pdf["is_q"]]
+        cm = pdf[~pdf["is_q"]]
+        if qm.empty or cm.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "nn_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        Q = np.stack(qm["vec"].to_numpy()).astype(np.float64)
+        C = np.stack(cm["vec"].to_numpy()).astype(np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        sims = np.round(Qn @ Cn.T, 6)
+        q_ids = qm["vid"].to_numpy()
+        c_ids = cm["vid"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(q_ids)):
+            mask = c_ids != q_ids[i]
+            ids_m, row_m = c_ids[mask], sims[i][mask]
+            order = np.lexsort((ids_m, -row_m))[:k]
+            out_q.extend([q_ids[i]] * len(order))
+            out_n.extend(ids_m[order].tolist())
+            out_s.extend(row_m[order].tolist())
+        return pd.DataFrame({"query_id": out_q, "nn_id": out_n, "sim": out_s})
+
+    scored = (
+        cands.unionByName(qrys)
+        .groupBy("cell")
+        .applyInPandas(cell_topk, "query_id long, nn_id long, sim double")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,

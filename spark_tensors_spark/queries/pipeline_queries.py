@@ -127,6 +127,16 @@ def emb_similarity_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN self-top-k (coarse quantizer + probed-cell exact re-rank)
+    — rows-only: centroids come from the engine's own Lloyd iteration;
+    recall/exactness properties are pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5, n_cells=16, nprobe=2).orderBy(
+        "query_id", "rk"
+    )
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -237,6 +247,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
+    "emb_ann_ivf_topk": emb_ann_ivf_topk,
 }
 
 _SHINGLES = (

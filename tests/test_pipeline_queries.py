@@ -148,3 +148,41 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "= error)" in plan
     n_err = ev.filter("event_type = 'error'").count()
     assert df.count() == n_err
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF ANN: on clearly clustered vectors, top-1 neighbors match the
+    exact brute force for most queries (recall >= 0.8) and every
+    returned pair's similarity equals the exact cosine."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 10
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append(
+            (i, (centers[c] + rng.normal(size=16)).astype(float).tolist())
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = similarity.cosine_topk(
+        emb,
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=1,
+    )
+    ivf = similarity.ivf_topk(emb, k=1, n_cells=8, nprobe=2, seed=7)
+    exact_nn = {r.query_id: r.nn_id for r in exact.collect()}
+    ivf_rows = ivf.collect()
+    ivf_nn = {r.query_id: r.nn_id for r in ivf_rows}
+    hits = sum(ivf_nn.get(q) == nn for q, nn in exact_nn.items())
+    assert hits / len(exact_nn) >= 0.8, hits / len(exact_nn)
+
+    # sims are exact cosines (re-rank is exact within probed cells)
+    exact_sims = {(r.query_id, r.nn_id): r.sim for r in exact.collect()}
+    for r in ivf_rows:
+        if (r.query_id, r.nn_id) in exact_sims:
+            assert r.sim == exact_sims[(r.query_id, r.nn_id)]
