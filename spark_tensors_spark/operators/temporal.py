@@ -107,15 +107,23 @@ def bucketed_interval_join(
     ts_col: str = "ts",
     lookback_seconds: int = 600,
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join right rows with ``l.ts − δ < r.ts <= l.ts`` on the same
+    """Join right rows with ``l.ts − δ < r.ts <= l.ts`` on the same
     keys; output = left columns + ``r_``-prefixed right columns, one row
     per matched pair.
 
     A right row's bucket is either the left row's bucket or the one
     before it, so exploding left into those two buckets makes the bucket
     equi-join lossless and duplicate-free.
+
+    ``how='left'`` additionally keeps unmatched left rows (right columns
+    null) via matched ∪ anti-join — a naive left-outer on the exploded
+    buckets would emit spurious half-null rows for the bucket that
+    didn't match.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
     delta_us = lookback_seconds * 1_000_000
     bucket = (F.unix_micros(F.col(ts_col)) / delta_us).cast("long")
     l_b = left.withColumn(
@@ -138,4 +146,17 @@ def bucketed_interval_join(
     )
     lt = F.unix_micros(F.col(ts_col))
     rt = F.unix_micros(F.col(f"{right_prefix}{ts_col}"))
-    return joined.filter((rt > lt - delta_us) & (rt <= lt)).drop("_bucket")
+    matched = joined.filter((rt > lt - delta_us) & (rt <= lt)).drop(
+        "_bucket"
+    )
+    if how == "inner":
+        return matched
+    unmatched = left.join(
+        matched.select(*left.columns), on=left.columns, how="left_anti"
+    )
+    for c in matched.columns:
+        if c not in left.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(matched.dtypes)[c])
+            )
+    return matched.unionByName(unmatched)

@@ -100,12 +100,54 @@ ORDER BY l.event_id
 """
 
 
+def ev_range_click_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT variant: every error event appears, zero-click errors with
+    n_clicks=0 and a -1 sum sentinel (NULL-free output)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = bucketed_interval_join(
+        errors, clicks, keys=["user_id"], ts_col="ts",
+        lookback_seconds=600, how="left",
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count("r_ts").alias("n_clicks"),
+            F.coalesce(F.round(F.sum("r_value"), 6), F.lit(-1.0)).alias(
+                "click_sum"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_RANGE_CLICK_STATS_LEFT_SQL = """
+SELECT l.event_id,
+       COUNT(r.ts) AS n_clicks,
+       COALESCE(ROUND(SUM(r.value), 6), -1.0) AS click_sum
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON r.user_id = l.user_id
+ AND r.ts > l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts
+GROUP BY l.event_id
+ORDER BY l.event_id
+"""
+
+
 QUERIES = {
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
+    "ev_range_click_stats_left": ev_range_click_stats_left,
 }
 
 ORACLES = {
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
+    "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
 }

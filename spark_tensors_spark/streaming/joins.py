@@ -26,16 +26,20 @@ def interval_join(
     lookback_seconds: int = 600,
     watermark: str = "10 minutes",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs (l, r) with equal keys and ``l.ts − δ < r.ts <= l.ts``.
 
     Streaming inputs: genuine stream-stream join (watermarks on both
-    sides bound the state store).  Batch inputs: the bucketed
-    equi-join form — same output, shuffle 2|L|+|R| not |L|×|R|.
+    sides bound the state store; ``how='left'`` emits null-padded left
+    rows once the watermark proves no match can arrive).  Batch inputs:
+    the bucketed equi-join form — same output, shuffle 2|L|+|R| not
+    |L|×|R|.
     """
     if not (left.isStreaming or right.isStreaming):
         return bucketed_interval_join(
-            left, right, keys, ts_col, lookback_seconds, right_prefix
+            left, right, keys, ts_col, lookback_seconds, right_prefix,
+            how=how,
         )
 
     l = left.withWatermark(ts_col, watermark).alias("l")
@@ -59,4 +63,6 @@ def interval_join(
     time_cond = (rt > lt - F.expr(f"INTERVAL {lookback_seconds} SECONDS")) & (
         rt <= lt
     )
-    return l.join(r, key_cond & time_cond, "inner")
+    return l.join(
+        r, key_cond & time_cond, "inner" if how == "inner" else "leftOuter"
+    )

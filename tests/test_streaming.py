@@ -234,3 +234,61 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_source):
     )
     want = {(r.event_id, r.r_ts) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_interval_join_equals_batch(spark, stream_source):
+    """Left-outer stream-stream join: watermark-expired unmatched left
+    rows emit null-padded; final rows ≡ batch left range join."""
+    from spark_tensors_spark.streaming.joins import interval_join
+
+    d, schema = stream_source
+    errors_s = (
+        spark.readStream.schema(schema).parquet(d)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks_s = (
+        spark.readStream.schema(schema).parquet(d)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+    )
+    joined = interval_join(
+        errors_s, clicks_s, keys=["user_id"], lookback_seconds=600,
+        watermark="30 minutes", how="left",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjl_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.r_ts)
+        for r in spark.sql("SELECT event_id, r_ts FROM ssjl_mem").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        ),
+        keys=["user_id"],
+        lookback_seconds=600,
+        how="left",
+    )
+    want = {(r.event_id, r.r_ts) for r in batch.collect()}
+    # stream may withhold null-emission for left rows newer than the
+    # final watermark; matched pairs must agree exactly, and emitted
+    # null rows must be a subset of batch null rows
+    got_matched = {p for p in got if p[1] is not None}
+    want_matched = {p for p in want if p[1] is not None}
+    assert got_matched == want_matched
+    assert {p for p in got if p[1] is None} <= {
+        p for p in want if p[1] is None
+    }
+    assert len(got_matched) > 0
