@@ -159,6 +159,45 @@ def q9_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (SURVEY §4.2 "subquery decorrelation … free"):
+    Catalyst rewrites the scalar agg into a broadcast single-row join —
+    no per-row re-evaluation at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS c,
+               ROUND(SUM(o_totalprice), 6) AS total
+        FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile` agg ≡
+    DuckDB quantile_cont).  Exact percentile sorts each group — the
+    documented scale path is `approx_percentile` (t-digest sketch,
+    mergeable map-side), declared here with the exact form so the oracle
+    stays deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.25)"), 6
+            ).alias("price_p25"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q10_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -267,8 +306,10 @@ QUERIES = {
     "q9_topk": q9_topk,
     "q10_intersect": q10_intersect,
     "q10_except": q10_except,
+    "q9b_scalar_subquery": q9b_scalar_subquery,
     "q11_rollup": q11_rollup,
     "q11_cube": q11_cube,
+    "q12_percentiles": q12_percentiles,
     "q12_scalar_belt": q12_scalar_belt,
     "q12_dates": q12_dates,
     "q13_time_buckets": q13_time_buckets,
@@ -360,6 +401,24 @@ ORACLES = {
             EXCEPT
             SELECT s_nationkey FROM supplier
         ) t ORDER BY c
+    """,
+    "q9b_scalar_subquery": """
+        SELECT o_orderpriority,
+               COUNT(*) AS c,
+               ROUND(SUM(o_totalprice), 6) AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q12_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "q11_rollup": """
         SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
