@@ -77,9 +77,16 @@ def asof_join(
         F.lit(None).cast(lrow_type).alias("_lrow"),
     )
 
+    # xxhash64(_rval) as the final key makes the pick among right rows
+    # tied on (keys, ts) deterministic across partitionings/retries
+    # (left rows carry a null _rval → constant hash, ordering unaffected).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            F.xxhash64(F.col("_rval")).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_left.unionByName(tagged_right).withColumn(
@@ -125,8 +132,12 @@ def bucketed_interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
     delta_us = lookback_seconds * 1_000_000
-    bucket = (F.unix_micros(F.col(ts_col)) / delta_us).cast("long")
-    l_b = left.withColumn(
+    # floor, not cast: cast('long') truncates toward zero, which
+    # mis-buckets pre-1970 (negative-micros) timestamps; kg/tensor.py
+    # uses F.floor for the same reason.
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / delta_us).cast("long")
+    l_t = left.withColumn("_lid", F.monotonically_increasing_id())
+    l_b = l_t.withColumn(
         "_bucket", F.explode(F.array(bucket, bucket - 1))
     )
     r_b = right.select(
@@ -150,13 +161,17 @@ def bucketed_interval_join(
         "_bucket"
     )
     if how == "inner":
-        return matched
-    unmatched = left.join(
-        matched.select(*left.columns), on=left.columns, how="left_anti"
+        return matched.drop("_lid")
+    # Recover unmatched left rows via the surrogate _lid, NOT an
+    # anti-join on all left columns: NULL never equals NULL, so a
+    # matched left row containing a NULL would be re-emitted as a
+    # spurious null-padded "unmatched" row under the full-column form.
+    unmatched = l_t.join(
+        matched.select("_lid"), on="_lid", how="left_anti"
     )
     for c in matched.columns:
-        if c not in left.columns:
+        if c not in l_t.columns:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(dict(matched.dtypes)[c])
             )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("_lid")

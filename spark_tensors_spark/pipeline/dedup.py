@@ -169,21 +169,25 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(band_vals).alias("bv")
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.sig").alias("sig"))
-    # the banded table feeds the bucket-count scan plus both sides of
-    # the self-join; without persist the signature computation (the
-    # expensive part) re-runs up to 4× per action
-    banded = banded.persist()
+    # No internal persist: banding is cheap codegen over `signatures`
+    # (callers persist the signature table — the expensive part); an
+    # internal persist here is never released and leaks cached blocks
+    # across calls in a long-lived session.
     if max_bucket_size is not None:
-        # bucket cardinalities are tiny (≤ #buckets rows) → broadcast
-        # semi-join; no extra shuffle of the banded table
-        small = (
+        # Broadcast the OVERSIZED buckets and anti-join: oversized
+        # buckets are few by definition (each holds > max_bucket_size
+        # docs, so there are < N/max_bucket_size of them), while the
+        # small-bucket list is O(N) rows at scale — most docs land in
+        # singleton buckets, so broadcasting the small side would OOM
+        # at 100 TB.
+        oversized = (
             banded.groupBy("band", "sig")
             .count()
-            .filter(F.col("count") <= max_bucket_size)
+            .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
         banded = banded.join(
-            F.broadcast(small), ["band", "sig"], "left_semi"
+            F.broadcast(oversized), ["band", "sig"], "left_anti"
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,7 +234,7 @@ def lsh_duplicate_groups(
     )
     banded = signatures.select(
         "doc_id", F.explode(band_vals).alias("bv")
-    ).select("doc_id", "bv.band", "bv.sig").persist()
+    ).select("doc_id", "bv.band", "bv.sig")
     keepers = banded.groupBy("band", "sig").agg(
         F.min("doc_id").alias("keep_doc_id")
     )
@@ -326,16 +330,19 @@ def simhash_candidates(
     )
     banded = sim.select("doc_id", F.explode(chunks).alias("bv")).select(
         "doc_id", "bv.band", "bv.sig"
-    ).persist()
+    )
     if max_bucket_size is not None:
-        small = (
+        # same inverted-broadcast guard as lsh_candidate_pairs: the
+        # oversized-bucket list is the bounded side (here additionally
+        # bounded by the 4×2¹⁶ band space), the small-bucket list is not
+        oversized = (
             banded.groupBy("band", "sig")
             .count()
-            .filter(F.col("count") <= max_bucket_size)
+            .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
         banded = banded.join(
-            F.broadcast(small), ["band", "sig"], "left_semi"
+            F.broadcast(oversized), ["band", "sig"], "left_anti"
         )
     l, r = banded.alias("l"), banded.alias("r")
     return (

@@ -18,7 +18,13 @@ class SGD:
         self.lr = lr
         self.wd = weight_decay
 
-    def step(self, param: np.ndarray, ids: np.ndarray, grads: np.ndarray):
+    def step(
+        self,
+        param: np.ndarray,
+        ids: np.ndarray,
+        grads: np.ndarray,
+        name: str | None = None,
+    ):
         if self.wd:
             grads = grads + self.wd * param[ids]
         param[ids] -= self.lr * grads
@@ -26,15 +32,26 @@ class SGD:
 
 class AdaGrad:
     """`param.py:92-105` semantics: per-element accumulated g², update
-    lr·g/√(Σg²) with 1e-8 floor."""
+    lr·g/√(Σg²) with 1e-8 floor.
+
+    State is keyed by the caller-supplied ``name`` (stable across
+    processes and parameter re-allocation); ``id(param)`` is only a
+    fallback for anonymous use and can collide after GC reuse.
+    """
 
     def __init__(self, lr: float = 0.1, eps: float = 1e-8):
         self.lr = lr
         self.eps = eps
-        self._acc: dict[int, np.ndarray] = {}
+        self._acc: dict[object, np.ndarray] = {}
 
-    def step(self, param: np.ndarray, ids: np.ndarray, grads: np.ndarray):
-        key = id(param)
+    def step(
+        self,
+        param: np.ndarray,
+        ids: np.ndarray,
+        grads: np.ndarray,
+        name: str | None = None,
+    ):
+        key = name if name is not None else id(param)
         if key not in self._acc:
             self._acc[key] = np.zeros_like(param)
         acc = self._acc[key]
@@ -44,7 +61,14 @@ class AdaGrad:
 
 class Adam:
     """Adam with bias correction (TransE reference config: lr 0.001,
-    weight decay 1e-4, `TransE.scala:98`)."""
+    weight decay 1e-4, `TransE.scala:98`).
+
+    The timestep ``t`` is tracked per parameter key, not shared: one
+    optimizer stepping E, R, W each epoch must bias-correct each
+    parameter by ITS OWN update count (a shared counter advances 3× per
+    epoch and over-corrects).  State is keyed by ``name`` when given —
+    ``id(param)`` can be recycled by the allocator after GC.
+    """
 
     def __init__(
         self,
@@ -57,21 +81,29 @@ class Adam:
         self.lr, self.b1, self.b2, self.eps, self.wd = (
             lr, beta1, beta2, eps, weight_decay,
         )
-        self._m: dict[int, np.ndarray] = {}
-        self._v: dict[int, np.ndarray] = {}
-        self._t = 0
+        self._m: dict[object, np.ndarray] = {}
+        self._v: dict[object, np.ndarray] = {}
+        self._t: dict[object, int] = {}
 
-    def step(self, param: np.ndarray, ids: np.ndarray, grads: np.ndarray):
-        key = id(param)
+    def step(
+        self,
+        param: np.ndarray,
+        ids: np.ndarray,
+        grads: np.ndarray,
+        name: str | None = None,
+    ):
+        key = name if name is not None else id(param)
         if key not in self._m:
             self._m[key] = np.zeros_like(param)
             self._v[key] = np.zeros_like(param)
-        self._t += 1
+            self._t[key] = 0
+        self._t[key] += 1
+        t = self._t[key]
         if self.wd:
             grads = grads + self.wd * param[ids]
         m, v = self._m[key], self._v[key]
         m[ids] = self.b1 * m[ids] + (1 - self.b1) * grads
         v[ids] = self.b2 * v[ids] + (1 - self.b2) * grads * grads
-        mh = m[ids] / (1 - self.b1**self._t)
-        vh = v[ids] / (1 - self.b2**self._t)
+        mh = m[ids] / (1 - self.b1**t)
+        vh = v[ids] / (1 - self.b2**t)
         param[ids] -= self.lr * mh / (np.sqrt(vh) + self.eps)

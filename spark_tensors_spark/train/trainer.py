@@ -190,12 +190,15 @@ class KGETrainer:
                     for pos, (v, _) in comps.items():
                         g[i, pos] = v / c  # mean normalization (A6)
                 if name == "E":
-                    self.opt.step(self.E, ids, g)
+                    self.opt.step(self.E, ids, g, name="E")
                 elif name == "R":
-                    self.opt.step(self.R, ids, g)
+                    self.opt.step(self.R, ids, g, name="R")
                 else:
                     self.opt.step(
-                        self.W, ids, g.reshape(len(ids), self.dim, self.dim)
+                        self.W,
+                        ids,
+                        g.reshape(len(ids), self.dim, self.dim),
+                        name="W",
                     )
         triples.unpersist()
         return self

@@ -105,6 +105,25 @@ def test_bucketed_near_dups_subset_of_brute_force(spark):
     assert (5, 100) in bucketed and (7, 101) in bucketed
 
 
+def test_declared_bucketed_near_dup_subset_at_declared_params(spark):
+    """The DECLARED emb_near_dup_bucketed query (threshold=0.8,
+    n_planes=8, real embeddings table) emits a subset of the brute-force
+    pairs at the same threshold — the rows-only driver check plus this
+    property is the correctness story for the scale path."""
+    from spark_tensors_spark.queries import pipeline_queries as pq
+
+    emb = load_table(spark, SF, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups(emb, threshold=0.8).collect()
+    }
+    declared = {
+        (r.id_a, r.id_b)
+        for r in pq.emb_near_dup_bucketed(spark, SF).collect()
+    }
+    assert declared <= brute
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Docs sharing a substring of length >= k+window-1 (= 8) share at
     least one winnowing fingerprint; disjoint-alphabet docs share none."""

@@ -108,3 +108,36 @@ def test_q19_expansion_broadcasts_test_side(spark):
     p = plan(spark, kq.QUERIES["kg_q19_ranks"])
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def _raw_plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lsh_bucket_cap_broadcasts_oversized_side(spark):
+    """The anti-skew guard must broadcast the OVERSIZED-bucket aggregate
+    (bounded: < N/cap rows) and left-anti against it — broadcasting the
+    small-bucket list is O(N) rows and OOMs at scale."""
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import dedup
+
+    sigs = dedup.minhash_signatures(load_table(spark, SF, "documents"))
+    p = _raw_plan(dedup.lsh_candidate_pairs(sigs, max_bucket_size=64))
+    assert "LeftAnti" in p and "LeftSemi" not in p
+    # the broadcast side is the count>cap aggregate, not the banded table
+    assert "BroadcastExchange" in p
+    assert "> 64" in p and "<= 64" not in p
+
+
+def test_simhash_bucket_cap_broadcasts_oversized_side(spark):
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import dedup
+
+    sim = dedup.simhash64(load_table(spark, SF, "documents"))
+    p = _raw_plan(dedup.simhash_candidates(sim, max_bucket_size=64))
+    assert "LeftAnti" in p and "LeftSemi" not in p
+    assert "BroadcastExchange" in p
+    assert "> 64" in p and "<= 64" not in p
