@@ -42,6 +42,33 @@ def rank_candidates(
     return scored.withColumn("r", F.rank().over(w).cast("long"))
 
 
+def filter_known_candidates(
+    scored: DataFrame,
+    known: DataFrame,
+    group_cols: tuple[str, ...] = ("s_id", "p_id"),
+    cand_col: str = "o_id",
+    true_col: str = "true_o",
+) -> DataFrame:
+    """Filtered-protocol candidate pruning (Bordes setting; the
+    reference removes/re-adds the true object at `kge/hole.py:394-399`):
+    drop every candidate that is itself a known-true triple, EXCEPT the
+    test triple's own true candidate.
+
+    ``known`` carries the all-splits triple set with the candidate under
+    ``cand_col`` and the query keys under ``group_cols`` — one
+    broadcast-or-shuffle anti-join, no change to the ranking shape.
+    Subject-side corruption is the same call with relabeled columns.
+    """
+    sc = scored.alias("sc")
+    kn = known.alias("kn")
+    cond = (F.col(f"sc.{cand_col}") == F.col(f"kn.{cand_col}")) & (
+        F.col(f"sc.{cand_col}") != F.col(f"sc.{true_col}")
+    )
+    for g in group_cols:
+        cond = cond & (F.col(f"sc.{g}") == F.col(f"kn.{g}"))
+    return sc.join(kn, cond, "left_anti")
+
+
 def link_prediction_metrics(
     ranked_true: DataFrame,
     rank_col: str = "r",
@@ -97,19 +124,48 @@ def rank_against_all_entities_np(
     ent_ids: np.ndarray,
     rmat: np.ndarray,
     score_batch: Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray],
+    known_triples: np.ndarray | None = None,
 ) -> DataFrame:
     """Matrix-direct variant: callers that already hold the parameter
     matrices in numpy (the trainer) skip the DataFrame round trip — at
     166k entities the list→createDataFrame→collect detour costs tens of
-    seconds and serializes the whole matrix through the driver twice."""
+    seconds and serializes the whole matrix through the driver twice.
+
+    ``known_triples`` (n×3 int array of every train/valid/test triple)
+    switches on the FILTERED protocol (`kge/hole.py:394-399`): other
+    known-true objects for the same (s, p) are masked to −inf before
+    ranking, so they never outrank the test object.  The lookup ships to
+    executors as a plain dict in the task closure — it is O(|triples|)
+    ints, the same order as the test split itself.
+    """
+    known_by_sp: dict[tuple[int, int], np.ndarray] | None = None
+    if known_triples is not None:
+        kt = np.asarray(known_triples)
+        order = np.lexsort((kt[:, 2], kt[:, 1], kt[:, 0]))
+        kt = kt[order]
+        keys, starts = np.unique(kt[:, :2], axis=0, return_index=True)
+        bounds = np.append(starts, len(kt))
+        known_by_sp = {
+            (int(k[0]), int(k[1])): kt[bounds[i]: bounds[i + 1], 2]
+            for i, k in enumerate(keys)
+        }
 
     def ranks(batches):
         for pdf in batches:
-            s = emat[pdf["s_id"].to_numpy()]
-            r = rmat[pdf["p_id"].to_numpy()]
+            s_idx = pdf["s_id"].to_numpy()
+            p_idx = pdf["p_id"].to_numpy()
+            s = emat[s_idx]
+            r = rmat[p_idx]
             true_o = pdf["o_id"].to_numpy()
             scores = score_batch(emat, s, r)  # (b, N)
             true_score = scores[np.arange(len(pdf)), true_o]
+            if known_by_sp is not None:
+                for i in range(len(pdf)):
+                    ko = known_by_sp.get((int(s_idx[i]), int(p_idx[i])))
+                    if ko is not None:
+                        mask = ko[ko != true_o[i]]
+                        if len(mask):
+                            scores[i, mask] = -np.inf
             gt = (scores > true_score[:, None]).sum(axis=1)
             eq_before = (
                 (scores == true_score[:, None])

@@ -231,6 +231,96 @@ def kg_q19_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q19_filtered_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED-protocol ranking (the setting every published FB15k
+    number uses; reference scaffolding `kge/hole.py:394-399,435-436`):
+    candidates that are themselves known-true triples — other than the
+    test triple's own — are removed before ranking.
+
+    Subject-side corruption is ranked (candidate orders for a given
+    customer): `placed_by` is functional on the object side, so object
+    filtering would be a no-op here, while a customer has many orders —
+    the exclusion genuinely changes ranks.
+    """
+    from spark_tensors_spark.kg.eval import filter_known_candidates
+
+    orders = load_table(spark, sf_dir, "orders")
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+
+    test = orders.filter(F.col("o_orderkey") % 1009 == 0).select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("su"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("ou"),
+    )
+    ent_s = ent.select(F.col("uri").alias("su"), F.col("id").alias("true_s"))
+    ent_o = ent.select(F.col("uri").alias("ou"), F.col("id").alias("o_id"))
+    p_id = rel.filter(F.col("uri") == "placed_by").select(
+        F.col("id").alias("p_id")
+    )
+    test_ids = (
+        test.join(ent_s, "su")
+        .join(ent_o, "ou")
+        .crossJoin(F.broadcast(p_id))
+        .select("true_s", "p_id", "o_id")
+    )
+
+    cand = (
+        orders.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+                "cu"
+            )
+        )
+        .join(
+            ent.select(F.col("uri").alias("cu"), F.col("id").alias("s_id")),
+            "cu",
+        )
+        .select("s_id")
+    )
+
+    scored = F.broadcast(test_ids).crossJoin(cand).select(
+        "s_id",
+        "p_id",
+        "o_id",
+        "true_s",
+        (
+            ((F.col("s_id") * 31 + F.col("p_id") * 17 + F.col("o_id") * 13)
+             % 1000003)
+            / F.lit(1000003.0)
+        ).alias("score"),
+    )
+    filtered = filter_known_candidates(
+        scored,
+        enc,
+        group_cols=("p_id", "o_id"),
+        cand_col="s_id",
+        true_col="true_s",
+    )
+    w = Window.partitionBy("true_s").orderBy(F.col("score").desc(), "s_id")
+    return filtered.withColumn("r", F.rank().over(w))
+
+
+def kg_q19_filtered_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _q19_filtered_ranked(spark, sf_dir)
+        .filter(F.col("s_id") == F.col("true_s"))
+        .select("s_id", "p_id", "o_id", F.col("r").cast("long").alias("r"))
+        .orderBy("s_id")
+    )
+
+
+def kg_q19_filtered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _q19_filtered_ranked(spark, sf_dir).filter(
+        F.col("s_id") == F.col("true_s")
+    )
+    return ranked.agg(
+        F.round(F.avg(1.0 / F.col("r")), 6).alias("mrr"),
+        F.round(
+            F.avg(F.when(F.col("r") <= 10, 1.0).otherwise(0.0)), 6
+        ).alias("hits10"),
+        F.round(F.avg(F.col("r")), 6).alias("mean_rank"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def kg_tensor_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COO blockification histogram ≡ F19/A10 (`rdfio.py:12-35,73-78`,
     completed).  Block grid (8, 8, 2) over (entities, entities,
@@ -304,6 +394,8 @@ QUERIES = {
     "kg_q18_neg_reject": kg_q18_neg_reject,
     "kg_q19_ranks": kg_q19_ranks,
     "kg_q19_metrics": kg_q19_metrics,
+    "kg_q19_filtered_ranks": kg_q19_filtered_ranks,
+    "kg_q19_filtered_metrics": kg_q19_filtered_metrics,
     "kg_tensor_blocks": kg_tensor_blocks,
 }
 
@@ -330,6 +422,40 @@ ranked AS (
                ORDER BY ((s_id*31 + p_id*17 + o_id*13) % 1000003)
                         / 1000003.0 DESC, o_id) AS r
     FROM test CROSS JOIN cand
+)
+"""
+
+_Q19_FILTERED_RANKED_SQL = """
+test AS (
+    SELECT es.id AS true_s,
+           (SELECT id FROM relation_dict WHERE uri = 'placed_by') AS p_id,
+           eo.id AS o_id
+    FROM orders
+    JOIN entity_dict es ON es.uri = 'o:' || CAST(o_orderkey AS VARCHAR)
+    JOIN entity_dict eo ON eo.uri = 'c:' || CAST(o_custkey AS VARCHAR)
+    WHERE o_orderkey % 1009 = 0
+),
+cand AS (
+    SELECT e.id AS s_cand
+    FROM orders o
+    JOIN entity_dict e ON e.uri = 'o:' || CAST(o_orderkey AS VARCHAR)
+),
+pairs AS (
+    SELECT t.true_s, t.p_id, t.o_id, c.s_cand
+    FROM test t CROSS JOIN cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM triples_encoded k
+        WHERE k.s_id = c.s_cand AND k.p_id = t.p_id AND k.o_id = t.o_id
+          AND c.s_cand <> t.true_s
+    )
+),
+ranked AS (
+    SELECT true_s, p_id, o_id, s_cand,
+           RANK() OVER (
+               PARTITION BY true_s
+               ORDER BY ((s_cand*31 + p_id*17 + o_id*13) % 1000003)
+                        / 1000003.0 DESC, s_cand) AS r
+    FROM pairs
 )
 """
 
@@ -384,6 +510,16 @@ ORACLES = {
                 ROUND(AVG(r), 6) AS mean_rank,
                 COUNT(*) AS n
          FROM ranked WHERE o_id = true_o""",
+    "kg_q19_filtered_ranks": TRIPLES_CTE + "," + _Q19_FILTERED_RANKED_SQL
+    + """SELECT true_s AS s_id, p_id, o_id, r
+         FROM ranked WHERE s_cand = true_s ORDER BY s_id""",
+    "kg_q19_filtered_metrics": TRIPLES_CTE + "," + _Q19_FILTERED_RANKED_SQL
+    + """SELECT ROUND(AVG(1.0 / r), 6) AS mrr,
+                ROUND(AVG(CASE WHEN r <= 10 THEN 1.0 ELSE 0 END), 6)
+                    AS hits10,
+                ROUND(AVG(r), 6) AS mean_rank,
+                COUNT(*) AS n
+         FROM ranked WHERE s_cand = true_s""",
     "kg_tensor_blocks": TRIPLES_CTE
     + """, consts AS (
             SELECT CAST(CEIL((SELECT COUNT(*) FROM entity_dict) / 8.0)

@@ -280,39 +280,29 @@ class KGETrainer:
         )
         return self.spark.createDataFrame(pdf, "id long, vec array<double>")
 
-    def evaluate(self, test: DataFrame) -> DataFrame:
+    def evaluate(
+        self, test: DataFrame, known_triples: np.ndarray | None = None
+    ) -> DataFrame:
         """Link-prediction metrics via the broadcast-matrix ranker
-        (object-corruption protocol, `kge/hole.py:389-420` semantics)."""
+        (object-corruption protocol, `kge/hole.py:389-420` semantics).
+
+        ``known_triples`` (n×3 array of every train/valid/test triple)
+        switches to the FILTERED protocol — other known-true objects are
+        excluded from each candidate list (`kge/hole.py:394-399`), which
+        is the setting behind every published FB15k/WN18 number."""
         from spark_tensors_spark.functions.kernels import ccorr_np
         from spark_tensors_spark.kg import eval as kgeval
 
-        E = self.E
         if self.model == "rescal":
-            W = self.W
+            # shared ranker with rmat = W: R_ arrives as the gathered
+            # (b, d, d) slice stack, one einsum scores all entities
+            def score_all(E_, S_, R_):
+                return np.einsum("bd,bde,ne->bn", S_, R_, E_)
 
-            def rescal_rank(batches):
-                for pdf in batches:
-                    s = pdf["s_id"].to_numpy()
-                    p = pdf["p_id"].to_numpy()
-                    o = pdf["o_id"].to_numpy()
-                    scores = np.einsum("bd,bde,ne->bn", E[s], W[p], E)
-                    true_score = scores[np.arange(len(pdf)), o]
-                    gt = (scores > true_score[:, None]).sum(axis=1)
-                    eq = (
-                        (scores == true_score[:, None])
-                        & (np.arange(len(E))[None, :] < o[:, None])
-                    ).sum(axis=1)
-                    yield pd.DataFrame(
-                        {"s_id": s, "p_id": p, "o_id": o, "r": gt + eq + 1}
-                    )
-
-            ranked = test.select("s_id", "p_id", "o_id").mapInPandas(
-                rescal_rank, "s_id long, p_id long, o_id long, r long"
-            )
-            return kgeval.link_prediction_metrics(ranked)
-
-        if self.model == "transe":
+            rel_mat = self.W
+        elif self.model == "transe":
             score_all = M.transe_score_all
+            rel_mat = self.R
         else:  # hole: r·ccorr(s, e) for every candidate e
 
             def score_all(E_, S_, R_):
@@ -323,6 +313,8 @@ class KGETrainer:
                     ]
                 )
 
+            rel_mat = self.R
+
         # matrices are already numpy on the driver — go matrix-direct
         # (no createDataFrame/collect round trip of N×d rows)
         return kgeval.link_prediction_metrics(
@@ -330,7 +322,8 @@ class KGETrainer:
                 test,
                 self.E,
                 np.arange(self.n_entities),
-                self.R,
+                rel_mat,
                 score_all,
+                known_triples=known_triples,
             )
         )

@@ -233,3 +233,63 @@ def test_rank_against_all_entities_transe(spark):
         kgeval.rank_against_all_entities(test, ent, rel, score_batch, d)
     ).collect()[0]
     assert 0 < m.mrr <= 1 and m.n == 12
+
+
+def test_filtered_ranks_never_worse_and_mask_exact(spark):
+    """Filtered-protocol ranks are <= raw ranks everywhere, and a
+    hand-built case where a known-true object outscores the test object
+    drops its rank by exactly the masked count."""
+    n, d = 20, 4
+    emat = init_matrix_np(7, np.arange(n), d, "unif")
+    rmat = init_matrix_np(8, np.arange(1), d, "unif")
+    ids = np.arange(n)
+
+    def score_batch(E, S, R):
+        # deterministic dot-product score
+        return S @ E.T
+
+    test = spark.createDataFrame(
+        [(int(i), 0, int((i * 3 + 1) % n)) for i in range(8)],
+        "s_id long, p_id long, o_id long",
+    )
+    # known set = every test triple + for s=0 every object (so all of
+    # s=0's competitors are masked and its filtered rank must be 1)
+    known = [(int(i), 0, int((i * 3 + 1) % n)) for i in range(8)]
+    known += [(0, 0, int(o)) for o in range(n)]
+    known = np.array(sorted(set(known)))
+
+    raw = {
+        (r.s_id, r.o_id): r.r
+        for r in kgeval.rank_against_all_entities_np(
+            test, emat, ids, rmat, score_batch
+        ).collect()
+    }
+    filt = {
+        (r.s_id, r.o_id): r.r
+        for r in kgeval.rank_against_all_entities_np(
+            test, emat, ids, rmat, score_batch, known_triples=known
+        ).collect()
+    }
+    assert set(raw) == set(filt)
+    assert all(filt[k] <= raw[k] for k in raw)
+    assert filt[(0, 1)] == 1  # all competitors of s=0 are known-true
+
+
+def test_filter_known_candidates_sql_path(spark):
+    """SQL-side filtered pruning: known non-true candidates vanish, the
+    true candidate and unknown candidates survive."""
+    scored = spark.createDataFrame(
+        [
+            (1, 0, c, 5, float(c)) for c in range(8)
+        ],
+        "s_id long, p_id long, o_id long, true_o long, score double",
+    ).withColumn("true_o", F.lit(5))
+    known = spark.createDataFrame(
+        [(1, 0, 3), (1, 0, 5), (1, 0, 6), (2, 0, 7)],
+        "s_id long, p_id long, o_id long",
+    )
+    out = kgeval.filter_known_candidates(scored, known)
+    kept = sorted(r.o_id for r in out.collect())
+    # 3 and 6 are other-known → dropped; 5 is the true one → kept;
+    # (2,0,7) is a different query → candidate 7 survives
+    assert kept == [0, 1, 2, 4, 5, 7]
