@@ -254,6 +254,32 @@ def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an arbitrary set list — ((flag), (status), ())
+    is expressible by neither ROLLUP nor CUBE, the general form SURVEY
+    §2.4 promises.  Plans as a single Expand + hash aggregate: one scan,
+    one shuffle, regardless of how many sets are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("l_linestatus"),
+            "c",
+            "revenue",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q12_scalar_belt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function belt: string/math exprs stay in codegen."""
     part = load_table(spark, sf_dir, "part")
@@ -309,6 +335,7 @@ QUERIES = {
     "q9b_scalar_subquery": q9b_scalar_subquery,
     "q11_rollup": q11_rollup,
     "q11_cube": q11_cube,
+    "q11_grouping_sets": q11_grouping_sets,
     "q12_percentiles": q12_percentiles,
     "q12_scalar_belt": q12_scalar_belt,
     "q12_dates": q12_dates,
@@ -435,6 +462,15 @@ ORACLES = {
                ROUND(SUM(l_quantity), 6) AS qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q11_grouping_sets": """
+        SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
+               COALESCE(l_linestatus, '*') AS l_linestatus,
+               COUNT(*) AS c,
+               ROUND(SUM(l_extendedprice), 6) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus
     """,
     "q12_scalar_belt": """

@@ -107,6 +107,73 @@ def hole_pointwise(
     return loss, [("E", s, gs), ("E", o, go), ("R", p, gr)]
 
 
+def rescal_pairwise(
+    E: np.ndarray,
+    W: np.ndarray,  # (n_rel, d, d)
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    o_neg: np.ndarray,
+    margin: float = 0.2,
+):
+    """Pairwise margin-ranking RESCAL — the reference's actual RESCAL
+    objective (`kge/hole.py:145-147`, margin 0.2 config at `:459`):
+    loss = max(0, margin − score⁺ + score⁻), score = sᵀ W_p o.
+    Gradients flow only through margin violations."""
+    S, O, On, Wp = E[s], E[o], E[o_neg], W[p]
+    sc_p = np.einsum("bd,bde,be->b", S, Wp, O)
+    sc_n = np.einsum("bd,bde,be->b", S, Wp, On)
+    loss = margin - sc_p + sc_n
+    viol = loss > 0
+    loss = np.maximum(loss, 0.0)
+    w = viol.astype(np.float64)
+    w1 = w[:, None]
+    gs = w1 * (
+        np.einsum("bde,be->bd", Wp, On) - np.einsum("bde,be->bd", Wp, O)
+    )
+    go = -w1 * np.einsum("bd,bde->be", S, Wp)
+    gon = w1 * np.einsum("bd,bde->be", S, Wp)
+    gw = w[:, None, None] * S[:, :, None] * (On - O)[:, None, :]
+    return loss, [
+        ("E", s, gs),
+        ("E", o, go),
+        ("E", o_neg, gon),
+        ("W", p, gw),
+    ]
+
+
+def hole_pairwise(
+    E: np.ndarray,
+    R: np.ndarray,
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    o_neg: np.ndarray,
+    margin: float = 0.2,
+):
+    """Pairwise margin-ranking HolE (same objective family as the
+    reference's margin config): loss = max(0, margin − sc⁺ + sc⁻),
+    sc = r·ccorr(s,o); gradient index algebra as in
+    :func:`hole_pointwise`."""
+    S, O, On, Rp = E[s], E[o], E[o_neg], R[p]
+    sc_p = (Rp * ccorr_np(S, O)).sum(-1)
+    sc_n = (Rp * ccorr_np(S, On)).sum(-1)
+    loss = margin - sc_p + sc_n
+    viol = loss > 0
+    loss = np.maximum(loss, 0.0)
+    w1 = viol.astype(np.float64)[:, None]
+    gr = w1 * (ccorr_np(S, On) - ccorr_np(S, O))
+    gs = w1 * (ccorr_np(Rp, On) - ccorr_np(Rp, O))
+    go = -w1 * cconv_np(S, Rp)
+    gon = w1 * cconv_np(S, Rp)
+    return loss, [
+        ("E", s, gs),
+        ("E", o, go),
+        ("E", o_neg, gon),
+        ("R", p, gr),
+    ]
+
+
 def transe_score_all(E: np.ndarray, S: np.ndarray, R: np.ndarray):
     """(b, N) TransE scores of every entity as object — for
     ``kg.eval.rank_against_all_entities``."""

@@ -45,9 +45,19 @@ class KGETrainer:
         optimizer=None,
         seed: int = 42,
         neg_per_pos: int = 1,
+        objective: str | None = None,
     ):
         self.spark = spark
         self.model = model
+        # reference parity: TransE trains pairwise-margin, RESCAL/HolE
+        # default pointwise-logistic here, but the reference's RESCAL
+        # margin objective (`kge/hole.py:145-147`) is selectable for all
+        # three via objective='pairwise'
+        if objective is None:
+            objective = "pairwise" if model == "transe" else "pointwise"
+        if model == "transe" and objective != "pairwise":
+            raise ValueError("transe implements only the pairwise objective")
+        self.objective = objective
         self.margin = margin
         self.seed = seed
         self.neg = neg_per_pos
@@ -72,7 +82,7 @@ class KGETrainer:
     def _training_rows(self, triples: DataFrame, epoch: int) -> DataFrame:
         """Pairwise rows for TransE; pointwise ±1-labeled for others."""
         seed = self.seed * 1_000_003 + epoch
-        if self.model == "transe":
+        if self.objective == "pairwise":
             # keep the (positive, corrupted-object) pairing explicit
             base = triples.withColumn(
                 "_k", F.explode(F.sequence(F.lit(1), F.lit(self.neg)))
@@ -92,6 +102,7 @@ class KGETrainer:
     def _epoch_gradients(self, rows: DataFrame):
         model = self.model
         margin = self.margin
+        pairwise = self.objective == "pairwise"
         # explicit broadcast: matrices in the task closure would be
         # re-pickled into every task binary (10+ MB at 166k entities);
         # broadcast ships once per executor and Python workers read it
@@ -106,10 +117,14 @@ class KGETrainer:
                 s = pdf["s_id"].to_numpy()
                 p = pdf["p_id"].to_numpy()
                 o = pdf["o_id"].to_numpy()
-                if model == "transe":
-                    loss, grads = M.transe_pairwise(
-                        E, P, s, p, o, pdf["o_neg"].to_numpy(), margin
-                    )
+                if pairwise:
+                    o_neg = pdf["o_neg"].to_numpy()
+                    fn = {
+                        "transe": M.transe_pairwise,
+                        "rescal": M.rescal_pairwise,
+                        "hole": M.hole_pairwise,
+                    }[model]
+                    loss, grads = fn(E, P, s, p, o, o_neg, margin)
                 elif model == "rescal":
                     loss, grads = M.rescal_pointwise(
                         E, P, s, p, o, pdf["label"].to_numpy()
@@ -220,6 +235,7 @@ class KGETrainer:
         )
         meta = {
             "model": self.model,
+            "objective": self.objective,
             "dim": self.dim,
             "margin": self.margin,
             "seed": self.seed,
@@ -247,6 +263,7 @@ class KGETrainer:
             margin=meta["margin"],
             seed=meta["seed"],
             neg_per_pos=meta["neg_per_pos"],
+            objective=meta.get("objective"),
         )
         t.loss_history = list(meta["loss_history"])
         ent = spark.read.parquet(

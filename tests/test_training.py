@@ -86,6 +86,50 @@ def test_pointwise_gradcheck(model):
     np.testing.assert_allclose(gP, _numeric_grad(total_loss, P), atol=1e-4)
 
 
+@pytest.mark.parametrize("model", ["rescal", "hole"])
+def test_pairwise_gradcheck(model):
+    """Margin-ranking objectives for RESCAL/HolE (`kge/hole.py:145-147`
+    semantics): analytic grads match numeric grads through the hinge."""
+    E, R, W = _params()
+    s = np.array([0, 1, 6])
+    p = np.array([0, 2, 1])
+    o = np.array([2, 3, 7])
+    o_neg = np.array([4, 5, 9])
+
+    if model == "rescal":
+        fn = lambda: M.rescal_pairwise(E, W, s, p, o, o_neg, 0.5)  # noqa: E731
+        P = W
+    else:
+        fn = lambda: M.hole_pairwise(E, R, s, p, o, o_neg, 0.5)  # noqa: E731
+        P = R
+
+    def total_loss():
+        loss, _ = fn()
+        return loss.sum()
+
+    _, grads = fn()
+    gE = np.zeros_like(E)
+    gP = np.zeros_like(P)
+    for name, ids, g in grads:
+        tgt = gE if name == "E" else gP
+        np.add.at(tgt, ids, g)
+    np.testing.assert_allclose(gE, _numeric_grad(total_loss, E), atol=1e-4)
+    np.testing.assert_allclose(gP, _numeric_grad(total_loss, P), atol=1e-4)
+
+
+@pytest.mark.parametrize("model", ["rescal", "hole"])
+def test_pairwise_models_train(spark, kg_triples, model):
+    """RESCAL/HolE under the margin objective: loss decreases over
+    distributed epochs (reference margin config, model parity)."""
+    t = KGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model=model,
+        optimizer=AdaGrad(lr=0.5), seed=17, neg_per_pos=2,
+        objective="pairwise", margin=0.5,
+    )
+    t.fit(kg_triples, epochs=4)
+    assert t.loss_history[-1] < t.loss_history[0], (model, t.loss_history)
+
+
 def test_optimizers_reduce_quadratic():
     """Each optimizer minimizes ½‖x‖² with per-row sparse steps."""
     for opt in (SGD(lr=0.1), AdaGrad(lr=0.5), Adam(lr=0.05, weight_decay=0)):
