@@ -80,7 +80,11 @@ def _encoded(spark: SparkSession, sf_dir: str):
     hit = _ENCODED_CACHE.get(key)
     if hit is not None:
         return hit
-    raw = triples_raw(spark, sf_dir)
+    # raw is scanned by BOTH dictionary builds (entity sample + counts,
+    # relation sample + counts) AND the encode joins — persist it once
+    # up front or the 4-table union recomputes on every one of those
+    # five actions (measured ~2× slowdown of the cold build)
+    raw = triples_raw(spark, sf_dir).persist()
     ent, rel = build_dictionaries(raw)
     ent = ent.persist()
     rel = rel.persist()

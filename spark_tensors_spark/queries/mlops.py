@@ -34,44 +34,40 @@ def _dense_sample(spark, sf_dir, budget: int):
     if hit is not None:
         return hit
 
+    import numpy as np
+    import pandas as pd
+
     _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
     h = F.xxhash64("s_id", "p_id", "o_id")
-    sample = enc.orderBy(h).limit(budget)
-
-    ents = (
-        sample.select(F.col("s_id").alias("old"))
-        .union(sample.select(F.col("o_id").alias("old")))
-        .distinct()
-        .select(
-            "old",
-            (F.row_number().over(Window.orderBy("old")) - 1)
-            .cast("long")
-            .alias("new"),
-        )
-    ).persist()
-    rels = (
-        sample.select(F.col("p_id").alias("old"))
-        .distinct()
-        .select(
-            "old",
-            (F.row_number().over(Window.orderBy("old")) - 1)
-            .cast("long")
-            .alias("new"),
-        )
-    ).persist()
-    remapped = (
-        sample.join(ents.withColumnRenamed("old", "s_id"), "s_id")
-        .withColumnRenamed("new", "s_new")
-        .join(ents.withColumnRenamed("old", "o_id"), "o_id")
-        .withColumnRenamed("new", "o_new")
-        .join(F.broadcast(rels.withColumnRenamed("old", "p_id")), "p_id")
-        .select(
-            F.col("s_new").alias("s_id"),
-            F.col("new").alias("p_id"),
-            F.col("o_new").alias("o_id"),
-        )
+    # the sample is BOUNDED by `budget` (a query constant, not data
+    # size), so the dense remap runs driver-side in numpy: one
+    # TakeOrdered job + a vectorized searchsorted replaces two window
+    # sorts + three joins + their persists (~4× faster cold).  The new
+    # ids are identical to the distributed row_number form: rank within
+    # the sorted distinct id set.
+    rows = enc.orderBy(h).limit(budget).collect()
+    arr = np.array(
+        [[r["s_id"], r["p_id"], r["o_id"]] for r in rows], dtype=np.int64
     )
-    out = (remapped.persist(), ents.count(), rels.count())
+    ents_old = np.unique(np.concatenate([arr[:, 0], arr[:, 2]]))
+    rels_old = np.unique(arr[:, 1])
+    pdf = pd.DataFrame(
+        {
+            "s_id": np.searchsorted(ents_old, arr[:, 0]),
+            "p_id": np.searchsorted(rels_old, arr[:, 1]),
+            "o_id": np.searchsorted(ents_old, arr[:, 2]),
+        }
+    )
+    # a handful of fat partitions, not defaultParallelism tiny ones:
+    # every per-epoch job inherits this partitioning, and 32 near-empty
+    # partitions mean 32 Python gradient workers + 32-task sampler
+    # stages per epoch of pure scheduling overhead
+    remapped = (
+        spark.createDataFrame(pdf, "s_id long, p_id long, o_id long")
+        .coalesce(2)
+        .persist()
+    )
+    out = (remapped, len(ents_old), len(rels_old))
     _SAMPLE_CACHE[key] = out
     return out
 

@@ -1,4 +1,5 @@
+from spark_tensors_spark.train.joinmerge import JoinMergeKGETrainer
 from spark_tensors_spark.train.optim import SGD, AdaGrad, Adam
 from spark_tensors_spark.train.trainer import KGETrainer
 
-__all__ = ["SGD", "AdaGrad", "Adam", "KGETrainer"]
+__all__ = ["SGD", "AdaGrad", "Adam", "KGETrainer", "JoinMergeKGETrainer"]

@@ -20,6 +20,40 @@ import numpy as np
 from spark_tensors_spark.functions.kernels import cconv_np, ccorr_np
 
 
+def transe_pairwise_g(
+    S: np.ndarray,
+    Rv: np.ndarray,
+    O: np.ndarray,
+    N: np.ndarray,
+    margin: float = 1.0,
+):
+    """Gathered-array TransE pairwise kernel: inputs are the per-row
+    embedding rows themselves (no index lookup), so the same math runs
+    whether vectors arrived via broadcast-matrix indexing (driver path)
+    or a distributed join-gather (join-merge path).
+
+    Returns ``(loss, [(slot, grads)])`` with slots s/o/o_neg/p.
+    """
+    dp = S + Rv - O
+    dn = S + Rv - N
+    npos = np.sqrt((dp * dp).sum(-1)) + 1e-12
+    nneg = np.sqrt((dn * dn).sum(-1)) + 1e-12
+    loss = margin + npos - nneg
+    viol = loss > 0
+    loss = np.maximum(loss, 0.0)
+
+    gp = dp / npos[:, None]  # ∂‖·‖/∂(h+r−t⁺)
+    gn = dn / nneg[:, None]
+    w = viol[:, None].astype(np.float64)
+    grad_h = (gp - gn) * w
+    return loss, [
+        ("s", grad_h),
+        ("o", -gp * w),
+        ("o_neg", gn * w),
+        ("p", grad_h),
+    ]
+
+
 def transe_pairwise(
     E: np.ndarray,
     R: np.ndarray,
@@ -35,27 +69,13 @@ def transe_pairwise(
     Gradients flow only through margin violations (P4 filter,
     kbc `hole.py:56-58` shape).
     """
-    h, r = E[s], R[p]
-    dp = h + r - E[o]
-    dn = h + r - E[o_neg]
-    npos = np.sqrt((dp * dp).sum(-1)) + 1e-12
-    nneg = np.sqrt((dn * dn).sum(-1)) + 1e-12
-    loss = margin + npos - nneg
-    viol = loss > 0
-    loss = np.maximum(loss, 0.0)
-
-    gp = dp / npos[:, None]  # ∂‖·‖/∂(h+r−t⁺)
-    gn = dn / nneg[:, None]
-    w = viol[:, None].astype(np.float64)
-    grad_h = (gp - gn) * w
-    grad_r = grad_h
-    grad_tp = -gp * w
-    grad_tn = gn * w
+    loss, slots = transe_pairwise_g(E[s], R[p], E[o], E[o_neg], margin)
+    g = dict(slots)
     return loss, [
-        ("E", s, grad_h),
-        ("E", o, grad_tp),
-        ("E", o_neg, grad_tn),
-        ("R", p, grad_r),
+        ("E", s, g["s"]),
+        ("E", o, g["o"]),
+        ("E", o_neg, g["o_neg"]),
+        ("R", p, g["p"]),
     ]
 
 
@@ -67,6 +87,19 @@ def _logistic(y: np.ndarray, score: np.ndarray):
     return loss, g
 
 
+def rescal_pointwise_g(
+    S: np.ndarray, Wp: np.ndarray, O: np.ndarray, y: np.ndarray
+):
+    """Gathered-array pointwise RESCAL (Wp is the (b, d, d) slice
+    stack)."""
+    score = np.einsum("bd,bde,be->b", S, Wp, O)
+    loss, g = _logistic(y, score)
+    gs = g[:, None] * np.einsum("bde,be->bd", Wp, O)
+    go = g[:, None] * np.einsum("bd,bde->be", S, Wp)
+    gw = g[:, None, None] * S[:, :, None] * O[:, None, :]
+    return loss, [("s", gs), ("o", go), ("p", gw)]
+
+
 def rescal_pointwise(
     E: np.ndarray,
     W: np.ndarray,  # (n_rel, d, d)
@@ -76,13 +109,25 @@ def rescal_pointwise(
     y: np.ndarray,
 ):
     """Pointwise logistic RESCAL: score = sᵀ W_p o."""
-    S, O, Wp = E[s], E[o], W[p]
-    score = np.einsum("bd,bde,be->b", S, Wp, O)
-    loss, g = _logistic(y, score)
-    gs = g[:, None] * np.einsum("bde,be->bd", Wp, O)
-    go = g[:, None] * np.einsum("bd,bde->be", S, Wp)
-    gw = g[:, None, None] * S[:, :, None] * O[:, None, :]
-    return loss, [("E", s, gs), ("E", o, go), ("W", p, gw)]
+    loss, slots = rescal_pointwise_g(E[s], W[p], E[o], y)
+    g = dict(slots)
+    return loss, [("E", s, g["s"]), ("E", o, g["o"]), ("W", p, g["p"])]
+
+
+def hole_pointwise_g(
+    S: np.ndarray, Rp: np.ndarray, O: np.ndarray, y: np.ndarray
+):
+    """Gathered-array pointwise HolE.
+
+    ∂score/∂r = ccorr(s,o); ∂/∂s = ccorr(r,o); ∂/∂o = cconv(s,r)
+    (derived from the index algebra of circular correlation).
+    """
+    sc = (Rp * ccorr_np(S, O)).sum(-1)
+    loss, g = _logistic(y, sc)
+    gr = g[:, None] * ccorr_np(S, O)
+    gs = g[:, None] * ccorr_np(Rp, O)
+    go = g[:, None] * cconv_np(S, Rp)
+    return loss, [("s", gs), ("o", go), ("p", gr)]
 
 
 def hole_pointwise(
@@ -93,34 +138,23 @@ def hole_pointwise(
     o: np.ndarray,
     y: np.ndarray,
 ):
-    """Pointwise logistic HolE: score = r·ccorr(s,o).
-
-    ∂score/∂r = ccorr(s,o); ∂/∂s = ccorr(r,o); ∂/∂o = cconv(s,r)
-    (derived from the index algebra of circular correlation).
-    """
-    S, O, Rp = E[s], E[o], R[p]
-    sc = (Rp * ccorr_np(S, O)).sum(-1)
-    loss, g = _logistic(y, sc)
-    gr = g[:, None] * ccorr_np(S, O)
-    gs = g[:, None] * ccorr_np(Rp, O)
-    go = g[:, None] * cconv_np(S, Rp)
-    return loss, [("E", s, gs), ("E", o, go), ("R", p, gr)]
+    """Pointwise logistic HolE: score = r·ccorr(s,o)."""
+    loss, slots = hole_pointwise_g(E[s], R[p], E[o], y)
+    g = dict(slots)
+    return loss, [("E", s, g["s"]), ("E", o, g["o"]), ("R", p, g["p"])]
 
 
-def rescal_pairwise(
-    E: np.ndarray,
-    W: np.ndarray,  # (n_rel, d, d)
-    s: np.ndarray,
-    p: np.ndarray,
-    o: np.ndarray,
-    o_neg: np.ndarray,
+def rescal_pairwise_g(
+    S: np.ndarray,
+    Wp: np.ndarray,  # (b, d, d)
+    O: np.ndarray,
+    On: np.ndarray,
     margin: float = 0.2,
 ):
-    """Pairwise margin-ranking RESCAL — the reference's actual RESCAL
-    objective (`kge/hole.py:145-147`, margin 0.2 config at `:459`):
-    loss = max(0, margin − score⁺ + score⁻), score = sᵀ W_p o.
+    """Gathered-array pairwise margin-ranking RESCAL — the reference's
+    actual RESCAL objective (`kge/hole.py:145-147`, margin 0.2 config at
+    `:459`): loss = max(0, margin − score⁺ + score⁻), score = sᵀ W_p o.
     Gradients flow only through margin violations."""
-    S, O, On, Wp = E[s], E[o], E[o_neg], W[p]
     sc_p = np.einsum("bd,bde,be->b", S, Wp, O)
     sc_n = np.einsum("bd,bde,be->b", S, Wp, On)
     loss = margin - sc_p + sc_n
@@ -134,12 +168,50 @@ def rescal_pairwise(
     go = -w1 * np.einsum("bd,bde->be", S, Wp)
     gon = w1 * np.einsum("bd,bde->be", S, Wp)
     gw = w[:, None, None] * S[:, :, None] * (On - O)[:, None, :]
+    return loss, [("s", gs), ("o", go), ("o_neg", gon), ("p", gw)]
+
+
+def rescal_pairwise(
+    E: np.ndarray,
+    W: np.ndarray,  # (n_rel, d, d)
+    s: np.ndarray,
+    p: np.ndarray,
+    o: np.ndarray,
+    o_neg: np.ndarray,
+    margin: float = 0.2,
+):
+    loss, slots = rescal_pairwise_g(E[s], W[p], E[o], E[o_neg], margin)
+    g = dict(slots)
     return loss, [
-        ("E", s, gs),
-        ("E", o, go),
-        ("E", o_neg, gon),
-        ("W", p, gw),
+        ("E", s, g["s"]),
+        ("E", o, g["o"]),
+        ("E", o_neg, g["o_neg"]),
+        ("W", p, g["p"]),
     ]
+
+
+def hole_pairwise_g(
+    S: np.ndarray,
+    Rp: np.ndarray,
+    O: np.ndarray,
+    On: np.ndarray,
+    margin: float = 0.2,
+):
+    """Gathered-array pairwise margin-ranking HolE (same objective
+    family as the reference's margin config): loss = max(0, margin −
+    sc⁺ + sc⁻), sc = r·ccorr(s,o); gradient index algebra as in
+    :func:`hole_pointwise_g`."""
+    sc_p = (Rp * ccorr_np(S, O)).sum(-1)
+    sc_n = (Rp * ccorr_np(S, On)).sum(-1)
+    loss = margin - sc_p + sc_n
+    viol = loss > 0
+    loss = np.maximum(loss, 0.0)
+    w1 = viol.astype(np.float64)[:, None]
+    gr = w1 * (ccorr_np(S, On) - ccorr_np(S, O))
+    gs = w1 * (ccorr_np(Rp, On) - ccorr_np(Rp, O))
+    go = -w1 * cconv_np(S, Rp)
+    gon = w1 * cconv_np(S, Rp)
+    return loss, [("s", gs), ("o", go), ("o_neg", gon), ("p", gr)]
 
 
 def hole_pairwise(
@@ -151,26 +223,13 @@ def hole_pairwise(
     o_neg: np.ndarray,
     margin: float = 0.2,
 ):
-    """Pairwise margin-ranking HolE (same objective family as the
-    reference's margin config): loss = max(0, margin − sc⁺ + sc⁻),
-    sc = r·ccorr(s,o); gradient index algebra as in
-    :func:`hole_pointwise`."""
-    S, O, On, Rp = E[s], E[o], E[o_neg], R[p]
-    sc_p = (Rp * ccorr_np(S, O)).sum(-1)
-    sc_n = (Rp * ccorr_np(S, On)).sum(-1)
-    loss = margin - sc_p + sc_n
-    viol = loss > 0
-    loss = np.maximum(loss, 0.0)
-    w1 = viol.astype(np.float64)[:, None]
-    gr = w1 * (ccorr_np(S, On) - ccorr_np(S, O))
-    gs = w1 * (ccorr_np(Rp, On) - ccorr_np(Rp, O))
-    go = -w1 * cconv_np(S, Rp)
-    gon = w1 * cconv_np(S, Rp)
+    loss, slots = hole_pairwise_g(E[s], R[p], E[o], E[o_neg], margin)
+    g = dict(slots)
     return loss, [
-        ("E", s, gs),
-        ("E", o, go),
-        ("E", o_neg, gon),
-        ("R", p, gr),
+        ("E", s, g["s"]),
+        ("E", o, g["o"]),
+        ("E", o_neg, g["o_neg"]),
+        ("R", p, g["p"]),
     ]
 
 

@@ -31,6 +31,69 @@ from spark_tensors_spark.train import models as M
 from spark_tensors_spark.train.optim import AdaGrad
 
 
+def segment_sum_arrays(contrib: DataFrame, max_width: int) -> DataFrame:
+    """A6 segment-sum over gradient-array rows WITHOUT exploding: each
+    component is summed as its own aggregate column (`F.get` stays in
+    whole-stage codegen), so the shuffle moves one array row per
+    (param, id) contribution instead of `width` exploded rows — at
+    dim=16 that is 16× less shuffle volume and a 16× smaller collect.
+
+    One groupBy covers every parameter (single scan of the gradient
+    batches — no per-param union branches, which would re-run the
+    Python gradient workers once per branch): arrays shorter than
+    ``max_width`` aggregate to trailing NULLs (``F.get`` past the end),
+    and consumers slice each parameter back to its own width.
+
+    Returns (param, id, g array<double> of component sums padded to
+    max_width, c total multiplicity).
+    """
+    return (
+        contrib.groupBy("param", "id")
+        .agg(
+            *[
+                F.sum(F.get("g", i)).alias(f"_g{i}")
+                for i in range(max_width)
+            ],
+            F.sum("cnt").alias("c"),
+        )
+        .select(
+            "param",
+            "id",
+            F.array(*[F.col(f"_g{i}") for i in range(max_width)]).alias("g"),
+            "c",
+        )
+    )
+
+
+def build_training_rows(
+    triples: DataFrame,
+    epoch: int,
+    seed: int,
+    objective: str,
+    neg_per_pos: int,
+    n_entities: int,
+) -> DataFrame:
+    """Deterministic per-epoch training rows, shared by the driver-side
+    trainer and the join-merge scale trainer: pairwise → explicit
+    (positive, corrupted-object) pairs; pointwise → ±1-labeled rows."""
+    ep_seed = seed * 1_000_003 + epoch
+    if objective == "pairwise":
+        base = triples.withColumn(
+            "_k", F.explode(F.sequence(F.lit(1), F.lit(neg_per_pos)))
+        )
+        neg_o = F.pmod(
+            F.xxhash64("s_id", "p_id", "o_id", "_k", F.lit(ep_seed)),
+            F.lit(n_entities),
+        ).cast("long")
+        return base.select(
+            "s_id", "p_id", "o_id", neg_o.alias("o_neg")
+        ).filter(F.col("o_neg") != F.col("o_id"))
+    negs = sampling.random_mode_sampler(
+        triples, n_entities, n=neg_per_pos, seed=ep_seed, mode="o"
+    )
+    return sampling.with_positives(triples, negs)
+
+
 class KGETrainer:
     """model ∈ {'transe', 'rescal', 'hole'}."""
 
@@ -81,23 +144,10 @@ class KGETrainer:
 
     def _training_rows(self, triples: DataFrame, epoch: int) -> DataFrame:
         """Pairwise rows for TransE; pointwise ±1-labeled for others."""
-        seed = self.seed * 1_000_003 + epoch
-        if self.objective == "pairwise":
-            # keep the (positive, corrupted-object) pairing explicit
-            base = triples.withColumn(
-                "_k", F.explode(F.sequence(F.lit(1), F.lit(self.neg)))
-            )
-            neg_o = F.pmod(
-                F.xxhash64("s_id", "p_id", "o_id", "_k", F.lit(seed)),
-                F.lit(self.n_entities),
-            ).cast("long")
-            return base.select(
-                "s_id", "p_id", "o_id", neg_o.alias("o_neg")
-            ).filter(F.col("o_neg") != F.col("o_id"))
-        negs = sampling.random_mode_sampler(
-            triples, self.n_entities, n=self.neg, seed=seed, mode="o"
+        return build_training_rows(
+            triples, epoch, self.seed, self.objective, self.neg,
+            self.n_entities,
         )
-        return sampling.with_positives(triples, negs)
 
     def _epoch_gradients(self, rows: DataFrame):
         model = self.model
@@ -161,49 +211,41 @@ class KGETrainer:
 
         schema = "param string, id long, g array<double>, cnt long"
         contrib = rows.mapInPandas(batch_grads, schema)
+        return contrib, bc
 
-        # A6 segment-sum in pure SQL: explode gradient components and
-        # hash-aggregate JVM-side (partial + final, no Python workers);
-        # cnt replicates across an id's components, so every pos group
-        # sums to the same total multiplicity
-        flat = contrib.select(
-            "param", "id", "cnt", F.posexplode("g").alias("pos", "val")
-        )
-        agg = flat.groupBy("param", "id", "pos").agg(
-            F.sum("val").alias("v"), F.sum("cnt").alias("c")
-        )
-        return agg, bc
+    def _grad_widths(self) -> dict[str, int]:
+        pw = self.dim * self.dim if self.model == "rescal" else self.dim
+        pname = "W" if self.model == "rescal" else "R"
+        return {"E": self.dim, pname: pw, "_loss": 1}
 
     def fit(self, triples: DataFrame, epochs: int = 5) -> "KGETrainer":
         triples = triples.select("s_id", "p_id", "o_id").cache()
         triples.count()
         for epoch in range(epochs):
             rows = self._training_rows(triples, epoch)
-            agg, bc = self._epoch_gradients(rows)
-            collected = agg.collect()
+            contrib, bc = self._epoch_gradients(rows)
+            widths = self._grad_widths()
+            pdf = segment_sum_arrays(contrib, max(widths.values())).toPandas()
             bc.destroy()  # epoch's snapshot is stale once collected
 
-            by_param: dict[str, dict[int, dict[int, tuple]]] = {}
-            for r in collected:
-                by_param.setdefault(r["param"], {}).setdefault(
-                    r["id"], {}
-                )[r["pos"]] = (r["v"], r["c"])
-
-            lrow = by_param.pop("_loss", {}).get(0, {}).get(0)
-            if lrow is not None:
+            lmask = pdf["param"] == "_loss"
+            lrows = pdf[lmask]
+            if len(lrows):
                 self.loss_history.append(
-                    float(lrow[0]) / max(int(lrow[1]), 1)
+                    float(lrows["g"].iloc[0][0])
+                    / max(int(lrows["c"].iloc[0]), 1)
                 )
 
-            for name, per_id in by_param.items():
-                ids = np.array(sorted(per_id))
-                width = max(len(v) for v in per_id.values())
-                g = np.zeros((len(ids), width))
-                for i, pid in enumerate(ids):
-                    comps = per_id[pid]
-                    c = max(int(next(iter(comps.values()))[1]), 1)
-                    for pos, (v, _) in comps.items():
-                        g[i, pos] = v / c  # mean normalization (A6)
+            for name, gp in pdf[~lmask].groupby("param", sort=True):
+                gp = gp.sort_values("id")
+                ids = gp["id"].to_numpy()
+                c = np.maximum(gp["c"].to_numpy(dtype=np.int64), 1)
+                # slice off the NULL padding beyond this param's width
+                g = (
+                    np.stack(gp["g"].to_numpy())[:, : widths[name]]
+                    .astype(np.float64)
+                    / c[:, None]
+                )  # A6 mean
                 if name == "E":
                     self.opt.step(self.E, ids, g, name="E")
                 elif name == "R":

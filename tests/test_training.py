@@ -182,6 +182,73 @@ def test_pointwise_models_train(spark, kg_triples, model):
     assert t.loss_history[-1] < t.loss_history[0], (model, t.loss_history)
 
 
+def test_joinmerge_matches_driver_path(spark, kg_triples):
+    """The join-merge (100 TB) update path reproduces the driver path's
+    loss trajectory on the ring KG with the same seed: same init hash,
+    same sampled rows, same kernels, same AdaGrad arithmetic — only the
+    physical location of the parameters differs."""
+    from spark_tensors_spark.train import JoinMergeKGETrainer
+
+    driver = KGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model="transe",
+        optimizer=AdaGrad(lr=0.2), seed=23, neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    jm = JoinMergeKGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model="transe",
+        optimizer="adagrad", lr=0.2, seed=23, neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    np.testing.assert_allclose(
+        jm.loss_history, driver.loss_history, rtol=1e-9
+    )
+    # final embeddings agree too (not just the scalar loss)
+    E_jm = {r.id: np.array(r.vec) for r in jm.entity_embeddings().collect()}
+    for i in range(40):
+        np.testing.assert_allclose(E_jm[i], driver.E[i], rtol=1e-9)
+
+
+def test_joinmerge_rescal_matches_driver_path(spark, kg_triples):
+    """Pointwise RESCAL through the join-merge path: same trajectory as
+    the driver path (covers the labeled-row gather and the W merge)."""
+    from spark_tensors_spark.train import JoinMergeKGETrainer
+
+    driver = KGETrainer(
+        spark, n_entities=40, n_relations=2, dim=6, model="rescal",
+        optimizer=AdaGrad(lr=0.5), seed=29, neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    jm = JoinMergeKGETrainer(
+        spark, n_entities=40, n_relations=2, dim=6, model="rescal",
+        optimizer="adagrad", lr=0.5, seed=29, neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    np.testing.assert_allclose(
+        jm.loss_history, driver.loss_history, rtol=1e-9
+    )
+
+
+def test_joinmerge_never_collects_parameters(spark, kg_triples, monkeypatch):
+    """The scale-path guarantee: per epoch only the 1-row loss frame is
+    collected — gradients and parameters never pass through the driver."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4, collect() dispatches to classic.dataframe
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    from spark_tensors_spark.train import JoinMergeKGETrainer
+
+    collected_sizes = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    JoinMergeKGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model="transe",
+        seed=31,
+    ).fit(kg_triples, epochs=2)
+    assert collected_sizes and max(collected_sizes) <= 1, collected_sizes
+
+
 def test_trainer_deterministic(spark, kg_triples):
     a = KGETrainer(spark, 40, 2, dim=8, model="transe", seed=5)
     b = KGETrainer(spark, 40, 2, dim=8, model="transe", seed=5)
