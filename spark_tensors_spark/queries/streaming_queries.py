@@ -78,8 +78,37 @@ def ev_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly totals written through the idempotent foreachBatch writer
+    (batch-id partition overwrite) and read back — the sink code path
+    itself lands on the oracle-checked surface.  The write is
+    re-runnable by construction: the same batch id overwrites its own
+    partition."""
+    import os
+
+    from spark_tensors_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_window_agg(ev, window="1 hour")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"ev_hourly_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sinks.write_idempotent_batch(agg, 0, path)
+    return (
+        sinks.read_sink(spark, path)
+        .select("w_start", "w_end", "event_type", "c", "v")
+        .orderBy("w_start", "event_type")
+    )
+
+
 QUERIES = {
     "ev_tumbling_hour": ev_tumbling_hour,
+    "ev_sink_roundtrip": ev_sink_roundtrip,
     "ev_props_json_stats": ev_props_json_stats,
     "ev_sliding_30m_15m": ev_sliding_30m_15m,
     "ev_session_5m": ev_session_5m,
@@ -88,6 +117,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_sink_roundtrip": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+                   AS w_end,
+               event_type, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY w_start, event_type
+    """,
     "ev_tumbling_hour": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)

@@ -44,6 +44,44 @@ def _factor_df(spark: SparkSession, mat: np.ndarray, id_name: str) -> DataFrame:
     return spark.createDataFrame(pdf, f"{id_name} long, vec array<double>")
 
 
+def mttkrp_wide(
+    coo: DataFrame,
+    factor_b: DataFrame,
+    factor_c: DataFrame,
+    rank: int,
+    mode_col: str = "i",
+    b_col: str = "j",
+    c_col: str = "k",
+    val_col: str = "v",
+) -> DataFrame:
+    """M[i] = Σ v · (B[j] ∘ C[k]) as one array row per mode id.
+
+    Declarative join + per-component column sums: Catalyst broadcasts
+    the small factor tables, each of the `rank` components aggregates as
+    its own column inside ONE hash aggregate (map-side combine, no
+    explode) — the pre-agg posexplode form shuffled `rank×nnz` rows,
+    this shuffles `nnz` array rows.
+    """
+    b = factor_b.select(F.col(b_col), F.col("vec").alias("_bv"))
+    c = factor_c.select(F.col(c_col), F.col("vec").alias("_cv"))
+    joined = coo.join(F.broadcast(b), b_col).join(F.broadcast(c), c_col)
+    prod = joined.select(
+        F.col(mode_col),
+        F.col(val_col),
+        F.zip_with("_bv", "_cv", lambda x, y: x * y).alias("_bc"),
+    )
+    agg = prod.groupBy(mode_col).agg(
+        *[
+            F.sum(F.col(val_col) * F.get("_bc", r)).alias(f"_m{r}")
+            for r in range(rank)
+        ]
+    )
+    return agg.select(
+        mode_col,
+        F.array(*[F.col(f"_m{r}") for r in range(rank)]).alias("m"),
+    )
+
+
 def mttkrp(
     coo: DataFrame,
     factor_b: DataFrame,
@@ -52,33 +90,28 @@ def mttkrp(
     b_col: str = "j",
     c_col: str = "k",
     val_col: str = "v",
+    rank: int | None = None,
 ) -> DataFrame:
-    """M[i, pos] = Σ v · B[j, pos] · C[k, pos] as (i, pos, m) rows.
-
-    Declarative join + explode + hash-agg: Catalyst broadcasts the small
-    factor tables, the aggregate gets map-side combine, and the widest
-    shuffled row is (i, pos, partial-sum).
-    """
-    b = factor_b.select(F.col(b_col), F.col("vec").alias("_bv"))
-    c = factor_c.select(F.col(c_col), F.col("vec").alias("_cv"))
-    joined = coo.join(F.broadcast(b), b_col).join(F.broadcast(c), c_col)
-    prod = joined.select(
-        F.col(mode_col),
-        F.posexplode(
-            F.zip_with("_bv", "_cv", lambda x, y: x * y)
-        ).alias("pos", "bc"),
-        F.col(val_col),
+    """(i, pos, m) row form of :func:`mttkrp_wide` (the oracle-checked
+    public shape); the explode happens AFTER aggregation, on the
+    (distinct-mode × rank) result, never on the nnz-sized input."""
+    if rank is None:
+        rank = len(factor_b.select("vec").first()["vec"])
+    wide = mttkrp_wide(
+        coo, factor_b, factor_c, rank, mode_col, b_col, c_col, val_col
     )
-    return (
-        prod.groupBy(mode_col, "pos")
-        .agg(F.sum(F.col(val_col) * F.col("bc")).alias("m"))
+    return wide.select(
+        mode_col, F.posexplode("m").alias("pos", "m")
     )
 
 
-def _collect_mttkrp(m_df: DataFrame, n_rows: int, rank: int) -> np.ndarray:
+def _collect_mttkrp(
+    m_wide: DataFrame, n_rows: int, rank: int, mode_col: str
+) -> np.ndarray:
     out = np.zeros((n_rows, rank))
-    for r in m_df.collect():
-        out[r[0], r["pos"]] = r["m"]
+    pdf = m_wide.toPandas()
+    if len(pdf):
+        out[pdf[mode_col].to_numpy()] = np.stack(pdf["m"].to_numpy())
     return out
 
 
@@ -110,17 +143,35 @@ class CPALS:
         # MTTKRP's joins are inner, so only these factor rows ever
         # contribute — shipping the full id space is pure overhead
         self._ids: dict[str, np.ndarray] = {}
+        self._frame_cache: dict[tuple, DataFrame] = {}
+        # bumped on each factor update — the frame-cache key (id(mat)
+        # would be unsafe: the allocator can reuse a freed array's id)
+        self._version = {"i": 0, "j": 0, "k": 0}
 
     def _sub_factor(self, mat: np.ndarray, mode: str, id_name: str) -> DataFrame:
+        # memoized per factor VERSION: within a sweep each factor frame
+        # is consumed by two MTTKRPs + the fit job, and only its own
+        # update invalidates it — rebuilding the pandas→JVM frame every
+        # consumer was a third of the driver-side sweep cost
+        key = (mode, id_name, self._version[mode])
+        hit = self._frame_cache.get(key)
+        if hit is not None:
+            return hit
         ids = self._ids.get(mode)
         if ids is None:
             ids = np.arange(len(mat))
         pdf = pd.DataFrame(
             {id_name: ids, "vec": [mat[i].tolist() for i in ids]}
         )
-        return self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             pdf, f"{id_name} long, vec array<double>"
         )
+        self._frame_cache = {
+            k: v for k, v in self._frame_cache.items()
+            if k[0] != mode
+        }
+        self._frame_cache[key] = df
+        return df
 
     # -- one ALS sweep: update A, then B, then C ----------------------
 
@@ -134,24 +185,28 @@ class CPALS:
         if mode == "i":
             fb, fc = self._sub_factor(self.B, "j", "j"), self._sub_factor(self.C, "k", "k")
             m = _collect_mttkrp(
-                mttkrp(coo, fb, fc, "i", "j", "k"), self.n_i, self.rank
+                mttkrp_wide(coo, fb, fc, self.rank, "i", "j", "k"),
+                self.n_i, self.rank, "i",
             )
             gram = (self.B.T @ self.B) * (self.C.T @ self.C)
             self.A = m @ np.linalg.pinv(self._ridge(gram))
         elif mode == "j":
             fa, fc = self._sub_factor(self.A, "i", "i"), self._sub_factor(self.C, "k", "k")
             m = _collect_mttkrp(
-                mttkrp(coo, fa, fc, "j", "i", "k"), self.n_j, self.rank
+                mttkrp_wide(coo, fa, fc, self.rank, "j", "i", "k"),
+                self.n_j, self.rank, "j",
             )
             gram = (self.A.T @ self.A) * (self.C.T @ self.C)
             self.B = m @ np.linalg.pinv(self._ridge(gram))
         else:
             fa, fb = self._sub_factor(self.A, "i", "i"), self._sub_factor(self.B, "j", "j")
             m = _collect_mttkrp(
-                mttkrp(coo, fa, fb, "k", "i", "j"), self.n_k, self.rank
+                mttkrp_wide(coo, fa, fb, self.rank, "k", "i", "j"),
+                self.n_k, self.rank, "k",
             )
             gram = (self.A.T @ self.A) * (self.B.T @ self.B)
             self.C = m @ np.linalg.pinv(self._ridge(gram))
+        self._version[mode] += 1
 
     def _fit_value(self, coo: DataFrame, norm_x_sq: float) -> float:
         """1 − √(‖X‖² − 2⟨X, X̂⟩ + ‖X̂‖²)/‖X‖ over sparse entries."""

@@ -292,3 +292,47 @@ def test_stream_stream_left_interval_join_equals_batch(spark, stream_source):
         p for p in want if p[1] is None
     }
     assert len(got_matched) > 0
+
+
+def test_foreach_batch_sink_stream_equals_batch(spark, stream_source, tmp_path):
+    """foreachBatch parquet sink: draining the stream through the
+    idempotent writer yields exactly the batch rows."""
+    from spark_tensors_spark.streaming import sinks
+
+    d, schema = stream_source
+    stream = spark.readStream.schema(schema).parquet(d)
+    out_dir = str(tmp_path / "sink_out")
+    q = sinks.foreach_batch_parquet_sink(
+        stream.select("event_id", "user_id", "event_type", "value"),
+        out_dir,
+        str(tmp_path / "sink_ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in sinks.read_sink(spark, out_dir).collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in load_table(spark, SF, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same batch id (crash-replay) overwrites its own
+    partition instead of duplicating rows; other batches are kept."""
+    from spark_tensors_spark.streaming import sinks
+
+    out_dir = str(tmp_path / "idem_out")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, s string")
+    sinks.write_idempotent_batch(b0, 0, out_dir)
+    sinks.write_idempotent_batch(b1, 1, out_dir)
+    sinks.write_idempotent_batch(b0, 0, out_dir)  # replay of batch 0
+    rows = sorted(
+        (r.id, r.s) for r in sinks.read_sink(spark, out_dir).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
