@@ -1,0 +1,176 @@
+"""Connected components over a candidate-pair edge list — the
+transitive-closure dedup decision (a ≈ b, b ≈ c ⇒ one group), which the
+single-hop keeper rule of `lsh_duplicate_groups` approximates.
+
+Size-adaptive, like every production CC (GraphFrames does the same):
+
+- **Small graphs** (≤ ``driver_threshold`` edges, default 2M ≈ tens of
+  MB): collect the edge list and run union-find with path compression
+  on the driver — exact, deterministic, and free of the per-round Spark
+  job overhead that dominates when the candidate graph is tiny relative
+  to the corpus (the common case: dup pairs ≪ docs).
+- **Large graphs**: distributed iterative minimum-label propagation.
+  Each node starts labeled with itself; every round each node takes the
+  min label among itself and its neighbors, then pointer-jumps
+  (comp := comp(comp)), which halves remaining chain length —
+  O(log diameter) rounds, so even pathological path graphs converge in
+  ~log2(n) joins.  Near-duplicate graphs are unions of near-cliques and
+  finish in 2–3 rounds.  Per round: two joins + one aggregate (shuffles
+  keyed on node/label id), label frame localCheckpointed so plans stay
+  O(1) deep.  Convergence detection rides on Σcomp (monotone
+  non-increasing), one cheap agg per round instead of a join+count.
+
+The large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond") reaches O(log log n); same
+join/agg shape if a corpus ever needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _union_find_components(pairs: list[tuple]) -> dict:
+    """Driver-side union-find with path compression; root of every
+    component is its minimum node id (smaller root wins each union)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 25,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """DataFrame(node, component) — component = min node id reachable.
+
+    ``edges`` is an undirected pair list (each pair once is enough).
+    Isolated nodes don't appear (no edges → no dedup decision needed).
+    Set ``driver_threshold=0`` to force the distributed path.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .persist()
+    )
+    n_edges = e.count()
+
+    if n_edges <= driver_threshold:
+        comp = _union_find_components(
+            [(r.u, r.v) for r in e.collect()]
+        )
+        schema = e.select(
+            F.col("u").alias("node"), F.col("u").alias("comp")
+        ).schema
+        out = e.sparkSession.createDataFrame(
+            sorted(comp.items()), schema
+        )
+        e.unpersist()
+        return out
+
+    # symmetrize once; both directions feed every propagation round
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    # per-node comp is monotone non-increasing, so Σcomp strictly
+    # decreases until convergence — one agg on the checkpointed frame
+    # replaces a join+count changed-row job per round
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    for _ in range(max_rounds):
+        # neighbor labels: for each edge (u, v), v hears u's label
+        incoming = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("comp").alias("nc")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("nc").alias("min_nbr"))
+        )
+        stepped = labels.join(incoming, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer-jump: comp := comp(comp). Labels are always node ids,
+        # so the self-join resolves; chain lengths halve per round,
+        # giving O(log diameter) convergence on path graphs.
+        new_labels = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("jump"),
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("jump", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        labels = new_labels
+        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    e.unpersist()
+    return labels.select("node", "comp")
+
+
+def duplicate_components(
+    candidate_pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Dedup groups from candidate pairs: (doc_id, keep_doc_id) for every
+    doc whose transitive group keeper (min id) differs from itself."""
+    cc = connected_components(
+        candidate_pairs, id_a, id_b, driver_threshold=driver_threshold
+    )
+    return (
+        cc.filter(F.col("node") != F.col("comp"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("keep_doc_id"),
+        )
+    )

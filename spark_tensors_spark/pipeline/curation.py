@@ -1,0 +1,108 @@
+"""Training-data curation operators: deterministic stratified splits,
+sequence packing, and quality filtering (north-star M4 — the steps
+between "deduped corpus" and "training batches").
+
+Engine-portability note: split/pack ordering uses md5 of the row key
+(not xxhash64) so the DuckDB oracle can reproduce the exact ordering —
+md5 is the one hash both engines share.  At 100 TB both operators are a
+scan + one partitioned window: no shuffle wider than the stratum /
+source partitioning, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_hash_col(id_col: str, seed: int = 42) -> Column:
+    """Portable deterministic per-row hash: md5 over "<id>_<seed>".
+    Hex strings compare identically in Spark and DuckDB."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"_{seed}")))
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    fractions: tuple[float, float] = (0.8, 0.1),
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign train/valid/test EXACTLY proportionally within each
+    stratum (not just in expectation): rows are ranked by a
+    deterministic hash inside their stratum, and the first
+    ``fractions[0]`` of each stratum becomes train, the next
+    ``fractions[1]`` valid, the rest test.
+
+    One partitioned window over the strata — the 100 TB plan is a
+    single shuffle on the stratum key.
+    """
+    f_train, f_valid = fractions
+    w = Window.partitionBy(*strata_cols).orderBy(
+        split_hash_col(id_col, seed), id_col
+    )
+    n = Window.partitionBy(*strata_cols)
+    frac = (F.row_number().over(w) - 1) / F.count(F.lit(1)).over(n)
+    return df.withColumn(
+        "split",
+        F.when(frac < f_train, "train")
+        .when(frac < f_train + f_valid, "valid")
+        .otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the LLM-pretraining layout):
+    documents are laid out deterministically within each group and cut
+    into fixed token windows; a document belongs to the bin where it
+    STARTS (bin = floor(preceding-token-count / budget)).
+
+    Pure window arithmetic: running sum per group, one shuffle on the
+    group key, no driver state — packing 100 TB is a single pass.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(split_hash_col(id_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return df.withColumn(
+        "bin_id", F.floor(start / budget_tokens).cast("long")
+    ).withColumn("bin_start_offset", start % budget_tokens)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.2,
+) -> DataFrame:
+    """Heuristic quality gate over the text-stats columns (length,
+    punctuation density, composite quality score) — the standard
+    pre-training corpus filter chain, entirely scan-side codegen."""
+    from spark_tensors_spark.pipeline.text import (
+        punct_ratio_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    return (
+        df.withColumn("n_tokens", token_count_col(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(text_col), 6))
+        .withColumn("quality", F.round(quality_score_col(text_col), 6))
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("quality") >= min_quality),
+        )
+    )

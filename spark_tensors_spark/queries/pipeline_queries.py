@@ -205,12 +205,83 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine pair scan (bounded to vec_id<300 — the N²
+    oracle baseline, not the scale path).  Threshold 0.35 sits inside
+    the synthetic embeddings' similarity range (max ≈ 0.49), so the
+    oracle compares real pairs rather than empty-vs-empty."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 300
     )
     return (
-        dedup.embedding_near_dups(emb, threshold=0.8)
+        dedup.embedding_near_dups(emb, threshold=0.35)
         .orderBy("id_a", "id_b")
+    )
+
+
+def doc_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dedup groups over the LSH candidate-pair graph
+    (iterative min-label propagation, O(diameter) join rounds); the
+    oracle computes the same closure with a recursive CTE.  Strictly
+    stronger than the single-hop keeper rule of doc_lsh_dup_groups:
+    a ≈ b, b ≈ c lands all three in one group even when (a, c) never
+    shared a bucket."""
+    from spark_tensors_spark.pipeline import components
+
+    sigs = _sigs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return components.duplicate_components(pairs).orderBy("doc_id")
+
+
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-proportional train/valid/test split within
+    each source stratum (md5-ranked, one partitioned window)."""
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.stratified_split(docs, ["source"], (0.8, 0.1))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing into 512-token bins per source
+    (running-sum window); per-bin doc count + token sum."""
+    from spark_tensors_spark.pipeline import curation, text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count_col("text")
+    )
+    packed = curation.pack_sequences(docs, budget_tokens=512)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate accounting per source: kept/dropped counts and mean
+    quality of the kept set — the corpus-filter chain, scan-side."""
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.quality_filter(docs)
+        .groupBy("source", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source", "keep")
     )
 
 
@@ -241,13 +312,18 @@ def doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE near-dup path on the declared surface: hyperplane-LSH
     buckets → exact cosine within bucket (candidate space Σ bucket², not
-    N²).  Rows-only under the driver (bucket assignment is
-    engine-specific); the subset-of-brute-force property at these exact
-    parameters is pinned in tests/test_pipeline_queries.py."""
+    N²).  The synthetic embeddings have no true near-dups (max cos
+    ≈ 0.49), so the declared form reports the top-50 in-bucket
+    candidate pairs by cosine — always non-empty, same machinery.
+    Rows-only under the driver (bucket assignment is engine-specific);
+    cosine values are re-verified against numpy in
+    tests/test_pipeline_queries.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups_bucketed(
-        emb, threshold=0.8, n_planes=8
-    ).orderBy("id_a", "id_b")
+    return (
+        dedup.embedding_near_dups_bucketed(emb, threshold=-1.0, n_planes=8)
+        .orderBy(F.desc("cos"), "id_a", "id_b")
+        .limit(50)
+    )
 
 
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +348,10 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
+    "doc_lsh_components": doc_lsh_components,
+    "doc_stratified_split": doc_stratified_split,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_quality_filter": doc_quality_filter,
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
@@ -357,6 +437,40 @@ ORACLES = {
         SELECT doc_id, MIN(keep_doc_id) AS keep_doc_id
         FROM linked WHERE doc_id > keep_doc_id
         GROUP BY doc_id ORDER BY doc_id""",
+    "doc_lsh_components": _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """, banded_all AS (
+            SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+        ),
+        banded AS (
+            SELECT * FROM banded_all
+            QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, seen) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT r.node, e.v
+            FROM reach r JOIN edges e ON e.u = r.seen
+        )
+        SELECT node AS doc_id, MIN(seen) AS keep_doc_id
+        FROM reach
+        GROUP BY node HAVING MIN(seen) <> node
+        ORDER BY doc_id""",
     "emb_similarity_zoo": """
         WITH pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -520,6 +634,77 @@ ORACLES = {
         CROSS JOIN (SELECT UNNEST(range(64)) AS pos) p
         GROUP BY label, pos ORDER BY label, pos
     """,
+    "doc_stratified_split": """
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   (ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || '_42'),
+                                 doc_id) - 1)
+                   / CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)
+                       AS frac
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'valid'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS c, MIN(doc_id) AS min_id
+        FROM ranked
+        GROUP BY 1, 2 ORDER BY source, split
+    """,
+    "doc_pack_sequences": f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '_42'),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+            FROM t
+        )
+        SELECT source, CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS tok_sum
+        FROM c
+        GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+    "doc_quality_filter": f"""
+        WITH t AS (
+            SELECT source, text, {_TOKENS} AS toks,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^,.!?;:]', '', 'g'))
+                            AS DOUBLE) / length(text) ELSE 0 END AS praw
+            FROM documents
+        ),
+        s AS (
+            SELECT source,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   praw,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_EN}))
+                            AS DOUBLE) / len(toks) ELSE 0 END AS sraw
+            FROM t
+        ),
+        q AS (
+            SELECT source, n_tokens, ROUND(praw, 6) AS punct_ratio,
+                   ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                         + 0.5 * LEAST(sraw * 5.0, 1.0)
+                         - 0.25 * LEAST(praw * 10.0, 1.0), 6) AS quality
+            FROM s
+        )
+        SELECT source,
+               (n_tokens >= 5 AND punct_ratio <= 0.2 AND quality >= 0.2)
+                   AS keep,
+               COUNT(*) AS c,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM q
+        GROUP BY 1, 2 ORDER BY source, keep
+    """,
     "emb_near_dup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(
@@ -529,7 +714,7 @@ ORACLES = {
         WHERE a.vec_id < 300 AND b.vec_id < 300
           AND ROUND(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 6) > 0.8
+                  CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         ORDER BY id_a, id_b
     """,
 }

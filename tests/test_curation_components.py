@@ -1,0 +1,171 @@
+"""Property tests for the curation operators (stratified split,
+sequence packing, quality filter) and connected-components dedup.
+
+The declared-query oracles in test_pipeline_queries.py pin engine
+parity; these pin the semantic invariants on hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.pipeline import curation
+from spark_tensors_spark.pipeline.components import (
+    connected_components,
+    duplicate_components,
+)
+
+
+# ------------------------------------------------------------ components
+# threshold 0 forces the distributed label-propagation loop; the default
+# takes the driver union-find path — both must agree everywhere.
+PATHS = pytest.mark.parametrize(
+    "threshold", [0, 2_000_000], ids=["distributed", "driver"]
+)
+
+
+@PATHS
+def test_cc_chain_is_one_component(spark, threshold):
+    # a-b, b-c, c-d: transitive closure must land all four on min id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["a", "b"]
+    )
+    got = {
+        (r.node, r.comp)
+        for r in connected_components(
+            edges, driver_threshold=threshold
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+@PATHS
+def test_cc_separate_components_stay_separate(spark, threshold):
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        ["a", "b"],
+    )
+    comp = {
+        r.node: r.comp
+        for r in connected_components(
+            edges, driver_threshold=threshold
+        ).collect()
+    }
+    assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+@PATHS
+def test_cc_converges_on_long_chain(spark, threshold):
+    # path graph of 40 nodes: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["a", "b"]
+    )
+    comp = {
+        r.node: r.comp
+        for r in connected_components(
+            edges, driver_threshold=threshold
+        ).collect()
+    }
+    assert all(c == 0 for c in comp.values())
+    assert len(comp) == 41
+
+
+def test_cc_paths_agree_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [
+            (rng.randrange(120), rng.randrange(120))
+            for _ in range(150)
+        ],
+        ["a", "b"],
+    )
+    dist = sorted(
+        map(tuple, connected_components(edges, driver_threshold=0).collect())
+    )
+    drv = sorted(map(tuple, connected_components(edges).collect()))
+    assert dist == drv
+
+
+def test_duplicate_components_excludes_keepers(spark):
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7)], ["doc_a", "doc_b"]
+    )
+    rows = {
+        (r.doc_id, r.keep_doc_id)
+        for r in duplicate_components(edges).collect()
+    }
+    # 5 is the keeper (min id) and must not appear as a doc_id
+    assert rows == {(7, 5), (9, 5)}
+
+
+# ------------------------------------------------------------- curation
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "s%d" % (i % 3), "word " * (5 + i % 17))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_stratified_split_exact_proportions(spark, docs):
+    out = curation.stratified_split(docs, ["source"], (0.8, 0.1))
+    counts = {
+        (r.source, r.split): r.c
+        for r in out.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        assert counts[(s, "train")] == 80
+        assert counts[(s, "valid")] == 10
+        assert counts[(s, "test")] == 10
+
+
+def test_stratified_split_deterministic(spark, docs):
+    a = curation.stratified_split(docs, ["source"]).collect()
+    b = curation.stratified_split(docs, ["source"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # different seed moves at least one row across splits
+    c = curation.stratified_split(docs, ["source"], seed=7).collect()
+    assign_a = {r.doc_id: r.split for r in a}
+    assign_c = {r.doc_id: r.split for r in c}
+    assert assign_a != assign_c
+
+
+def test_pack_sequences_bin_invariants(spark, docs):
+    with_tokens = docs.withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
+    )
+    packed = curation.pack_sequences(with_tokens, budget_tokens=64)
+    rows = packed.collect()
+    # bin ids contiguous from 0 per group; start offset within budget
+    by_group: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.bin_start_offset < 64
+        by_group.setdefault(r.source, []).append(r.bin_id)
+    for bins in by_group.values():
+        bs = sorted(set(bins))
+        assert bs == list(range(len(bs)))
+    # total tokens conserved
+    total = sum(r.n_tokens for r in rows)
+    assert total == with_tokens.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_quality_filter_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is that good for now"),
+            (2, "x"),
+            (3, ",,,,.... !!!! ;;;; ???? " * 5),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.keep for r in curation.quality_filter(df).collect()}
+    assert out[1] is True
+    assert out[2] is False  # too short
+    assert out[3] is False  # punctuation soup

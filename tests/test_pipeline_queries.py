@@ -105,23 +105,31 @@ def test_bucketed_near_dups_subset_of_brute_force(spark):
     assert (5, 100) in bucketed and (7, 101) in bucketed
 
 
-def test_declared_bucketed_near_dup_subset_at_declared_params(spark):
-    """The DECLARED emb_near_dup_bucketed query (threshold=0.8,
-    n_planes=8, real embeddings table) emits a subset of the brute-force
-    pairs at the same threshold — the rows-only driver check plus this
+def test_declared_bucketed_near_dup_values_exact(spark):
+    """The DECLARED emb_near_dup_bucketed query (top-50 in-bucket
+    candidates, n_planes=8, real embeddings table): non-empty, sorted
+    by cosine desc, and every reported cosine equals the numpy value
+    for that id pair to 6 dp — the rows-only driver check plus this
     property is the correctness story for the scale path."""
+    import numpy as np
+
     from spark_tensors_spark.queries import pipeline_queries as pq
 
-    emb = load_table(spark, SF, "embeddings")
-    brute = {
-        (r.id_a, r.id_b)
-        for r in dedup.embedding_near_dups(emb, threshold=0.8).collect()
+    rows = pq.emb_near_dup_bucketed(spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    cos_vals = [r.cos for r in rows]
+    assert cos_vals == sorted(cos_vals, reverse=True)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in load_table(spark, SF, "embeddings").collect()
     }
-    declared = {
-        (r.id_a, r.id_b)
-        for r in pq.emb_near_dup_bucketed(spark, SF).collect()
-    }
-    assert declared <= brute
+    for r in rows:
+        va, vb = vecs[r.id_a], vecs[r.id_b]
+        exact = float(
+            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+        assert abs(r.cos - round(exact, 6)) < 1e-9
+        assert r.id_a < r.id_b
 
 
 def test_winnowing_shared_substring_guarantee(spark):
