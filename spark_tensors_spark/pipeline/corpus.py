@@ -1,0 +1,152 @@
+"""Corpus-level text analysis: word n-grams, benchmark decontamination,
+TF-IDF term scoring, within-document repetition stats, corpus n-gram
+counts (north-star M4 — the analysis passes a pre-training corpus gets
+between dedup and packing).
+
+Everything is pure Spark SQL (codegen, scan-side n-gram expansion) plus
+ordinary shuffled aggregates — no Python in any hot path.  The one
+broadcast is the benchmark n-gram set in :func:`decontaminate`, which is
+small by construction (eval suites are MBs, the corpus is the 100 TB
+side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_tensors_spark.pipeline.text import tokens_col
+
+
+def word_ngrams_col(
+    text: Column | str = "text", n: int = 3
+) -> Column:
+    """Space-joined word n-grams of the whitespace tokens; empty array
+    when the document has fewer than ``n`` tokens."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the
+    benchmark set (the standard eval-decontamination rule: drop training
+    docs that could leak test data).
+
+    The benchmark n-gram set is broadcast — eval suites are tiny next to
+    the corpus — so the corpus side is one scan + one broadcast
+    left-semi join; no shuffle of corpus data at all.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams_col(text_col, n)).alias("g")
+        )
+        .distinct()
+    )
+    hit_ids = (
+        corpus.select(
+            F.col(id_col), F.explode(word_ngrams_col(text_col, n)).alias("g")
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per group by summed TF-IDF
+    (idf = ln(N_docs / doc_freq), natural log, 6-dp rounded score).
+
+    Two aggregates (doc-frequency over distinct (doc, term); term
+    frequency per group) + one broadcast of the 1-row corpus size — the
+    100 TB plan is two shuffles keyed on the term.
+    """
+    tok = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = (
+        tok.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = tok.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "rk", "term", "tf", "df", "tfidf")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document repeated-n-gram fraction (1 − distinct/total — the
+    Gopher-style repetition quality signal), computed entirely inside
+    the row's token array: zero shuffle, scan-side codegen."""
+    grams = word_ngrams_col(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(
+        total > 0, 1.0 - distinct.cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return docs.withColumn("n_ngrams", total.cast("long")).withColumn(
+        "dup_frac", F.round(dup_frac, 6)
+    )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by count (ties broken
+    lexicographically) — one partial-agg shuffle + TakeOrdered."""
+    return (
+        docs.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("gram"))
+        .limit(k)
+    )

@@ -1,0 +1,256 @@
+"""Product quantization (PQ) for embedding compression + ADC search
+(north-star M4): split each d-dim vector into ``m`` subvectors, k-means
+each subspace to ``n_codes`` centroids, store each vector as ``m``
+byte-sized codes (d×4 bytes → m bytes: 32× compression at d=64, m=8).
+
+Distributed shape (Jégou et al., "Product Quantization for Nearest
+Neighbor Search" — the IVF-ADC paper; codebook training mirrors
+:func:`spark_tensors_spark.pipeline.similarity.ivf_index`):
+
+- **Train**: seeds are the ``n_codes`` hash-smallest vectors sliced per
+  subspace (deterministic, no RNG state on executors).  Each Lloyd
+  iteration = one Arrow pass assigning all m subspaces at once
+  (per-partition argmin against the (m, n_codes, dsub) codebook tensor)
+  + ONE (subspace, code, dim) grouped-sum shuffle for the update — the
+  codebook is O(m · n_codes · dsub) = O(d · n_codes), driver-scale at
+  any corpus size.
+- **Encode**: one Arrow pass → (id, array<codes>).  This is the 100 TB
+  artifact: the codes table is ~m bytes/vector.
+- **ADC top-k**: each query precomputes its (m, n_codes) distance table;
+  scanning the codes table is a numpy gather+sum per partition with
+  per-partition top-k truncation — same never-shuffle-the-score-matrix
+  shape as similarity.cosine_topk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_tensors_spark.pipeline.similarity import (
+    _collect_queries_guarded,
+)
+
+
+def _subspace_views(mat: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) → (m, n, dsub) without copying when d % m == 0."""
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return mat.reshape(n, m, dsub).transpose(1, 0, 2)
+
+
+def _assign_codes(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) × (m, n_codes, dsub) → (n, m) argmin-L2 codes."""
+    subs = _subspace_views(mat, codebooks.shape[0])  # (m, n, dsub)
+    codes = np.empty((mat.shape[0], codebooks.shape[0]), dtype=np.int64)
+    for j in range(codebooks.shape[0]):
+        x, c = subs[j], codebooks[j]
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks; returns ndarray (m, n_codes, dsub)."""
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_codes)
+        .collect()
+    )
+    seed_m = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
+    )
+    dim = seed_m.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    codebooks = np.ascontiguousarray(_subspace_views(seed_m, m))
+
+    pts = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    for _ in range(lloyd_iters):
+        cb = codebooks  # bind current iteration's codebooks
+
+        def assign_explode(it, cb=cb):
+            # emit (subspace, code, dim_in_sub, partial sum, count) —
+            # pre-aggregated per Arrow batch so the shuffle carries
+            # O(m · n_codes · dsub) rows per batch, not per vector
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                codes = _assign_codes(mat, cb)
+                subs = _subspace_views(mat, cb.shape[0])
+                rows = []
+                for j in range(cb.shape[0]):
+                    for code in np.unique(codes[:, j]):
+                        sel = subs[j][codes[:, j] == code]
+                        s = sel.sum(axis=0)
+                        for i in range(cb.shape[2]):
+                            rows.append(
+                                (j, int(code), i, float(s[i]), len(sel))
+                            )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["subspace", "code", "i", "s", "n"],
+                )
+
+        agg = (
+            pts.mapInPandas(
+                assign_explode,
+                "subspace long, code long, i long, s double, n long",
+            )
+            .groupBy("subspace", "code", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new_cb = codebooks.copy()
+        sums = np.zeros_like(codebooks)
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in agg:
+            sums[r["subspace"], r["code"], r["i"]] = r["s"]
+            counts[r["subspace"], r["code"]] = r["n"]
+        nonempty = counts > 0
+        for j in range(m):
+            for c in range(n_codes):
+                if nonempty[j, c]:
+                    new_cb[j, c] = sums[j, c] / counts[j, c]
+        codebooks = new_cb
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame(id, codes array<long>) — the compressed corpus."""
+
+    def encode(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = _assign_codes(mat, codebooks)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "codes": list(codes)}
+            )
+
+    return (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(encode, "_id long, codes array<long>")
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): exact query
+    subvectors against quantized corpus codes.  Per partition: one
+    numpy gather+sum over the codes matrix, per-partition top-k
+    truncation, global rank finalization — identical scale shape to the
+    exact path, but the scan reads m codes/vector instead of d floats."""
+    qrows = _collect_queries_guarded(queries, query_id_col, query_vec_col)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    m, n_codes, dsub = codebooks.shape
+    # distance tables: (nq, m, n_codes) — ‖q_sub − codeword‖² per cell
+    qs = _subspace_views(qm, m)  # (m, nq, dsub)
+    tables = np.stack(
+        [
+            (qs[j][:, None, :] - codebooks[j][None, :, :]) ** 2
+            for j in range(m)
+        ],
+        axis=1,
+    ).sum(axis=3)  # (nq, m, n_codes)
+
+    codes_df = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def partition_topk(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (nc, m)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                # gather: Σ_j table[qi, j, codes[:, j]]
+                d2 = tables[qi][np.arange(m)[:, None], codes.T].sum(axis=0)
+                d2 = np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+                mask = c_ids != q_ids[qi]
+                ids_m, row_m = c_ids[mask], d2[mask]
+                order = np.lexsort((ids_m, row_m))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids_m[order].tolist())
+                out_d.extend(row_m[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "nn_id": out_n, "adc_dist": out_d}
+            )
+
+    scored = codes_df.mapInPandas(
+        partition_topk, "query_id long, nn_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def quantization_error(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error over the corpus (one Arrow
+    pass emitting per-batch partials, one tiny agg)."""
+
+    def err(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = _assign_codes(mat, codebooks)
+            m = codebooks.shape[0]
+            recon = np.concatenate(
+                [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            se = ((mat - recon) ** 2).sum()
+            yield pd.DataFrame({"se": [se], "n": [len(mat)]})
+
+    tot = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(err, "se double, n long")
+        .agg(F.sum("se").alias("se"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(tot["se"] / max(tot["n"], 1))

@@ -27,6 +27,32 @@ from pyspark.sql.window import Window
 from spark_tensors_spark.functions.columns import cosine_col
 from spark_tensors_spark.functions.init import _hash_uniform
 
+# Hard cap on the query matrix collected into the task closure — at
+# d=64 float64 this is ~50 MB, the sensible broadcast ceiling.  The
+# exact-topk shape is "few queries × huge corpus"; beyond the cap the
+# caller must use the bucketed paths (lsh_bucketed_topk / ivf_topk),
+# whose cost does not grow with a driver-side collect.
+MAX_DRIVER_QUERY_ROWS = 100_000
+
+
+def _collect_queries_guarded(
+    queries: DataFrame, query_id_col: str, query_vec_col: str
+):
+    """Collect query rows with a bounded limit — fails fast (before any
+    OOM) if the query set exceeds MAX_DRIVER_QUERY_ROWS."""
+    rows = (
+        queries.select(F.col(query_id_col), F.col(query_vec_col))
+        .limit(MAX_DRIVER_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query set exceeds {MAX_DRIVER_QUERY_ROWS} rows; use "
+            "lsh_bucketed_topk or ivf_topk for large query sets "
+            "(exact_topk collects queries into the task closure)"
+        )
+    return rows
+
 
 def cosine_topk(
     emb: DataFrame,
@@ -48,9 +74,9 @@ def cosine_topk(
     global window then finalizes exact ranks (per-partition truncation
     cannot evict a global top-k row: its ≥k better rows travel too).
     """
-    qrows = queries.select(
-        F.col(query_id_col), F.col(query_vec_col)
-    ).collect()
+    qrows = _collect_queries_guarded(
+        queries, query_id_col, query_vec_col
+    )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -108,9 +134,9 @@ def l2_topk(
     per-partition matmul shape as :func:`cosine_topk` (‖q−c‖² =
     ‖q‖² − 2q·c + ‖c‖², one GEMM per partition), ranked by distance
     ascending with nn_id tie-break."""
-    qrows = queries.select(
-        F.col(query_id_col), F.col(query_vec_col)
-    ).collect()
+    qrows = _collect_queries_guarded(
+        queries, query_id_col, query_vec_col
+    )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     q_sq = (qm * qm).sum(axis=1)

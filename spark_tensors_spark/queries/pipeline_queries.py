@@ -137,6 +137,23 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (m=8 subspaces × 16 codes = 32×
+    compression at d=64): codebooks trained by distributed Lloyd, corpus
+    scanned as codes, asymmetric distances via table gather — rows-only
+    (codebooks are engine-specific); recall + reconstruction-error
+    properties are pinned in tests/test_pq.py."""
+    from spark_tensors_spark.pipeline import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.pq_train(emb, m=8, n_codes=16, lloyd_iters=1)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq.pq_topk(emb, queries, cb, k=5).orderBy("query_id", "rk")
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -285,6 +302,64 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination accounting: docs with doc_id % 97 == 0
+    stand in for the benchmark suite; corpus docs sharing any word
+    3-gram with it are flagged (broadcast of the benchmark n-gram set —
+    the corpus side never shuffles)."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        C.decontaminate(corp, bench, n=3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per source by summed TF-IDF (natural-log idf,
+    ranked on the 6-dp-rounded score, ties broken by term)."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, k=10).orderBy("source", "rk")
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per-source mean/max repeated
+    3-gram fraction and the count of repetitive docs — all computed
+    inside each row's token array (zero pre-agg shuffle)."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.repetition_stats(docs, n=3)
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+            F.sum((F.col("dup_frac") > 0.1).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (count desc, gram asc) — the
+    classic n-gram count, partial-agg + TakeOrdered."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.ngram_topk(docs, n=3, k=20)
+
+
 # ---------------------------------------------------------------- rows-only
 # (engine-specific signatures; semantics pytest-covered, no SQL oracle)
 
@@ -352,9 +427,14 @@ QUERIES = {
     "doc_stratified_split": doc_stratified_split,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_filter": doc_quality_filter,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_ngram_topk": doc_ngram_topk,
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
+    "emb_pq_topk": emb_pq_topk,
 }
 
 _SHINGLES = (
@@ -382,6 +462,21 @@ sigs AS (
 """
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# word trigrams per doc (matches corpus.word_ngrams_col at n=3)
+_GRAMS_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENS} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                              i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [] END AS gs
+    FROM toks
+)
+"""
 _STOP_EN = "('the','and','of','to','a','in','is','it','that','for')"
 _STOP_DE = "('der','die','das','und','ist','ein','zu','mit','von','nicht')"
 _STOP_FR = "('le','la','les','et','est','un','une','de','que','pour')"
@@ -705,6 +800,63 @@ ORACLES = {
         FROM q
         GROUP BY 1, 2 ORDER BY source, keep
     """,
+    "doc_decontaminate": _GRAMS_CTE
+    + """, bench AS (
+            SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id % 97 = 0
+        ),
+        hits AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, UNNEST(gs) AS g FROM grams
+                  WHERE doc_id % 97 <> 0) c
+            JOIN bench USING (g)
+        )
+        SELECT d.source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 97 <> 0
+        GROUP BY d.source ORDER BY d.source""",
+    "doc_tfidf_top_terms": _GRAMS_CTE
+    + """, tok AS (SELECT source, doc_id, UNNEST(tk) AS term FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dft AS (
+            SELECT term, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        ),
+        tf_t AS (
+            SELECT source, term, COUNT(*) AS tf
+            FROM tok GROUP BY source, term
+        ),
+        scored AS (
+            SELECT source, term, tf, df,
+                   ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf_t JOIN dft USING (term) CROSS JOIN nd
+        )
+        SELECT source, rk, term, tf, df, tfidf FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 10 ORDER BY source, rk""",
+    "doc_repetition_stats": _GRAMS_CTE
+    + """, d AS (
+            SELECT source,
+                   CASE WHEN len(gs) > 0 THEN
+                       ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                             / len(gs), 6)
+                   ELSE 0.0 END AS dup
+            FROM grams
+        )
+        SELECT source,
+               ROUND(AVG(dup), 6) AS avg_dup_frac,
+               ROUND(MAX(dup), 6) AS max_dup_frac,
+               SUM(CASE WHEN dup > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+        FROM d GROUP BY source ORDER BY source""",
+    "doc_ngram_topk": _GRAMS_CTE
+    + """ SELECT gram, c FROM (
+            SELECT gram, COUNT(*) AS c
+            FROM (SELECT UNNEST(gs) AS gram FROM grams)
+            GROUP BY gram
+        ) ORDER BY c DESC, gram ASC LIMIT 20""",
     "emb_near_dup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(

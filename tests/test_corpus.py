@@ -1,0 +1,93 @@
+"""Fixture-level semantics for the corpus-analysis operators
+(decontamination, TF-IDF, repetition, n-gram counts); the declared-query
+oracles in test_pipeline_queries.py pin engine parity at SF."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.pipeline import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e", "s0"),
+        (2, "x y z a b", "s0"),      # shares trigram with nothing (no 3-run)
+        (3, "c d e f g", "s1"),      # shares trigram "c d e" with doc 1
+        (4, "q r", "s1"),            # too short for trigrams
+        (5, "m m m m m", "s1"),      # maximally repetitive
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_word_ngrams_basic(spark, docs):
+    got = {
+        r.doc_id: r.gs
+        for r in docs.select(
+            "doc_id", C.word_ngrams_col("text", 3).alias("gs")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d", "c d e"]
+    assert got[4] == []
+    assert got[5] == ["m m m"] * 3
+
+
+def test_decontaminate_flags_shared_trigrams(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corp = docs.filter(F.col("doc_id") != 1)
+    flags = {
+        r.doc_id: r.contaminated
+        for r in C.decontaminate(corp, bench, n=3).collect()
+    }
+    # doc 3 shares "c d e"; docs 2/4/5 share no trigram with doc 1
+    assert flags == {2: False, 3: True, 4: False, 5: False}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corp = docs.filter(F.col("doc_id") != 1)
+    plan = C.decontaminate(corp, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_scores_match_hand_computation(spark, docs):
+    out = C.tfidf_top_terms(docs, k=50).collect()
+    by_key = {(r.source, r.term): r for r in out}
+    # term "a" appears in docs 1,2 → df=2, N=5; tf in s0 = 2
+    r = by_key[("s0", "a")]
+    assert r.tf == 2 and r.df == 2
+    assert r.tfidf == round(2 * math.log(5 / 2), 6)
+    # term "m": df=1, tf in s1 = 5
+    r = by_key[("s1", "m")]
+    assert r.tfidf == round(5 * math.log(5 / 1), 6)
+    # ranks are 1..k contiguous per source, sorted by score desc
+    for src in ("s0", "s1"):
+        rows = sorted(
+            (r for r in out if r.source == src), key=lambda r: r.rk
+        )
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.tfidf for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_repetition_stats_values(spark, docs):
+    out = {
+        r.doc_id: (r.n_ngrams, r.dup_frac)
+        for r in C.repetition_stats(docs, n=3).collect()
+    }
+    assert out[1] == (3, 0.0)          # all trigrams distinct
+    assert out[4] == (0, 0.0)          # too short → defined as 0
+    assert out[5] == (3, round(1 - 1 / 3, 6))  # "m m m" ×3 → 1 distinct
+
+
+def test_ngram_topk_counts_and_ties(spark, docs):
+    rows = C.ngram_topk(docs, n=3, k=3).collect()
+    # "c d e" (docs 1,3) and "m m m" (×3 in doc 5) lead
+    assert rows[0].gram == "m m m" and rows[0].c == 3
+    assert rows[1].gram == "c d e" and rows[1].c == 2
+    # remaining all count 1 → lexicographically smallest gram third
+    assert rows[2].c == 1
