@@ -55,6 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
+    """Round-robin repartition when the scan is coarser than the
+    cluster (small files collapse to one split, serializing every
+    CPU-heavy stage built on top — MinHash, n-gram explode, Arrow
+    UDFs).  A no-op at scale: real datasets scan as thousands of
+    splits, so the guard never fires and no shuffle is added."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -103,10 +103,20 @@ def build_dictionaries(
         triples.select(F.col("o").alias("uri"))
     )
     relations = triples.select(F.col("p").alias("uri"))
-    return (
-        assign_ids(entities, num_partitions=num_partitions),
-        assign_ids(relations, num_partitions=num_partitions),
-    )
+    # each assign_ids runs two sequential driver actions (boundary
+    # sample, bucket counts); submitting both builds from separate
+    # driver threads lets the scheduler overlap their jobs — Spark job
+    # submission is thread-safe, and the builds share no state
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_e = ex.submit(
+            assign_ids, entities, num_partitions=num_partitions
+        )
+        fut_r = ex.submit(
+            assign_ids, relations, num_partitions=num_partitions
+        )
+        return fut_e.result(), fut_r.result()
 
 
 def encode_triples(

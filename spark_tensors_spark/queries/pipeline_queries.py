@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.io.readers import ensure_scan_parallelism, load_table
 from spark_tensors_spark.pipeline import dedup, similarity, text
 from spark_tensors_spark.pipeline.dedup import MERSENNE_P, MINHASH_PARAMS
 
@@ -53,6 +53,7 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIGS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        docs = ensure_scan_parallelism(docs)
         _SIGS_CACHE[key] = dedup.minhash_signatures(docs).persist()
     return _SIGS_CACHE[key]
 
@@ -291,6 +292,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import curation
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         curation.quality_filter(docs)
         .groupBy("source", "keep")
@@ -310,6 +312,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import corpus as C
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = docs.filter(F.col("doc_id") % 97 != 0)
     return (
@@ -329,6 +332,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import corpus as C
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return C.tfidf_top_terms(docs, k=10).orderBy("source", "rk")
 
 
@@ -339,6 +343,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import corpus as C
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         C.repetition_stats(docs, n=3)
         .groupBy("source")
@@ -357,6 +362,7 @@ def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import corpus as C
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return C.ngram_topk(docs, n=3, k=20)
 
 
@@ -375,6 +381,7 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIMHASH_CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        docs = ensure_scan_parallelism(docs)
         _SIMHASH_CACHE[key] = dedup.simhash64(docs).persist()
     return _SIMHASH_CACHE[key]
 

@@ -320,6 +320,62 @@ def q13_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + total price per priority, one column pair
+    per order status (fixed value list so the output schema is static —
+    the deployable form of pivot at any scale: one partial-agg shuffle,
+    no second pass to discover values)."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in statuses:
+        cols.append(
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(
+                f"total_{s.lower()}"
+            )
+        )
+    return out.select(*cols).orderBy("o_orderpriority")
+
+
+def q15_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions per customer order history: lag /
+    lead / ntile / cumulative share — one shuffle on the partition key,
+    rows ordered uniquely by (date, key) so results are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        orders.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.round(
+                F.coalesce(F.lag("o_totalprice").over(w), F.lit(-1.0)), 6
+            ).alias("prev_price"),
+            F.round(
+                F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)), 6
+            ).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(
+                F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 6
+            ).alias("share"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_region_nation_rollup": q2_region_nation_rollup,
@@ -340,9 +396,42 @@ QUERIES = {
     "q12_scalar_belt": q12_scalar_belt,
     "q12_dates": q12_dates,
     "q13_time_buckets": q13_time_buckets,
+    "q14_pivot": q14_pivot,
+    "q15_window_nav": q15_window_nav,
 }
 
 ORACLES = {
+    "q14_pivot": """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN o_totalprice END), 0), 6) AS total_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN o_totalprice END), 0), 6) AS total_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN o_totalprice END), 0), 6) AS total_p
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q15_window_nav": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice, 6) AS price,
+               ROUND(COALESCE(LAG(o_totalprice) OVER w, -1.0), 6)
+                   AS prev_price,
+               ROUND(COALESCE(LEAD(o_totalprice) OVER w, -1.0), 6)
+                   AS next_price,
+               NTILE(4) OVER w AS quartile,
+               ROUND(o_totalprice
+                     / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+                   AS share
+        FROM orders
+        WHERE o_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 6) AS sum_qty,

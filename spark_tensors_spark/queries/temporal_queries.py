@@ -140,14 +140,108 @@ ORDER BY l.event_id
 """
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click-after-view →
+    purchase-after-click within 24 h of first view): the product-analytics
+    staple.  Two window passes over one (user_id) shuffle — each event
+    row carries the min qualifying prior-stage timestamp, so no
+    self-joins and no per-user collect; the oracle states the same
+    funnel as min-timestamp joins."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "tv",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w_prev),
+    )
+    s2 = s1.withColumn(
+        "tcav",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("tv").isNotNull()
+                & (F.col("ts") > F.col("tv")),
+                F.col("ts"),
+            )
+        ).over(w_prev),
+    )
+    flags = s2.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("viewed"),
+        F.max(
+            (
+                (F.col("event_type") == "click")
+                & F.col("tv").isNotNull()
+                & (F.col("ts") > F.col("tv"))
+            ).cast("int")
+        ).alias("clicked"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("tcav").isNotNull()
+                & (F.col("ts") > F.col("tcav"))
+                & (
+                    F.col("ts")
+                    <= F.col("tv") + F.expr("INTERVAL 24 HOUR")
+                )
+            ).cast("int")
+        ).alias("purchased"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked"),
+        F.sum("purchased").alias("n_purchased"),
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+    SELECT user_id, MIN(ts) AS tv
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS tc
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.tv
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id
+    FROM events e
+    JOIN c ON e.user_id = c.user_id
+    JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.tc
+      AND e.ts <= v.tv + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM u) AS n_users,
+       (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased
+"""
+
+
 QUERIES = {
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
     "ev_range_click_stats_left": ev_range_click_stats_left,
+    "ev_funnel": ev_funnel,
 }
 
 ORACLES = {
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
     "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
+    "ev_funnel": EV_FUNNEL_SQL,
 }
