@@ -27,6 +27,7 @@ def _registry():
     # imports are intentionally NOT guarded: a broken module must fail
     # the whole registry loudly, not silently shrink the query surface
     from spark_tensors_spark.queries import (
+        graph_queries,
         kg,
         mlops,
         multimodal_queries,
@@ -40,6 +41,7 @@ def _registry():
     modules = [
         relational,
         kg,
+        graph_queries,
         mlops,
         pipeline_queries,
         streaming_queries,

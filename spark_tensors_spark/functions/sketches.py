@@ -1,0 +1,156 @@
+"""Cardinality sketches: a cross-engine-deterministic HyperLogLog.
+
+``approx_count_distinct`` already gives Spark users an HLL, but its
+register hashing is engine-private, so its estimates can never be
+checked against another engine.  This module builds the *same* HLL
+(Flajolet et al. 2007) from portable primitives — md5 for the hash,
+pure integer arithmetic for register index and rank — so DuckDB
+reproduces every register and therefore the exact estimate.  That makes
+the sketch itself oracle-checkable, not just "within error bounds".
+
+Scale shape: one scan projecting (register, rank), a groupBy(register)
+max — partial-aggregated map-side to ≤ m rows per group key — then a
+tiny final agg.  At 100 TB the shuffle carries at most ``m`` rows per
+grouping key; the sketch *is* the aggregation state.
+
+The estimator uses the standard bias-corrected harmonic mean with the
+small-range (linear counting) correction.  ``2^-rank`` terms are exact
+binary fractions, so the register sum is order-independent; the final
+``ln``/division are one libm call on matching IEEE doubles — results
+are rounded by the caller (4 dp in the declared query) far above ulp
+noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash from the md5 hex prefix: 15 hex digits keeps the value
+# positive in a signed 64-bit BIGINT on both engines
+HASH_HEX_DIGITS = 15
+HASH_BITS = 4 * HASH_HEX_DIGITS
+
+
+def portable_hash60_col(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash of a string column — identical
+    in Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, HASH_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_register_cols(
+    col: Column | str, p: int = 10
+) -> tuple[Column, Column]:
+    """(register_index, rank) for one row's value.
+
+    register = low ``p`` bits of the hash; rank = position of the
+    highest set bit in the remaining ``HASH_BITS - p`` bits, counted
+    from the top (1-based), or that width + 1 if they are all zero —
+    i.e. leading zeros + 1, the classic HLL rho.
+    """
+    h = portable_hash60_col(col)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    reg = (h % m).alias("hll_reg")
+    # h >> p, NOT h/m: float division would round away the low bits of a
+    # 60-bit hash (doubles carry 53).  DuckDB's `//` is exact BIGINT math.
+    w = F.shiftright(h, p)
+    # rho via an integer comparison ladder (no log2 — floor(log2(w))
+    # is exact integer logic, immune to libm rounding at 2^k edges):
+    # rho = w_bits - floor(log2(w)) for w > 0, else w_bits + 1
+    rho = F.lit(w_bits + 1)
+    for bits in range(1, w_bits + 1):
+        # w >= 2^(bits-1) ⇒ floor(log2 w) >= bits-1 ⇒ rho <= w_bits-bits+1
+        rho = F.when(w >= (1 << (bits - 1)), F.lit(w_bits - bits + 1)).otherwise(
+            rho
+        )
+    return reg, rho.alias("hll_rho")
+
+
+def hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(
+    df: DataFrame, value_col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: DataFrame(*group_cols,
+    hll_estimate).  Deterministic — any engine implementing the same
+    register math produces the identical float."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    reg, rho = hll_register_cols(value_col, p)
+    registers = (
+        df.select(*group_cols, reg, rho)
+        .groupBy(*group_cols, "hll_reg")
+        .agg(F.max("hll_rho").alias("max_rho"))
+    )
+    sums = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("occupied_sum"),
+        F.count(F.lit(1)).alias("n_occupied"),
+    )
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    s = F.col("occupied_sum") + (F.lit(m) - F.col("n_occupied"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("n_occupied")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return sums.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_oracle_sql(
+    source_sql: str, value_expr: str, group_cols: list[str], p: int = 10
+) -> str:
+    """DuckDB SQL computing the identical estimate over
+    ``source_sql`` (a relation producing ``group_cols`` + the value)."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    alpha = hll_alpha(m)
+    groups = ", ".join(group_cols)
+    rho_cases = " ".join(
+        # descending so the first true WHEN is the highest set bit
+        f"WHEN w >= {1 << (bits - 1)} THEN {w_bits - bits + 1}"
+        for bits in range(w_bits, 0, -1)
+    )
+    return f"""
+WITH hashed AS (
+    SELECT {groups},
+           CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
+                 {HASH_HEX_DIGITS})) AS BIGINT) AS h
+    FROM ({source_sql})
+),
+regs AS (
+    SELECT {groups}, h % {m} AS hll_reg,
+           MAX(CASE {rho_cases} ELSE {w_bits + 1} END) AS max_rho
+    FROM (SELECT {groups}, h, h // {m} AS w FROM hashed)
+    GROUP BY {groups}, hll_reg
+),
+sums AS (
+    SELECT {groups},
+           SUM(POWER(2.0, -max_rho)) AS occupied_sum,
+           COUNT(*) AS n_occupied
+    FROM regs GROUP BY {groups}
+)
+SELECT {groups},
+       CASE WHEN ({alpha * m * m} / (occupied_sum + ({m} - n_occupied)))
+                 <= {2.5 * m}
+            AND ({m} - n_occupied) > 0
+            THEN {float(m)} * LN({float(m)} / ({m} - n_occupied))
+            ELSE {alpha * m * m} / (occupied_sum + ({m} - n_occupied))
+       END AS hll_estimate
+FROM sums
+"""

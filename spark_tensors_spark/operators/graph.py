@@ -1,0 +1,160 @@
+"""Distributed graph analytics over edge lists: triangle counting and
+PageRank — the graph-shaped workloads a KG engine's users run next to
+link prediction (degree analytics already live in `kg_salted_degree`).
+
+Scale design
+------------
+
+**Triangle counting** uses the degree-orientation trick (Suri &
+Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer"):
+orient every undirected edge from its lower-degree endpoint to its
+higher-degree endpoint (ties by id), then count wedges closed by an
+oriented edge.  Each node's oriented out-degree is O(sqrt(m)), so the
+wedge join produces O(m^{3/2}) candidates total instead of
+Σ deg² — the skew-proof plan (a celebrity node with 10M followers
+contributes nothing to the wedge fan-out because its edges all point
+*into* it).  Three shuffles: degree agg, wedge self-join, closing
+semi-join — all equi-joins on node ids, AQE-splittable.
+
+**PageRank** is the textbook power iteration expressed as join+agg per
+round: contributions = ranks ⋈ out-edges grouped by destination.  Each
+round is one shuffle keyed on the destination id; the rank frame is
+``localCheckpoint``-ed so the plan stays O(1) deep across iterations
+(the lesson from the join-merge trainer, ROUND_NOTES r2).  Dangling
+nodes (no out-edges) keep the base (1-d)/N term only — the simplified
+variant every fixed-iteration oracle can reproduce; rank mass is not
+renormalized per round.
+
+Both operators take an explicit edge DataFrame, so any query-layer
+graph (KG adjacency, co-occurrence, LSH candidate pairs) plugs in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Canonical undirected simple edges: (u < v), self-loops dropped,
+    duplicates collapsed — the normal form both graph operators expect."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph: DataFrame(node, n_triangles), nodes in ≥1 triangle only.
+
+    ``edges`` must be in :func:`undirect_edges` normal form (u < v,
+    no loops, no dups).
+    """
+    e = undirect_edges(edges)
+
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    # orient a→b iff (deg(a), a) < (deg(b), b): the lower-degree endpoint
+    # owns the edge, so out-degree is bounded by O(sqrt(m))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+
+    # wedges a→b, a→c (b < c so each unordered wedge appears once); the
+    # closing edge b–c is canonical (b < c) by construction, so a plain
+    # equi-join against the undirected edge list closes the triangle
+    w1 = oriented.select(F.col("a"), F.col("b"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    triangles = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+    )
+
+    per_corner = (
+        triangles.select(F.col("a").alias("node"))
+        .unionByName(triangles.select(F.col("b").alias("node")))
+        .unionByName(triangles.select(F.col("c").alias("node")))
+    )
+    return per_corner.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (duplicates
+    collapsed): DataFrame(node, rank) over all nodes appearing as source
+    or destination.  ``rank`` sums contributions only (dangling mass is
+    not redistributed), matching the unrolled-SQL oracle form.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()  # also truncates lineage for the loop below
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # (node, outdeg) is reused every iteration — keep it materialized
+    base = nodes.join(outdeg, "node", "left").localCheckpoint()
+
+    ranks = base.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.filter(F.col("outdeg").isNotNull())
+            .join(e, ranks.node == e.s)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks.select("node", "rank")

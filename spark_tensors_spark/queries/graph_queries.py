@@ -1,0 +1,144 @@
+"""Graph-analytics queries: PageRank over the KG adjacency and triangle
+counting over the order co-purchase graph (operators/graph.py).
+
+Both are oracled: PageRank's fixed-iteration power method unrolls into
+chained CTEs; triangle counting's degree-oriented plan is result-equal
+to the canonical u<v<w three-way self-join the oracle states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.operators.graph import pagerank, triangle_counts
+from spark_tensors_spark.queries.kg import TRIPLES_CTE, _encoded
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the encoded KG edge list (s_id → o_id).  Ranks are
+    scaled by N (mean 1.0) and rounded to 4 dp — well above float
+    accumulation noise, well below rank resolution."""
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    edges = enc.select("s_id", "o_id")
+    ranks = pagerank(
+        edges, "s_id", "o_id", iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    n = ranks.count()
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.round(F.col("rank") * n, 4).alias("rank_scaled"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _pagerank_oracle() -> str:
+    # float constants are CAST(… AS DOUBLE): bare literals are DECIMAL
+    # in DuckDB, whose exact-decimal division differs from the IEEE
+    # double ops the Spark side performs.  The repr of (1-d) reproduces
+    # Python's 0.15000000000000002 so both engines share every bit.
+    n_expr = "(SELECT COUNT(*) FROM nodes)"
+    d = f"CAST({PR_DAMPING!r} AS DOUBLE)"
+    base = f"CAST({(1.0 - PR_DAMPING)!r} AS DOUBLE) / {n_expr}"
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERATIONS + 1):
+        its.append(
+            f"""r{i} AS (
+    SELECT n.node,
+           {base}
+           + {d} * COALESCE(SUM(p.rank / od.outdeg), 0) AS rank
+    FROM nodes n
+    LEFT JOIN edges e ON e.o_id = n.node
+    LEFT JOIN {prev} p ON p.node = e.s_id
+    LEFT JOIN outdeg od ON od.node = e.s_id
+    GROUP BY n.node
+)"""
+        )
+        prev = f"r{i}"
+    iters_sql = ",\n".join(its)
+    return f"""{TRIPLES_CTE},
+edges AS (SELECT DISTINCT s_id, o_id FROM triples_encoded),
+nodes AS (
+    SELECT s_id AS node FROM edges
+    UNION SELECT o_id FROM edges
+),
+outdeg AS (
+    SELECT s_id AS node, COUNT(*) AS outdeg FROM edges GROUP BY s_id
+),
+r0 AS (
+    SELECT node, CAST(1.0 AS DOUBLE) / {n_expr} AS rank FROM nodes
+),
+{iters_sql}
+SELECT node AS node_id,
+       ROUND(rank * {n_expr}, 4) AS rank_scaled
+FROM {prev}
+ORDER BY node_id
+"""
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 parts by triangle participation in the co-purchase graph
+    (parts linked when they appear in the same order) — the
+    degree-oriented O(m^{3/2}) plan; ties broken by part id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    other = op.select(F.col("ok"), F.col("pk").alias("pk2"))
+    edges = (
+        op.join(other, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("part_id"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part_id")
+        .limit(100)
+    )
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+    SELECT a AS part_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT part_id, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY part_id
+ORDER BY n_triangles DESC, part_id
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "kg_pagerank": kg_pagerank,
+    "graph_triangles": copurchase_triangles,
+}
+
+ORACLES = {
+    "kg_pagerank": _pagerank_oracle(),
+    "graph_triangles": COPURCHASE_TRIANGLES_SQL,
+}

@@ -376,6 +376,52 @@ def q15_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through spark.sql: customers with
+    an urgent order but no low-priority order, counted per nation.
+    Catalyst rewrites the subqueries to semi/anti hash joins — the same
+    physical plan q4/q5 declare explicitly."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+def q17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long) with per-metric stats — `DataFrame.unpivot`
+    maps to a scan-side Expand, no shuffle until the final agg."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    long = part.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "metric", "value"
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .orderBy("metric")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_region_nation_rollup": q2_region_nation_rollup,
@@ -398,9 +444,39 @@ QUERIES = {
     "q13_time_buckets": q13_time_buckets,
     "q14_pivot": q14_pivot,
     "q15_window_nav": q15_window_nav,
+    "q16_exists": q16_exists,
+    "q17_unpivot": q17_unpivot,
 }
 
 ORACLES = {
+    "q16_exists": """
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "q17_unpivot": """
+        WITH long AS (
+            SELECT p_partkey, 'size' AS metric,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice', p_retailprice FROM part
+        )
+        SELECT metric,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 6) AS min_v,
+               ROUND(MAX(value), 6) AS max_v,
+               ROUND(AVG(value), 6) AS avg_v
+        FROM long
+        GROUP BY metric
+        ORDER BY metric
+    """,
     "q14_pivot": """
         SELECT o_orderpriority,
                SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,

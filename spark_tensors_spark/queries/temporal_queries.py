@@ -232,11 +232,94 @@ SELECT (SELECT COUNT(*) FROM u) AS n_users,
 """
 
 
+def ev_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-deterministic HyperLogLog distinct-user estimate per
+    event type, next to the exact count — the sketch registers are
+    portable md5 integer math, so the oracle reproduces the *estimate*
+    itself, not just its error bound (functions/sketches.py)."""
+    from spark_tensors_spark.functions.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("hll_estimate", 4).alias("hll_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_users_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import hll_oracle_sql
+
+    hll = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", "user_id", ["event_type"]
+    )
+    return f"""
+SELECT h.event_type,
+       x.n_exact,
+       ROUND(h.hll_estimate, 4) AS hll_users
+FROM ({hll}) h
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) x
+  ON h.event_type = x.event_type
+ORDER BY h.event_type
+"""
+
+
+def ev_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted in each later week they return.  Two shuffles (per-user
+    cohort, then cohort×offset counts) — the standard product-analytics
+    rollup, linear at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_RETENTION_WEEKLY_SQL = """
+WITH wk AS (
+    SELECT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, wk FROM wk)
+SELECT CAST(c.cohort AS DATE) AS cohort_week,
+       CAST(date_diff('day', c.cohort, a.wk) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM active a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
     "ev_range_click_stats_left": ev_range_click_stats_left,
     "ev_funnel": ev_funnel,
+    "ev_hll_users": ev_hll_users,
+    "ev_retention_weekly": ev_retention_weekly,
 }
 
 ORACLES = {
@@ -244,4 +327,6 @@ ORACLES = {
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
     "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
+    "ev_hll_users": _hll_users_oracle(),
+    "ev_retention_weekly": EV_RETENTION_WEEKLY_SQL,
 }

@@ -1,0 +1,148 @@
+"""Tests for operators/graph.py (triangles, PageRank) and
+functions/sketches.py (cross-engine HLL)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.functions.sketches import hll_estimate
+from spark_tensors_spark.operators.graph import (
+    pagerank,
+    triangle_counts,
+    undirect_edges,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts by enumerating all node triples."""
+    adj = set()
+    nodes = set()
+    for u, v in pairs:
+        if u != v:
+            adj.add((min(u, v), max(u, v)))
+            nodes.update((u, v))
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangles_k4(spark):
+    # K4: every vertex is in C(3,2) = 3 triangles
+    pairs = list(itertools.combinations(range(4), 2))
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_has_none(spark):
+    pairs = [(i, i + 1) for i in range(10)]
+    assert triangle_counts(_edges_df(spark, pairs)).count() == 0
+
+
+def test_triangles_match_brute_force_random(spark):
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    ]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangles_input_form_irrelevant(spark):
+    # duplicates, self-loops, and reversed duplicates must not change
+    # counts (undirect_edges normal form)
+    base = [(0, 1), (1, 2), (0, 2)]
+    noisy = base + [(1, 0), (2, 2), (0, 1), (2, 0)]
+    a = sorted(
+        map(tuple, triangle_counts(_edges_df(spark, base)).collect())
+    )
+    b = sorted(
+        map(tuple, triangle_counts(_edges_df(spark, noisy)).collect())
+    )
+    assert a == b == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_undirect_edges_normal_form(spark):
+    e = undirect_edges(
+        _edges_df(spark, [(2, 1), (1, 2), (3, 3), (1, 2)])
+    ).collect()
+    assert sorted(map(tuple, e)) == [(1, 2)]
+
+
+def test_pagerank_cycle_uniform(spark):
+    # directed n-cycle: uniform rank is the exact fixed point, and the
+    # power iteration preserves it from the uniform start
+    n = 8
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(pairs, "s long, d long")
+    ranks = {r.node: r.rank for r in pagerank(df, "s", "d").collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert v == pytest.approx(1.0 / n, rel=1e-12)
+
+
+def test_pagerank_star_center_dominates(spark):
+    # all leaves point at the hub: hub rank must exceed any leaf's, and
+    # leaves (no in-edges) sit at exactly (1-d)/n
+    n = 10
+    pairs = [(i, 0) for i in range(1, n)]
+    df = spark.createDataFrame(pairs, "s long, d long")
+    ranks = {r.node: r.rank for r in pagerank(df, "s", "d").collect()}
+    leaf = (1 - 0.85) / n
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+    for k in range(1, n):
+        assert ranks[k] == pytest.approx(leaf, rel=1e-12)
+
+
+def test_hll_error_within_bound(spark):
+    # 1.04/sqrt(m) standard error; assert within 4 sigma at m=1024
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("val")
+    )
+    est = hll_estimate(df, "val", ["g"]).collect()[0].hll_estimate
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(1024)
+
+
+def test_hll_insensitive_to_duplication(spark):
+    # the sketch registers are max-aggregated: duplicating every row
+    # must leave the estimate bit-identical
+    df = spark.range(5_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("val")
+    )
+    once = hll_estimate(df, "val", ["g"]).collect()[0].hll_estimate
+    twice = hll_estimate(df.union(df), "val", ["g"]).collect()[0].hll_estimate
+    assert once == twice
+
+
+def test_graph_queries_no_cartesian(spark):
+    import contextlib
+    import io
+
+    from spark_tensors_spark.queries import graph_queries as gq
+    from tests.conftest import SF_SMOKE
+
+    for fn in (gq.QUERIES["graph_triangles"],):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF_SMOKE).explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
