@@ -52,10 +52,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph: DataFrame(node, n_triangles), nodes in ≥1 triangle only.
 
-    ``edges`` must be in :func:`undirect_edges` normal form (u < v,
-    no loops, no dups).
+    ``edges`` is normalized via :func:`undirect_edges` and materialized
+    once — the degree agg, the orientation join, and the closing join
+    all scan it.
     """
-    e = undirect_edges(edges)
+    e = undirect_edges(edges).localCheckpoint()
 
     deg = (
         e.select(F.col("u").alias("node"))
@@ -112,49 +113,58 @@ def pagerank(
     dst: str = "d",
     iterations: int = 5,
     damping: float = 0.85,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (duplicates
     collapsed): DataFrame(node, rank) over all nodes appearing as source
     or destination.  ``rank`` sums contributions only (dangling mass is
     not redistributed), matching the unrolled-SQL oracle form.
     """
+    # pre-partition the loop-invariant frames on their join keys: the
+    # materialized (localCheckpoint) hash partitioning is reused by
+    # every iteration's joins, so the per-round exchanges reduce to the
+    # single contribution shuffle — the difference between 2-3 shuffles
+    # ×iterations and 1
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
-        .persist()
+        .repartition("s")
+        .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint()  # also truncates lineage for the loop below
-    )
-    n = nodes.count()
+    nodes = e.select(F.col("s").alias("node")).unionByName(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    # (node, outdeg) is reused every iteration — keep it materialized
-    base = nodes.join(outdeg, "node", "left").localCheckpoint()
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .repartition("node")
+        .localCheckpoint()
+    )
+    n = base.count()
 
     ranks = base.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ranks.filter(F.col("outdeg").isNotNull())
             .join(e, ranks.node == e.s)
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
         )
-        ranks = (
-            base.join(contrib, "node", "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = base.join(contrib, "node", "left").select(
+            "node",
+            "outdeg",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
         )
-    e.unpersist()
+        # plan growth per round is LINEAR (one join+agg layer), so a
+        # materialization barrier every few rounds is enough to keep
+        # Catalyst costs flat without paying a job per iteration — the
+        # exponential-plan hazard of self-referential updates
+        # (ROUND_NOTES r2) does not apply here
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")

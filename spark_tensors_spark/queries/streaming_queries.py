@@ -106,7 +106,125 @@ def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental corpus-dedup operator (streaming/dedup.py) run
+    through a REAL readStream → foreachBatch pass over the documents
+    table (one availableNow batch here, so the admission set is
+    deterministic and the recursive-CTE oracle can state it: exact
+    md5 keepers minus LSH transitive-component drops).  Multi-batch
+    incremental admission + replay idempotence are pinned by
+    tests/test_streaming_dedup.py."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.dedup import streaming_dedup
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # state/checkpoint persist across invocations by design (that IS the
+    # streaming-state pattern); for a declared query they must be fresh
+    # or the admission set would depend on earlier runs
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    # the file stream source wants a directory; glob-filter it down to
+    # the documents table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = streaming_dedup(
+        stream,
+        state_dir=os.path.join(root, "state"),
+        out_dir=os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    admitted = spark.read.parquet(os.path.join(root, "out"))
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def _doc_stream_dedup_oracle() -> str:
+    from spark_tensors_spark.queries.pipeline_queries import (
+        _MINHASH_COLS,
+        _SHINGLES,
+    )
+
+    return f"""
+WITH RECURSIVE keepers AS (
+    SELECT * FROM documents
+    QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+),
+sh_t AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM keepers
+),
+sigs AS (
+    SELECT doc_id,
+           {_MINHASH_COLS}
+    FROM sh_t
+),
+banded_all AS (
+    SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
+    UNION ALL
+    SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
+    UNION ALL
+    SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
+    UNION ALL
+    SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+),
+banded AS (
+    SELECT * FROM banded_all
+    QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
+),
+pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, seen) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT r.node, e.v
+    FROM reach r JOIN edges e ON e.u = r.seen
+),
+dropped AS (
+    SELECT node AS doc_id FROM reach
+    GROUP BY node HAVING MIN(seen) <> node
+)
+SELECT k.source,
+       COUNT(*) AS n_admitted,
+       MIN(k.doc_id) AS min_id,
+       MAX(k.doc_id) AS max_id
+FROM keepers k
+LEFT JOIN dropped d ON k.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+GROUP BY k.source
+ORDER BY k.source
+"""
+
+
 QUERIES = {
+    "doc_stream_dedup": doc_stream_dedup,
     "ev_tumbling_hour": ev_tumbling_hour,
     "ev_sink_roundtrip": ev_sink_roundtrip,
     "ev_props_json_stats": ev_props_json_stats,
@@ -117,6 +235,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_stream_dedup": _doc_stream_dedup_oracle(),
     "ev_sink_roundtrip": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
