@@ -1,4 +1,5 @@
-"""Cardinality sketches: a cross-engine-deterministic HyperLogLog.
+"""Frequency/cardinality sketches, cross-engine-deterministic:
+HyperLogLog (distinct counts) and count-min (frequency estimates).
 
 ``approx_count_distinct`` already gives Spark users an HLL, but its
 register hashing is engine-private, so its estimates can never be
@@ -7,6 +8,9 @@ checked against another engine.  This module builds the *same* HLL
 pure integer arithmetic for register index and rank — so DuckDB
 reproduces every register and therefore the exact estimate.  That makes
 the sketch itself oracle-checkable, not just "within error bounds".
+The count-min sketch (Cormode & Muthukrishnan 2005) follows the same
+discipline: salted md5 cell hashes, integer counts, so every estimate
+is bit-identical across engines.
 
 Scale shape: one scan projecting (register, rank), a groupBy(register)
 max — partial-aggregated map-side to ≤ m rows per group key — then a
@@ -154,3 +158,90 @@ SELECT {groups},
        END AS hll_estimate
 FROM sums
 """
+
+
+# ------------------------------------------------------------------ count-min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(col: Column | str, depth: int, width: int) -> Column:
+    """Array of (cms_d, cms_col) structs — one sketch cell per hash row.
+
+    Cell hash = portable 60-bit md5 hash of ``"<d>:<value>"``: the depth
+    index is folded into the *input string*, not a separate seed, so any
+    engine with md5 reproduces every cell.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_d"),
+                (portable_hash60_col(F.concat(F.lit(f"{j}:"), s)) % width).alias(
+                    "cms_col"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of ``value_col``: DataFrame(cms_d, cms_col, cnt),
+    at most ``depth × width`` rows regardless of input size.
+
+    Scale shape: one scan exploding ``depth`` cell rows per input row,
+    then a hash aggregate whose map-side partial combine bounds the
+    shuffle at ``depth × width`` rows per input partition — the sketch
+    IS the aggregation state, same as the HLL above.
+    """
+    return (
+        df.select(F.explode(_cms_cells(value_col, depth, width)).alias("cell"))
+        .select("cell.cms_d", "cell.cms_col")
+        .groupBy("cms_d", "cms_col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``:
+    DataFrame(key_col, cms_estimate) with estimate = min over the
+    ``depth`` cells — the classic CMS upper bound (never underestimates).
+
+    The sketch is broadcast (≤ depth×width rows by construction), so the
+    key side never shuffles.
+    """
+    keyed = keys.select(
+        key_col, F.explode(_cms_cells(key_col, depth, width)).alias("cell")
+    ).select(key_col, "cell.cms_d", "cell.cms_col")
+    joined = keyed.join(F.broadcast(sketch), ["cms_d", "cms_col"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate")
+    )
+
+
+def cms_cells_sql(value_expr: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB relation body producing (val, cms_d, cms_col) — one row per
+    (input row, depth) — identical cell math to `_cms_cells`.  Caller
+    wraps it with its source FROM clause via `{src}` substitution."""
+    branches = [
+        f"""SELECT {value_expr} AS val, {j} AS cms_d,
+           CAST(('0x' || substr(md5('{j}:' || CAST({value_expr} AS VARCHAR)),
+                 1, {HASH_HEX_DIGITS})) AS BIGINT) % {width} AS cms_col
+    FROM {{src}}"""
+        for j in range(depth)
+    ]
+    return "\n    UNION ALL\n    ".join(branches)

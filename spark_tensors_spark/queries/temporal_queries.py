@@ -273,6 +273,60 @@ ORDER BY h.event_type
 """
 
 
+def ev_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch frequency estimate, alongside
+    their exact counts (functions/sketches.py count-min).  The sketch is
+    bounded at depth×width rows no matter the input size and the point
+    queries broadcast it, so the heavy-hitter scan is two linear passes
+    with no wide shuffle.  Portable md5 cell hashes make the *estimate*
+    itself oracle-checked (CMS never underestimates; equality with the
+    exact count whenever no cell collides)."""
+    from spark_tensors_spark.functions.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "n_exact", F.col("cms_estimate").alias("cms_est"))
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(20)
+    )
+
+
+def _cms_top_users_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import cms_cells_sql
+
+    cells = cms_cells_sql("user_id")
+    return f"""
+WITH cells AS (
+    {cells.format(src="events")}
+),
+sketch AS (
+    SELECT cms_d, cms_col, COUNT(*) AS cnt FROM cells GROUP BY cms_d, cms_col
+),
+keys AS (SELECT DISTINCT user_id FROM events),
+kcells AS (
+    {cells.format(src="keys")}
+),
+est AS (
+    SELECT k.val AS user_id, MIN(s.cnt) AS cms_est
+    FROM kcells k JOIN sketch s
+      ON k.cms_d = s.cms_d AND k.cms_col = s.cms_col
+    GROUP BY k.val
+),
+exact AS (
+    SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+)
+SELECT e.user_id, x.n_exact, e.cms_est
+FROM est e JOIN exact x ON e.user_id = x.user_id
+ORDER BY e.cms_est DESC, e.user_id
+LIMIT 20
+"""
+
+
 def ev_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     week, counted in each later week they return.  Two shuffles (per-user
@@ -319,6 +373,7 @@ QUERIES = {
     "ev_range_click_stats_left": ev_range_click_stats_left,
     "ev_funnel": ev_funnel,
     "ev_hll_users": ev_hll_users,
+    "ev_cms_top_users": ev_cms_top_users,
     "ev_retention_weekly": ev_retention_weekly,
 }
 
@@ -328,5 +383,6 @@ ORACLES = {
     "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_hll_users": _hll_users_oracle(),
+    "ev_cms_top_users": _cms_top_users_oracle(),
     "ev_retention_weekly": EV_RETENTION_WEEKLY_SQL,
 }

@@ -146,3 +146,67 @@ def test_graph_queries_no_cartesian(spark):
         p = buf.getvalue()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cms_never_underestimates(spark):
+    from spark_tensors_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rng = random.Random(11)
+    # zipf-ish skew: key k appears ~ 200/k times
+    rows = [(f"k{k}",) for k in range(1, 60) for _ in range(200 // k)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "val string").coalesce(2)
+    exact = {r.val: r.n for r in df.groupBy("val").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sk = cms_sketch(df, "val", depth=4, width=256)
+    keys = df.select("val").distinct()
+    est = {r.val: r.cms_estimate
+           for r in cms_estimate(sk, keys, "val", depth=4, width=256).collect()}
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert est[k] >= n          # CMS upper-bound guarantee
+        assert est[k] <= n + 64     # and collisions stay sane at this load
+
+
+def test_cms_sketch_merge_is_sum(spark):
+    # sketch(A ∪ B) == cell-wise sum of sketch(A) and sketch(B): counts
+    # are linear, so sketches merge by addition (the distributed story)
+    from spark_tensors_spark.functions.sketches import cms_sketch
+
+    a = spark.range(0, 400).select(F.col("id").cast("string").alias("val"))
+    b = spark.range(200, 500).select(F.col("id").cast("string").alias("val"))
+    whole = {
+        (r.cms_d, r.cms_col): r.cnt
+        for r in cms_sketch(a.union(b), "val", width=64).collect()
+    }
+    sa = cms_sketch(a, "val", width=64)
+    sb = cms_sketch(b, "val", width=64)
+    merged = {
+        (r.cms_d, r.cms_col): r.cnt
+        for r in sa.union(sb)
+        .groupBy("cms_d", "cms_col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_cms_estimate_absent_key_low(spark):
+    from spark_tensors_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("val"))
+    sk = cms_sketch(df, "val")
+    absent = spark.createDataFrame([("nope-1",), ("nope-2",)], "val string")
+    got = {r.val: r.cms_estimate
+           for r in cms_estimate(sk, absent, "val").collect()}
+    # absent keys may collide with occupied cells but stay near zero at
+    # this load factor (1000 rows into 4×1024 cells)
+    assert set(got) == {"nope-1", "nope-2"}
+    for v in got.values():
+        assert 0 <= v <= 5
