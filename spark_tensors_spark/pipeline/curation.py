@@ -106,3 +106,54 @@ def quality_filter(
             & (F.col("quality") >= min_quality),
         )
     )
+
+
+def es_sample_key_col(
+    id_col: str, weight_col: str, seed: int = 42
+) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key ``-ln(u)/w`` with a
+    deterministic md5-derived uniform ``u ∈ (0,1)`` — taking the k
+    SMALLEST keys draws a weighted sample without replacement with
+    exactly the sequential-sampling inclusion law (ES 2006, the
+    exponential-race formulation).
+
+    Portable: the 60-bit integer hash is engine-exact (see
+    functions/sketches.portable_hash60_col); the int→double cast, +0.5,
+    division, and ln are IEEE ops both engines perform identically
+    (modulo ≤1 ulp in libm's ln, far below any realistic key gap).
+    """
+    from spark_tensors_spark.functions.sketches import portable_hash60_col
+
+    h = portable_hash60_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"_ws{seed}"))
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return -F.log(u) / F.col(weight_col).cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: the ``k``
+    smallest ES keys per stratum (rows with non-positive weight are
+    excluded).  Adds ``sample_rank`` (1-based within stratum).
+
+    Scale shape: one shuffle on the stratum key; the ``row_number() ≤ k``
+    filter triggers Spark's WindowGroupLimit, so each map task forwards
+    at most ``k`` rows per stratum — the shuffle carries O(k·strata)
+    rows, not the corpus.
+    """
+    strata = list(strata_cols or [])
+    w = Window.partitionBy(*strata).orderBy(F.col("_es_key"), id_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", es_sample_key_col(id_col, weight_col, seed))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
+    )

@@ -286,6 +286,28 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement: top-5 docs per
+    source, inclusion probability proportional to token count
+    (curation.weighted_sample — Efraimidis–Spirakis exponential race
+    over md5-derived uniforms, so the oracle reproduces the exact
+    draw).  WindowGroupLimit keeps the shuffle at O(k·strata) rows."""
+    from spark_tensors_spark.pipeline import curation, text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count_col("text")
+    )
+    samp = curation.weighted_sample(
+        docs, k=5, weight_col="n_tokens", strata_cols=["source"]
+    )
+    return samp.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    ).orderBy("source", "sample_rank")
+
+
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate accounting per source: kept/dropped counts and mean
     quality of the kept set — the corpus-filter chain, scan-side."""
@@ -432,6 +454,7 @@ QUERIES = {
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     "doc_lsh_components": doc_lsh_components,
     "doc_stratified_split": doc_stratified_split,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_filter": doc_quality_filter,
     "doc_decontaminate": doc_decontaminate,
@@ -754,6 +777,32 @@ ORACLES = {
                COUNT(*) AS c, MIN(doc_id) AS min_id
         FROM ranked
         GROUP BY 1, 2 ORDER BY source, split
+    """,
+    "doc_weighted_sample": f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        keyed AS (
+            SELECT source, doc_id, n_tokens,
+                   -LN((CAST(CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || '_ws42'), 1, 15))
+                            AS BIGINT) AS DOUBLE) + 0.5)
+                       / 1152921504606846976.0)
+                   / CAST(n_tokens AS DOUBLE) AS es_key
+            FROM t WHERE n_tokens > 0
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY es_key, doc_id)
+                       AS BIGINT) AS sample_rank
+            FROM keyed
+        )
+        SELECT source, doc_id, n_tokens, sample_rank
+        FROM ranked WHERE sample_rank <= 5
+        ORDER BY source, sample_rank
     """,
     "doc_pack_sequences": f"""
         WITH t AS (

@@ -422,6 +422,40 @@ def q17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact/dim semi-join (operators/bloom.py): lineitem
+    rows for a selective part subset, pre-filtered scan-side by the
+    dim's broadcast bloom bit set before any exchange touches the fact.
+    Result-identical to the plain semi-join the oracle states — the
+    bloom is transparent by construction (false positives die in the
+    exact join), so correctness checks the whole pruning path."""
+    from spark_tensors_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") > 40) & (F.col("p_container") == "SM BOX")
+    )
+    kept = bloom_semi_join(li, dim, "l_partkey", "p_partkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q18_BLOOM_JOIN_SQL = """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_size > 40 AND p_container = 'SM BOX')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_region_nation_rollup": q2_region_nation_rollup,
@@ -446,9 +480,11 @@ QUERIES = {
     "q15_window_nav": q15_window_nav,
     "q16_exists": q16_exists,
     "q17_unpivot": q17_unpivot,
+    "q18_bloom_join": q18_bloom_join,
 }
 
 ORACLES = {
+    "q18_bloom_join": Q18_BLOOM_JOIN_SQL,
     "q16_exists": """
         SELECT c_nationkey, COUNT(*) AS n_customers
         FROM customer c

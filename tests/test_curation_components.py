@@ -169,3 +169,49 @@ def test_quality_filter_flags(spark):
     assert out[1] is True
     assert out[2] is False  # too short
     assert out[3] is False  # punctuation soup
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # 250 heavy (w=100) + 250 light (w=1) items: an ES top-50 draw is
+    # overwhelmingly heavy (P[light beats heavy] ≈ 1/101 per race)
+    rows = [(i, 100 if i < 250 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = curation.weighted_sample(df, k=50, weight_col="w").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy >= 45
+    # ranks are contiguous 1..k
+    assert sorted(r.sample_rank for r in got) == list(range(1, 51))
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, 7)], "doc_id long, w long"
+    )
+    a = sorted(r.doc_id for r in curation.weighted_sample(df, 10, "w").collect())
+    b = sorted(r.doc_id for r in curation.weighted_sample(df, 10, "w").collect())
+    assert a == b == [1, 4]
+
+
+def test_weighted_sample_seed_changes_draw(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(200)], "doc_id long, w long")
+    a = {r.doc_id for r in curation.weighted_sample(df, 20, "w", seed=1).collect()}
+    b = {r.doc_id for r in curation.weighted_sample(df, 20, "w", seed=2).collect()}
+    assert a != b
+
+
+def test_weighted_sample_plan_group_limits(spark):
+    # the rank<=k filter must truncate per-stratum before the exchange
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", i % 7 + 1) for i in range(100)],
+        "doc_id long, source string, w long",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curation.weighted_sample(
+            df, 5, "w", strata_cols=["source"]
+        ).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
