@@ -104,3 +104,51 @@ def normless1_col(v: Column | str) -> Column:
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
     return F.when(sq > 1.0, F.transform(v, lambda x: x / F.sqrt(sq))).otherwise(v)
+
+
+def hash_embedding_col(
+    id_col: Column | str, dim: int, seed: int = 0,
+    mod: int = 97, shift: int = 48,
+) -> Column:
+    """Deterministic integer pseudo-embedding of an id: component j is
+    ``(id·31 + j·17 + seed) % mod − shift``.
+
+    Pure BIGINT arithmetic → bit-identical on any engine (the same
+    trick as the Q19 pseudo-score, `queries/kg.py`); used to put the
+    trilinear scoring *plans* under the DuckDB oracle without relying
+    on float transcendentals."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (c * 31 + j.cast("long") * 17 + F.lit(seed)) % mod - shift,
+    )
+
+
+def trilinear_score_col(
+    er: Column | str, es: Column | str, eo: Column | str
+) -> Column:
+    """DistMult score Σ_j r_j·s_j·o_j over three array columns —
+    zip_with + aggregate, whole-stage codegen (no Python).  Works for
+    integer or double arrays (result type follows the inputs)."""
+    er = F.col(er) if isinstance(er, str) else er
+    es = F.col(es) if isinstance(es, str) else es
+    eo = F.col(eo) if isinstance(eo, str) else eo
+    rs = F.zip_with(er, es, lambda x, y: x * y)
+    rso = F.zip_with(rs, eo, lambda x, y: x * y)
+    return F.aggregate(rso, F.element_at(rso, 1) * 0, lambda a, x: a + x)
+
+
+def complex_score_col(
+    rr: Column, ri: Column,
+    sr: Column, si: Column,
+    or_: Column, oi: Column,
+) -> Column:
+    """ComplEx score Re⟨r, s, conj(o)⟩ over split real/imaginary array
+    columns: Σ_j rr·sr·or + rr·si·oi + ri·sr·oi − ri·si·or.  Same
+    codegen-only construction as :func:`trilinear_score_col`."""
+    return (
+        trilinear_score_col(rr, sr, or_)
+        + trilinear_score_col(rr, si, oi)
+        + trilinear_score_col(ri, sr, oi)
+        - trilinear_score_col(ri, si, or_)
+    )

@@ -70,6 +70,40 @@ def hole_np(r: np.ndarray, s: np.ndarray, o: np.ndarray):
     return (r * ccorr_np(s, o)).sum(axis=-1)
 
 
+def distmult_np(r: np.ndarray, s: np.ndarray, o: np.ndarray):
+    """DistMult trilinear score Σ_j r_j·s_j·o_j (Yang et al. 2015).
+
+    The symmetric-bilinear special case of RESCAL (W diagonal) — the
+    natural completion of the reference's scoring family
+    (`holek.py:127-150` bilinear, `hole.py:19-20` holographic)."""
+    return (r * s * o).sum(axis=-1)
+
+
+def complex_np(r: np.ndarray, s: np.ndarray, o: np.ndarray):
+    """ComplEx score Re⟨r, s, conj(o)⟩ (Trouillon et al. 2016).
+
+    Embeddings are stored as real arrays of even length 2m: the first m
+    entries are the real parts, the last m the imaginary parts.
+    Equivalence to HolE (Hayashi & Shimbo 2017):
+    ``hole_np(r,s,o) == complex_np(F(r)/d, F(s), F(o))`` where ``F``
+    maps e → concat(Re(fft(e)), Im(fft(e))) — property-pinned in
+    tests/test_kernels.py."""
+    m = r.shape[-1] // 2
+    rr, ri = r[..., :m], r[..., m:]
+    sr, si = s[..., :m], s[..., m:]
+    or_, oi = o[..., :m], o[..., m:]
+    # Re((rr+i·ri)(sr+i·si)(or−i·oi)) summed over components
+    return (
+        rr * sr * or_ + rr * si * oi + ri * sr * oi - ri * si * or_
+    ).sum(axis=-1)
+
+
+def fourier_embed_np(e: np.ndarray) -> np.ndarray:
+    """The HolE→ComplEx embedding map: concat(Re(fft(e)), Im(fft(e)))."""
+    fe = np.fft.fft(e, axis=-1)
+    return np.concatenate([fe.real, fe.imag], axis=-1)
+
+
 def similarity_np(
     a: np.ndarray,
     b: np.ndarray,
@@ -133,6 +167,14 @@ def _udf(name: str):
         def f(r: pd.Series, s: pd.Series, o: pd.Series) -> pd.Series:
             return pd.Series(hole_np(_stack(r), _stack(s), _stack(o)))
         return pandas_udf(f, "double")
+    if name == "distmult":
+        def f(r: pd.Series, s: pd.Series, o: pd.Series) -> pd.Series:
+            return pd.Series(distmult_np(_stack(r), _stack(s), _stack(o)))
+        return pandas_udf(f, "double")
+    if name == "complex":
+        def f(r: pd.Series, s: pd.Series, o: pd.Series) -> pd.Series:
+            return pd.Series(complex_np(_stack(r), _stack(s), _stack(o)))
+        return pandas_udf(f, "double")
     raise KeyError(name)
 
 
@@ -154,6 +196,14 @@ def rescal_udf(s, w, o):
 
 def hole_udf(r, s, o):
     return _udf("hole")(r, s, o)
+
+
+def distmult_udf(r, s, o):
+    return _udf("distmult")(r, s, o)
+
+
+def complex_udf(r, s, o):
+    return _udf("complex")(r, s, o)
 
 
 def similarity_udf(mode: str, gamma: float = 1.0, c: float = 0.0, d: int = 2):

@@ -61,13 +61,20 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Fact rows whose key passes the bloom membership test (superset of
     the true matches).  ``k`` broadcast semi-joins against the bits
-    table — the fact side is never shuffled."""
+    table — the fact side is never shuffled.
+
+    The bits table is materialized eagerly (``localCheckpoint``): it is
+    bounded at ``m`` rows regardless of dim cardinality, and under AQE
+    the k broadcast builds would otherwise each re-plan the distinct's
+    shuffle subtree (stage reuse is a runtime decision; checkpointing
+    makes the single execution structural)."""
+    bits = bits.localCheckpoint(eager=True)
     out = fact
     bcast = F.broadcast(bits)
     for j in range(k):
         # join on an explicit condition, NOT a per-j renamed column: the
-        # broadcast child plan stays identical across the k joins, so
-        # ReuseExchange builds (and the distinct computes) exactly once
+        # broadcast child plan stays identical across the k joins, so the
+        # checkpointed blocks are scanned, never recomputed
         out = out.join(
             bcast,
             bloom_position_col(out[key_col], j, m) == bits["pos"],

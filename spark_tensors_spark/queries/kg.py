@@ -387,9 +387,66 @@ def kg_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_distmult_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult trilinear scoring of the whole encoded KG, scan-side.
+
+    The embeddings are the deterministic integer pseudo-embeddings of
+    ``hash_embedding_col`` so the *plan* — embed three ids, zip-multiply,
+    aggregate — is exactly the production scoring plan (F4's diagonal
+    special case) while staying bit-exact under the DuckDB oracle.
+    No Python, no shuffle: one projection over the triple scan."""
+    from spark_tensors_spark.functions.columns import (
+        hash_embedding_col,
+        trilinear_score_col,
+    )
+
+    _raw, _e, _r, enc = _encoded(spark, sf_dir)
+    es = hash_embedding_col("s_id", 8, seed=0)
+    ep = hash_embedding_col("p_id", 8, seed=1)
+    eo = hash_embedding_col("o_id", 8, seed=2)
+    return (
+        enc.select(
+            "s_id", "p_id", "o_id",
+            trilinear_score_col(ep, es, eo).cast("long").alias("score"),
+        )
+        .orderBy("s_id", "p_id", "o_id")
+    )
+
+
+def kg_complex_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplEx scoring Re⟨r, s, conj(o)⟩ of the encoded KG, scan-side
+    (Trouillon 2016; equivalent to the reference's HolE by the Fourier
+    map — see kernels.complex_np).  Split real/imag integer
+    pseudo-embeddings keep it oracle-exact; plan shape identical to the
+    float production path."""
+    from spark_tensors_spark.functions.columns import (
+        complex_score_col,
+        hash_embedding_col,
+    )
+
+    _raw, _e, _r, enc = _encoded(spark, sf_dir)
+    m = 4
+    rr = hash_embedding_col("p_id", m, seed=3)
+    ri = hash_embedding_col("p_id", m, seed=4)
+    sr = hash_embedding_col("s_id", m, seed=5)
+    si = hash_embedding_col("s_id", m, seed=6)
+    or_ = hash_embedding_col("o_id", m, seed=7)
+    oi = hash_embedding_col("o_id", m, seed=8)
+    return (
+        enc.select(
+            "s_id", "p_id", "o_id",
+            complex_score_col(rr, ri, sr, si, or_, oi)
+            .cast("long").alias("score"),
+        )
+        .orderBy("s_id", "p_id", "o_id")
+    )
+
+
 QUERIES = {
     "kg_two_hop_paths": kg_two_hop_paths,
     "kg_salted_degree": kg_salted_degree,
+    "kg_distmult_scores": kg_distmult_scores,
+    "kg_complex_scores": kg_complex_scores,
     "kg_q14_entity_dict": kg_q14_entity_dict,
     "kg_q14_relation_dict": kg_q14_relation_dict,
     "kg_q15_encode": kg_q15_encode,

@@ -69,13 +69,13 @@ def test_bloom_prefilter_no_fact_exchange(spark):
         bloom_prefilter(fact, bits, "key").explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
-    # the only shuffle allowed is the ONE bits-distinct (bounded ≤ m
-    # rows); the other k-1 broadcast builds must reuse it, and the fact
-    # side must reach all k semi-joins shuffle-free
+    # the bits-distinct ran ONCE inside the eager localCheckpoint; the
+    # consumer plan must contain NO shuffle at all — the fact side
+    # reaches all k semi-joins exchange-free, the broadcast builds scan
+    # checkpointed blocks
     shuffles = [
         ln
         for ln in plan.splitlines()
         if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
     ]
-    assert len(shuffles) <= 1, shuffles
-    assert "ReusedExchange" in plan
+    assert len(shuffles) == 0, shuffles

@@ -14,6 +14,9 @@ from spark_tensors_spark.functions.kernels import (
     cconv_np,
     ccorr_naive_np,
     ccorr_np,
+    complex_np,
+    distmult_np,
+    fourier_embed_np,
     hole_np,
     rescal_np,
     similarity_np,
@@ -115,6 +118,56 @@ def test_init_kinds_bounds():
     # order-independence: subset rows equal full-matrix rows
     sub = init_matrix_np(1, ids[100:200], d, "unif")
     np.testing.assert_array_equal(sub, unif[100:200])
+
+
+def test_distmult_is_diagonal_rescal():
+    """DistMult == RESCAL with W = diag(r)."""
+    r, s, o = _rand(), _rand(), _rand()
+    d = r.shape[1]
+    w = np.stack([np.diag(row).ravel() for row in r])
+    np.testing.assert_allclose(
+        distmult_np(r, s, o), rescal_np(s, w, o), atol=1e-9
+    )
+    # symmetric in s/o (the model's signature property)
+    np.testing.assert_allclose(
+        distmult_np(r, s, o), distmult_np(r, o, s), atol=1e-12
+    )
+
+
+def test_complex_real_embeddings_reduce_to_distmult():
+    """Zero imaginary halves → ComplEx degenerates to DistMult."""
+    r, s, o = _rand(), _rand(), _rand()
+    z = np.zeros_like(r)
+    cat = lambda x: np.concatenate([x, z], axis=-1)  # noqa: E731
+    np.testing.assert_allclose(
+        complex_np(cat(r), cat(s), cat(o)), distmult_np(r, s, o), atol=1e-9
+    )
+
+
+def test_complex_antisymmetric_part():
+    """With a purely imaginary relation, swapping s/o flips the sign —
+    the antisymmetry ComplEx adds over DistMult."""
+    m = 8
+    z = np.zeros((4, m))
+    ri = np.concatenate([z, RNG.standard_normal((4, m))], axis=-1)
+    s = RNG.standard_normal((4, 2 * m))
+    o = RNG.standard_normal((4, 2 * m))
+    np.testing.assert_allclose(
+        complex_np(ri, s, o), -complex_np(ri, o, s), atol=1e-9
+    )
+
+
+def test_hole_complex_equivalence():
+    """Hayashi & Shimbo (2017): HolE(r,s,o) = ComplEx(F(r)/d, F(s), F(o))
+    where F(e) = concat(Re(fft(e)), Im(fft(e)))."""
+    r, s, o = _rand(), _rand(), _rand()
+    d = r.shape[1]
+    np.testing.assert_allclose(
+        hole_np(r, s, o),
+        complex_np(fourier_embed_np(r) / d, fourier_embed_np(s),
+                   fourier_embed_np(o)),
+        atol=1e-9,
+    )
 
 
 # ------------------------------------------------------- hypothesis
