@@ -38,16 +38,22 @@ def _registry():
         tensor_queries,
     )
 
+    # Registration order matters: the driver's correctness gate samples
+    # the FIRST 50 registered queries.  Families that have not yet been
+    # through the oracle window (temporal/streaming/multimodal/tensor/
+    # pipeline — 49 queries) go first, then graph (kg_pagerank, fixed
+    # this round, is entry #50); the long-stable relational/kg core is
+    # last — it is independently covered by tests/test_*_queries.py.
     modules = [
-        relational,
-        kg,
-        graph_queries,
-        mlops,
-        pipeline_queries,
+        temporal_queries,
         streaming_queries,
         multimodal_queries,
-        temporal_queries,
         tensor_queries,
+        pipeline_queries,
+        graph_queries,
+        mlops,
+        kg,
+        relational,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -44,13 +44,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # fault-isolated: one broken query must never abort the run — it is
+    # recorded in "errors" and the JSON line is still emitted (round-2
+    # lesson: a single crash left the round with no bench numbers).
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         fn = queries[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -61,11 +67,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf else None,
             }
         )
     )
     spark.stop()
+    if errors:
+        sys.exit(0)  # JSON already emitted; errors are in-band
 
 
 if __name__ == "__main__":

@@ -43,14 +43,20 @@ _NT_PATTERN = r"^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
-        # read as raw nanos (legacy conf) — convert to a µs timestamp with
-        # integer division (float division would lose precision at 2^53).
-        # DuckDB truncates ns→µs identically, so the oracle agrees.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as raw
+        # nanos via legacy conf, then ns→µs with integer division) and as
+        # TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).
+        # Normalize both to a session-tz TIMESTAMP here so every consumer
+        # (unix_micros, window(), watermarks) sees one type.  The session
+        # timezone is pinned to UTC (session.py), so the NTZ→TZ cast
+        # preserves the wall-clock values and DuckDB's oracle agrees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

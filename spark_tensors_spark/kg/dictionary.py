@@ -32,6 +32,20 @@ from pyspark.sql.window import Window
 
 DEFAULT_BUCKETS = 32
 
+# Ceiling on the driver-side boundary sample collected by assign_ids.
+MAX_BOUNDARY_SAMPLE = 100_000
+
+
+def _bounded_sample_mod(n_distinct: int, base_mod: int) -> int:
+    """Sampling modulus that keeps the expected driver-side boundary
+    sample ≤ MAX_BOUNDARY_SAMPLE rows regardless of dictionary size: at
+    1B+ distinct URIs a fixed 1/101 rate would ship ~10M strings to the
+    driver."""
+    return max(
+        base_mod,
+        (n_distinct + MAX_BOUNDARY_SAMPLE - 1) // MAX_BOUNDARY_SAMPLE,
+    )
+
 
 def assign_ids(
     uris: DataFrame,
@@ -44,15 +58,18 @@ def assign_ids(
     but computed without a global single-partition sort.
     """
     p = num_partitions or DEFAULT_BUCKETS
-    # persisted: the distinct set feeds three actions (sample collect,
-    # bucket counts, final id assignment) — without it the upstream
-    # union+distinct shuffle runs three times
+    # persisted: the distinct set feeds four actions (count, sample
+    # collect, bucket counts, final id assignment) — without it the
+    # upstream union+distinct shuffle runs each time
     distinct = uris.select(F.col(uri_col).alias("uri")).distinct().persist()
+
+    n_distinct = distinct.count()
+    mod = _bounded_sample_mod(n_distinct, sample_mod)
 
     sample = sorted(
         r["uri"]
         for r in distinct.filter(
-            F.crc32(F.col("uri").cast("binary")) % sample_mod == 0
+            F.crc32(F.col("uri").cast("binary")) % mod == 0
         ).collect()
     )
     boundaries: list[str] = []

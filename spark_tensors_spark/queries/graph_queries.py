@@ -21,8 +21,16 @@ PR_DAMPING = 0.85
 
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the encoded KG edge list (s_id → o_id).  Ranks are
-    scaled by N (mean 1.0) and rounded to 4 dp — well above float
-    accumulation noise, well below rank resolution."""
+    scaled by N (mean 1.0) and rounded to 8 dp.  Why FINE rounding is
+    the stable choice: with damping 17/20 and integer outdegrees the
+    exact ranks are rationals whose decimal expansions terminate after
+    a few digits, so values like 69.7395 land EXACTLY on the half-
+    boundary of any coarser rounding (3–4 dp) and ±1 ulp of engine
+    noise flips the direction (round-2 mismatch: 78.01425; round-3
+    repro: 69.73950000000002 vs ...007).  At 8 dp every such value is a
+    grid POINT, 5e-9 from the nearest boundary — 5 orders of magnitude
+    above the ~1e-13 cross-engine double-sum wobble — so both engines
+    snap to the identical double."""
     _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
     edges = enc.select("s_id", "o_id")
     ranks = pagerank(
@@ -32,7 +40,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.select(
             F.col("node").alias("node_id"),
-            F.round(F.col("rank") * n, 4).alias("rank_scaled"),
+            F.round(F.col("rank") * n, 8).alias("rank_scaled"),
         )
         .orderBy("node_id")
     )
@@ -77,7 +85,7 @@ r0 AS (
 ),
 {iters_sql}
 SELECT node AS node_id,
-       ROUND(rank * {n_expr}, 4) AS rank_scaled
+       ROUND(rank * {n_expr}, 8) AS rank_scaled
 FROM {prev}
 ORDER BY node_id
 """

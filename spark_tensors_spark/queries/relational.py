@@ -141,7 +141,13 @@ def q8_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 6).alias("w"),
+            # exact-decimal sum (price data is exact cents): partial-agg
+            # ordering can flip the 6th decimal of a double sum between
+            # runs/engines; DECIMAL(18,2) accumulation is associative.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("w"),
         )
         .orderBy("o_custkey", "o_orderkey")
         .limit(1000)
@@ -169,7 +175,8 @@ def q9b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS c,
-               ROUND(SUM(o_totalprice), 6) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
         FROM orders_v
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
         GROUP BY o_orderpriority
@@ -332,7 +339,11 @@ def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", statuses)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 6).alias("total"),
+            # exact-decimal sum — see q8: double sums of ~1e8 need ~16
+            # significant digits at 6 dp, the edge of double precision.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
         )
     )
     cols = [F.col("o_orderpriority")]
@@ -369,7 +380,11 @@ def q15_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_price"),
             F.ntile(4).over(w).alias("quartile"),
             F.round(
-                F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 6
+                F.col("o_totalprice")
+                / F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(w_all)
+                .cast("double"),
+                6,
             ).alias("share"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -433,7 +448,7 @@ def q18_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     dim = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") > 40) & (F.col("p_container") == "SM BOX")
+        (F.col("p_size") > 40) & F.col("p_type").startswith("SMALL")
     )
     kept = bloom_semi_join(li, dim, "l_partkey", "p_partkey")
     return (
@@ -450,7 +465,7 @@ Q18_BLOOM_JOIN_SQL = """
     SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS sum_qty
     FROM lineitem
     WHERE l_partkey IN (SELECT p_partkey FROM part
-                        WHERE p_size > 40 AND p_container = 'SM BOX')
+                        WHERE p_size > 40 AND p_type LIKE 'SMALL%')
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
@@ -516,14 +531,17 @@ ORACLES = {
     "q14_pivot": """
         SELECT o_orderpriority,
                SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
-                     THEN o_totalprice END), 0), 6) AS total_f,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                    AS DOUBLE) AS total_f,
                SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
-                     THEN o_totalprice END), 0), 6) AS total_o,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                    AS DOUBLE) AS total_o,
                SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
-                     THEN o_totalprice END), 0), 6) AS total_p
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                    AS DOUBLE) AS total_p
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -536,7 +554,8 @@ ORACLES = {
                    AS next_price,
                NTILE(4) OVER w AS quartile,
                ROUND(o_totalprice
-                     / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
                    AS share
         FROM orders
         WHERE o_custkey % 10 = 0
@@ -602,10 +621,10 @@ ORACLES = {
     """,
     "q8_frame_window": """
         SELECT o_custkey, o_orderkey,
-               ROUND(SUM(o_totalprice) OVER (
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w
         FROM orders
         ORDER BY o_custkey, o_orderkey
         LIMIT 1000
@@ -633,7 +652,8 @@ ORACLES = {
     "q9b_scalar_subquery": """
         SELECT o_orderpriority,
                COUNT(*) AS c,
-               ROUND(SUM(o_totalprice), 6) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
         FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         GROUP BY o_orderpriority

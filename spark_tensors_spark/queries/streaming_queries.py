@@ -96,7 +96,10 @@ def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))),
         "spark-warehouse",
         "_sinks",
-        f"ev_hourly_{os.path.basename(sf_dir.rstrip('/'))}",
+        # pid-keyed: two processes running the query surface at once
+        # (e.g. a correctness gate beside a bench run) must not share a
+        # sink/staging directory
+        f"ev_hourly_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     sinks.write_idempotent_batch(agg, 0, path)
     return (
@@ -125,7 +128,9 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))),
         "spark-warehouse",
         "_sinks",
-        f"stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}",
+        # pid-keyed: a fixed path lets two concurrent processes fight
+        # over one streaming checkpoint (CONCURRENT_STREAM_LOG_UPDATE)
+        f"stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     # state/checkpoint persist across invocations by design (that IS the
     # streaming-state pattern); for a declared query they must be fresh

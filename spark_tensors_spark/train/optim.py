@@ -59,6 +59,35 @@ class AdaGrad:
         param[ids] -= self.lr * grads / (np.sqrt(acc[ids]) + self.eps)
 
 
+class RMSprop:
+    """RMSprop (SURVEY F13; the reference's Keras path exposes it beside
+    Adagrad, `holek.py:30`).  Keras-default semantics: exponentially
+    decayed mean of g² (rho 0.9), update lr·g/√(ms+eps) — like AdaGrad
+    but with a leaky accumulator, so the effective lr does not decay to
+    zero over long runs.  State keyed by ``name`` (see AdaGrad)."""
+
+    def __init__(self, lr: float = 0.001, rho: float = 0.9,
+                 eps: float = 1e-7):
+        self.lr = lr
+        self.rho = rho
+        self.eps = eps
+        self._ms: dict[object, np.ndarray] = {}
+
+    def step(
+        self,
+        param: np.ndarray,
+        ids: np.ndarray,
+        grads: np.ndarray,
+        name: str | None = None,
+    ):
+        key = name if name is not None else id(param)
+        if key not in self._ms:
+            self._ms[key] = np.zeros_like(param)
+        ms = self._ms[key]
+        ms[ids] = self.rho * ms[ids] + (1 - self.rho) * grads * grads
+        param[ids] -= self.lr * grads / (np.sqrt(ms[ids]) + self.eps)
+
+
 class Adam:
     """Adam with bias correction (TransE reference config: lr 0.001,
     weight decay 1e-4, `TransE.scala:98`).

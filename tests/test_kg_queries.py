@@ -20,7 +20,10 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(kg.QUERIES))
+# parametrize over ORACLES, not QUERIES: the deliberately-unoracled
+# score queries (kg_distmult_scores, kg_complex_scores) have no SQL
+# counterpart and are covered by tests/test_models.py property tests.
+@pytest.mark.parametrize("name", sorted(kg.ORACLES))
 def test_kg_query_matches_oracle(spark, duck, name):
     ok, detail = compare(
         kg.QUERIES[name], kg.ORACLES[name], spark, SF, con=duck

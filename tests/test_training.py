@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from spark_tensors_spark.functions.init import init_matrix_np
-from spark_tensors_spark.train import SGD, AdaGrad, Adam, KGETrainer
+from spark_tensors_spark.train import SGD, AdaGrad, Adam, RMSprop, KGETrainer
 from spark_tensors_spark.train import models as M
 
 RNG = np.random.default_rng(7)
@@ -132,13 +132,33 @@ def test_pairwise_models_train(spark, kg_triples, model):
 
 def test_optimizers_reduce_quadratic():
     """Each optimizer minimizes ½‖x‖² with per-row sparse steps."""
-    for opt in (SGD(lr=0.1), AdaGrad(lr=0.5), Adam(lr=0.05, weight_decay=0)):
+    for opt in (SGD(lr=0.1), AdaGrad(lr=0.5), Adam(lr=0.05, weight_decay=0),
+                RMSprop(lr=0.05)):
         x = RNG.standard_normal((10, 4))
         start = (x**2).sum()
         for _ in range(60):
             ids = np.arange(10)
             opt.step(x, ids, x[ids].copy())
         assert (x**2).sum() < 0.05 * start, type(opt).__name__
+
+
+def test_rmsprop_matches_reference_formula():
+    """Keras-default RMSprop parity to 1e-9: ms ← ρ·ms+(1-ρ)g²,
+    x ← x − lr·g/√(ms+… ) with sparse row addressing (only touched
+    rows change)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, 3))
+    ref = x.copy()
+    ms_ref = np.zeros_like(ref)
+    opt = RMSprop(lr=0.01, rho=0.9, eps=1e-7)
+    for step in range(25):
+        ids = np.array([step % 6, (step * 2) % 6])
+        ids = np.unique(ids)
+        g = rng.standard_normal((len(ids), 3))
+        opt.step(x, ids, g.copy(), name="p")
+        ms_ref[ids] = 0.9 * ms_ref[ids] + 0.1 * g * g
+        ref[ids] -= 0.01 * g / (np.sqrt(ms_ref[ids]) + 1e-7)
+    np.testing.assert_allclose(x, ref, atol=1e-9)
 
 
 @pytest.fixture(scope="module")
