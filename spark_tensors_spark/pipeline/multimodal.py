@@ -72,15 +72,106 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_payload_real(payload: bytes, media_type: str) -> np.ndarray:
-    """REAL codec hook — intentionally unimplemented in this container.
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE decode in pure numpy: walks the chunk list, parses
+    the ``fmt `` chunk, and converts the ``data`` chunk to a mono
+    float64 waveform in [-1, 1].  Supports PCM (format 1) at
+    8/16/24/32-bit and IEEE float (format 3) at 32/64-bit, any channel
+    count (channels are averaged).  Returns (samples, sample_rate).
 
-    A deployment with PIL/ffmpeg/soundfile installed swaps this in for
-    :func:`decode_payload_fake`; everything downstream (schemas, batch
+    This is the non-fake proof for the multimodal decode path: WAV is a
+    container simple enough to parse without codec libraries, while
+    exercising the exact plumbing (binary column → mapInPandas →
+    numeric features) a PIL/ffmpeg deployment uses.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_channels = max(1, int.from_bytes(fmt[2:4], "little"))
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # unsigned, biased at 128
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (raw.size // 3) * 3].reshape(-1, 3)
+            as_int = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+            x = as_int.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise ValueError(f"unsupported PCM bit depth: {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format code: {audio_fmt}")
+    if n_channels > 1:
+        x = x[: (x.size // n_channels) * n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x, sample_rate
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray, sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Inverse of :func:`decode_wav_pcm` for 16-bit PCM — used to build
+    real WAV payloads for tests and the mm_wav_* query without any
+    audio library."""
+    clipped = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    # half-up quantization (floor(x+0.5)), not banker's np.round: an SQL
+    # oracle can restate FLOOR(x*32767 + 0.5) exactly
+    pcm = np.floor(clipped * 32767.0 + 0.5).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_payload_real(payload: bytes, media_type: str) -> np.ndarray:
+    """REAL codec dispatch.  Audio: full RIFF/WAVE PCM decode (pure
+    numpy, :func:`decode_wav_pcm`).  Image/video codecs (PNG/JPEG/mp4)
+    need PIL/ffmpeg, which this container does not ship — a deployment
+    swaps those branches in; everything downstream (schemas, batch
     shapes, feature math) is codec-agnostic.
     """
+    if media_type == "audio":
+        return decode_wav_pcm(payload)[0]
     raise NotImplementedError(
-        "no image/audio codecs in this container; "
+        f"no {media_type} codecs in this container; "
         "use decode_payload_fake (deterministic) or install codecs"
     )
 
@@ -89,6 +180,69 @@ def decode_payload_fake(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic stand-in decoder: raw byte values as uint8
     intensities (1-D).  Same numbers any engine can recompute."""
     return np.frombuffer(payload, dtype=np.uint8)
+
+
+# deterministic WAV-synthesis parameters (shared with the DuckDB oracle
+# in queries/multimodal_queries.py — keep in sync)
+WAV_RATE = 8000
+
+
+def _wav_params(doc_id: int) -> tuple[int, float, int]:
+    """(n_samples, amplitude, frequency) derived from doc_id."""
+    return (
+        160 + (doc_id % 5) * 80,
+        0.1 + (doc_id % 8) * 0.1,
+        100 + (doc_id % 400),
+    )
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """doc_id → real RIFF/WAVE payload (16-bit PCM sine, parameters a
+    deterministic function of doc_id).  Stands in for an ingestion scan
+    of .wav blobs: downstream stages see genuine WAV binary."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n, amp, freq = _wav_params(int(doc_id))
+                i = np.arange(n, dtype=np.float64)
+                wave = amp * np.sin(2 * np.pi * freq * i / float(WAV_RATE))
+                payloads.append(encode_wav_pcm16(wave, WAV_RATE))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batch, "doc_id long, payload binary"
+    )
+
+
+def wav_features(wavs: DataFrame) -> DataFrame:
+    """Real-codec feature extraction: decode each RIFF/WAVE payload with
+    :func:`decode_payload_real` (full chunk-walking PCM parse) and emit
+    (n_samples, sample_rate, rms).  Same mapInPandas shape as the fake-
+    decoder stages — this is the proof the plumbing carries a real
+    codec."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x, rate = decode_wav_pcm(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": x.size,
+                        "sample_rate": rate,
+                        "rms": round(float(np.sqrt((x * x).mean())), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return wavs.mapInPandas(
+        batch, "doc_id long, n_samples long, sample_rate long, rms double"
+    )
 
 
 def image_features(

@@ -151,12 +151,52 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec round trip: synthesize genuine RIFF/WAVE 16-bit PCM
+    payloads (sine waves parameterized by doc_id), decode them with the
+    full chunk-walking WAV parser (decode_payload_real), and emit
+    per-doc sample counts + RMS.  The oracle recomputes the decoded
+    samples symbolically — sin → half-up int16 quantization → /32768 —
+    so the entire binary encode/decode path is value-checked, not just
+    row-counted."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # cap the corpus so the oracle's per-sample lateral expansion stays
+    # small; the Spark path is identical at any cardinality
+    subset = docs.filter(F.col("doc_id") % 7 == 0)
+    return mm.wav_features(mm.synth_wav(subset)).orderBy("doc_id")
+
+
+# the decoded sample at index i is FLOOR(amp·sin(2π·f·i/rate)·32767 + ½)
+# / 32768 — identical arithmetic, identical association order as the
+# numpy encoder (pipeline/multimodal.py _wav_params/synth_wav).  Every
+# fractional literal is CAST(… AS DOUBLE): DuckDB parses bare 0.1 as
+# DECIMAL, whose exact arithmetic diverges from the IEEE doubles numpy
+# uses.
+MM_WAV_ENERGY_SQL = f"""
+SELECT d.doc_id,
+       (160 + (d.doc_id % 5) * 80) AS n_samples,
+       CAST({mm.WAV_RATE} AS BIGINT) AS sample_rate,
+       ROUND(SQRT(AVG(POW(
+           FLOOR((CAST(0.1 AS DOUBLE) + (d.doc_id % 8) * CAST(0.1 AS DOUBLE))
+                 * SIN(2 * PI() * (100 + (d.doc_id % 400)) * s.i
+                       / CAST({mm.WAV_RATE} AS DOUBLE))
+                 * 32767 + CAST(0.5 AS DOUBLE))
+           / CAST(32768 AS DOUBLE), 2))), 6) AS rms
+FROM documents d,
+     UNNEST(range(160 + (d.doc_id % 5) * 80)) AS s(i)
+WHERE d.doc_id % 7 = 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "mm_media_catalog": mm_media_catalog,
     "mm_image_features": mm_image_features,
     "mm_frame_index": mm_frame_index,
     "mm_audio_energy": mm_audio_energy,
     "mm_thumbnails": mm_thumbnails,
+    "mm_wav_energy": mm_wav_energy,
 }
 
 ORACLES = {
@@ -164,4 +204,5 @@ ORACLES = {
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "mm_frame_index": MM_FRAME_INDEX_SQL,
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
+    "mm_wav_energy": MM_WAV_ENERGY_SQL,
 }

@@ -97,3 +97,80 @@ def test_audio_window_count(media):
     }
     for row in media.filter("media_type = 'audio'").collect():
         assert got[row.doc_id] == int(np.ceil(row.n_bytes / 256))
+
+
+def test_wav_roundtrip_16bit():
+    """encode_wav_pcm16 → decode_wav_pcm recovers the waveform to
+    quantization precision (1/32768)."""
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal(500) * 0.3, -1, 1)
+    payload = mm.encode_wav_pcm16(x, sample_rate=22050)
+    y, rate = mm.decode_wav_pcm(payload)
+    assert rate == 22050
+    assert y.size == 500
+    # x*32767 quantize, /32768 dequantize: max err ~1.5/32768
+    assert np.abs(y - x).max() <= 2.0 / 32768
+
+
+def test_wav_decode_is_the_real_dispatch():
+    x = np.sin(np.linspace(0, 10, 200))
+    payload = mm.encode_wav_pcm16(x)
+    got = mm.decode_payload_real(payload, "audio")
+    assert np.abs(got - x).max() <= 2.0 / 32768
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload_real(payload, "image")
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm(b"not a wav file at all....")
+
+
+def test_wav_decode_stereo_and_depths():
+    """Hand-built fmt/data chunks: stereo averaging, 8/24/32-bit PCM,
+    IEEE float32, and chunk-walking past an extra LIST chunk."""
+
+    def wav(fmt_code, channels, rate, bits, data, extra=b""):
+        fmt = (
+            fmt_code.to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * bits // 8).to_bytes(4, "little")
+            + (channels * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+        chunks = extra + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        chunks += b"data" + len(data).to_bytes(4, "little") + data
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks
+        )
+
+    # stereo int16: L=0.5, R=-0.5 → mono mean 0
+    lr = np.array([16384, -16384] * 10, dtype="<i2").tobytes()
+    y, _ = mm.decode_wav_pcm(wav(1, 2, 8000, 16, lr))
+    assert np.allclose(y, 0.0)
+    # 8-bit unsigned: 128 == silence
+    y, _ = mm.decode_wav_pcm(wav(1, 1, 8000, 8, bytes([128] * 16)))
+    assert np.allclose(y, 0.0)
+    # 24-bit: max positive value
+    s24 = bytes([0xFF, 0xFF, 0x7F] * 4)
+    y, _ = mm.decode_wav_pcm(wav(1, 1, 8000, 24, s24))
+    assert np.allclose(y, (2**23 - 1) / 2**23)
+    # 32-bit int
+    s32 = np.array([1 << 30] * 4, dtype="<i4").tobytes()
+    y, _ = mm.decode_wav_pcm(wav(1, 1, 8000, 32, s32))
+    assert np.allclose(y, 0.5)
+    # float32 + a LIST chunk before fmt (chunk walking)
+    f32 = np.array([0.25, -0.25], dtype="<f4").tobytes()
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    y, rate = mm.decode_wav_pcm(wav(3, 1, 44100, 32, f32, extra=extra))
+    assert rate == 44100 and np.allclose(y, [0.25, -0.25])
+
+
+def test_wav_energy_query_matches_oracle(spark):
+    from spark_tensors_spark.queries import multimodal_queries as mq
+    from tests.oracle_harness import compare
+
+    ok, detail = compare(
+        mq.QUERIES["mm_wav_energy"], mq.ORACLES["mm_wav_energy"],
+        spark, SF,
+    )
+    assert ok, detail
