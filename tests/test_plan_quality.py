@@ -141,3 +141,82 @@ def test_simhash_bucket_cap_broadcasts_oversized_side(spark):
     assert "LeftAnti" in p and "LeftSemi" not in p
     assert "BroadcastExchange" in p
     assert "> 64" in p and "<= 64" not in p
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A fact table partitioned on the join key must be scanned with a
+    dynamicpruning subquery when joined to a filtered dim — at 100 TB
+    this is the difference between scanning 3 partitions and 3,000."""
+    fact_dir = str(tmp_path / "fact_part")
+    spark.range(0, 50_000).selectExpr(
+        "id", "id % 20 AS part_key", "id * 2 AS v"
+    ).write.partitionBy("part_key").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 20).selectExpr(
+        "id AS part_key", "CASE WHEN id < 3 THEN 'hot' ELSE 'cold' END AS tag"
+    )
+    joined = fact.join(dim.filter("tag = 'hot'"), "part_key").groupBy(
+        "part_key"
+    ).count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(True)
+    p = buf.getvalue()
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    joined.collect()  # and it executes
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE must mark the skewed sort-merge join (skew=true) and split
+    the hot partition — the runtime answer to power-law keys."""
+    a_dir, b_dir = str(tmp_path / "skew_a"), str(tmp_path / "skew_b")
+    # left: key 0 carries ~490k rows (several shuffle blocks), others
+    # tiny.  Right: ONE row per key — the join output stays |left|, the
+    # skew is purely a partition-size imbalance (a same-key many×many
+    # join would self-multiply: 490k² pairs).
+    spark.range(0, 500_000).selectExpr(
+        "CASE WHEN id < 490000 THEN 0 ELSE id % 100 END AS k",
+        "id AS va",
+    ).write.mode("overwrite").parquet(a_dir)
+    spark.range(0, 100).selectExpr(
+        "id AS k", "id * 7 AS vb"
+    ).write.mode("overwrite").parquet(b_dir)
+    a, b = spark.read.parquet(a_dir), spark.read.parquet(b_dir)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # disable BOTH broadcast paths (static + AQE runtime) so the
+        # join stays sort-merge — skew splitting only applies to SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "512KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB"
+        )
+        # downstream must be a GLOBAL agg: a groupBy(k) would reuse the
+        # join's hash partitioning, so skew-splitting would introduce an
+        # extra shuffle and AQE (correctly) declines; a row filter gets
+        # pushed below the exchange and drains the skew before the join
+        joined = a.join(b, "k").selectExpr("sum(va + vb) AS s")
+        joined.collect()  # AQE decisions exist only in the FINAL plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "skew=true" in p, p[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
