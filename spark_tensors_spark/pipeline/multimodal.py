@@ -72,6 +72,18 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _round6(x: float) -> float:
+    """Half-up 6-dp rounding ≡ DuckDB/Spark ROUND(x, 6) for x ≥ 0.
+
+    Python's round() is banker's (half-to-even): byte-derived means are
+    DYADIC rationals (e.g. 95.4140625) that land exactly on 6-dp ties,
+    where the two modes split — found as a real sf0.1 oracle mismatch.
+    x·1e6 is exact for dyadic x (1e6 is an exact double), floor(+0.5)
+    is the same half-up DuckDB's ROUND applies.
+    """
+    return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+
 def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     """Real RIFF/WAVE decode in pure numpy: walks the chunk list, parses
     the ``fmt `` chunk, and converts the ``data`` chunk to a mono
@@ -235,7 +247,7 @@ def wav_features(wavs: DataFrame) -> DataFrame:
                         "doc_id": doc_id,
                         "n_samples": x.size,
                         "sample_rate": rate,
-                        "rms": round(float(np.sqrt((x * x).mean())), 6),
+                        "rms": _round6(float(np.sqrt((x * x).mean()))),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -267,7 +279,7 @@ def image_features(
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "mean_intensity": round(float(px.mean()), 6),
+                        "mean_intensity": _round6(float(px.mean())),
                         "max_intensity": float(px.max()),
                         "histogram": hist.astype(np.int64).tolist(),
                     }
@@ -357,7 +369,7 @@ def sample_frames(
                     out["frame_no"].append(fi)
                     out["offset"].append(fi * frame_bytes)
                     out["frame_mean"].append(
-                        round(float(chunk.mean()), 6) if chunk.size else 0.0
+                        _round6(float(chunk.mean())) if chunk.size else 0.0
                     )
             yield pd.DataFrame(out)
 
@@ -391,7 +403,7 @@ def audio_windows(
                     rms = float(np.sqrt((chunk**2).mean())) if chunk.size else 0.0
                     out["doc_id"].append(doc_id)
                     out["win_no"].append(wi)
-                    out["rms"].append(round(rms, 6))
+                    out["rms"].append(_round6(rms))
             yield pd.DataFrame(out)
 
     return (

@@ -28,11 +28,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued doubles: their double sum is
+            # EXACT (< 2^53), order-independent — no hardening needed
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("sum_disc"),
+            # money sums accumulate in DECIMAL (exact cents, associative
+            # — double partial-agg order can flip the 6th decimal); the
+            # discount product is computed per-row in identical IEEE
+            # doubles on both engines, then decimal-snapped before SUM
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_disc"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -58,7 +69,9 @@ def q2_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.sum("c_acctbal"), 6).alias("bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -275,7 +288,9 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
@@ -321,7 +336,10 @@ def q13_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.sum("value"), 6).alias("v"),
+            # DECIMAL(18,6) accumulation — associative, cross-engine safe
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
         )
         .orderBy("h", "event_type")
     )
@@ -431,7 +449,11 @@ def q17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 6).alias("min_v"),
             F.round(F.max("value"), 6).alias("max_v"),
-            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_v"),
         )
         .orderBy("metric")
     )
@@ -523,7 +545,8 @@ ORACLES = {
                COUNT(*) AS n,
                ROUND(MIN(value), 6) AS min_v,
                ROUND(MAX(value), 6) AS max_v,
-               ROUND(AVG(value), 6) AS avg_v
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_v
         FROM long
         GROUP BY metric
         ORDER BY metric
@@ -566,8 +589,10 @@ ORACLES = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 6) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 6) AS sum_base,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
                COUNT(*) AS cnt
         FROM lineitem
@@ -577,7 +602,7 @@ ORACLES = {
     """,
     "q2_region_nation_rollup": """
         SELECT r_name, n_name, COUNT(*) AS c,
-               ROUND(SUM(c_acctbal), 6) AS bal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -689,7 +714,8 @@ ORACLES = {
         SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
                COALESCE(l_linestatus, '*') AS l_linestatus,
                COUNT(*) AS c,
-               ROUND(SUM(l_extendedprice), 6) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus
@@ -711,7 +737,7 @@ ORACLES = {
     """,
     "q13_time_buckets": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
-               COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+               COUNT(*) AS c, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -245,7 +245,7 @@ ORACLES = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
                    AS w_end,
-               event_type, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+               event_type, COUNT(*) AS c, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events
         GROUP BY 1, 2, 3
         ORDER BY w_start, event_type
@@ -254,7 +254,7 @@ ORACLES = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
                    AS w_end,
-               event_type, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+               event_type, COUNT(*) AS c, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events
         GROUP BY 1, 2, 3
         ORDER BY w_start, event_type
@@ -291,7 +291,7 @@ ORACLES = {
         )
         SELECT CAST(MIN(ts) AS TIMESTAMP) AS w_start,
                CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS w_end,
-               user_id, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+               user_id, COUNT(*) AS c, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM y
         GROUP BY user_id, grp
         ORDER BY user_id, w_start
@@ -301,7 +301,8 @@ ORACLES = {
         FROM (SELECT DISTINCT user_id, event_type FROM events) t
     """,
     "ev_running_user_totals": """
-        SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS total,
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
                MAX(epoch_us(ts)) AS last_ts_us
         FROM events GROUP BY user_id ORDER BY user_id
     """,

@@ -80,7 +80,10 @@ def ev_range_click_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("event_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.round(F.sum("r_value"), 6).alias("click_sum"),
+            # DECIMAL(18,6) accumulation — cross-engine associative sum
+            F.sum(F.col("r_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("click_sum"),
         )
         .orderBy("event_id")
     )
@@ -89,7 +92,7 @@ def ev_range_click_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_RANGE_CLICK_STATS_SQL = """
 SELECT l.event_id,
        COUNT(*) AS n_clicks,
-       ROUND(SUM(r.value), 6) AS click_sum
+       CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS click_sum
 FROM (SELECT * FROM events WHERE event_type = 'error') l
 JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON r.user_id = l.user_id
@@ -118,9 +121,10 @@ def ev_range_click_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("event_id")
         .agg(
             F.count("r_ts").alias("n_clicks"),
-            F.coalesce(F.round(F.sum("r_value"), 6), F.lit(-1.0)).alias(
-                "click_sum"
-            ),
+            F.coalesce(
+                F.sum(F.col("r_value").cast("decimal(18,6)")).cast("double"),
+                F.lit(-1.0),
+            ).alias("click_sum"),
         )
         .orderBy("event_id")
     )
@@ -129,7 +133,8 @@ def ev_range_click_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_RANGE_CLICK_STATS_LEFT_SQL = """
 SELECT l.event_id,
        COUNT(r.ts) AS n_clicks,
-       COALESCE(ROUND(SUM(r.value), 6), -1.0) AS click_sum
+       COALESCE(CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE), -1.0)
+           AS click_sum
 FROM (SELECT * FROM events WHERE event_type = 'error') l
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON r.user_id = l.user_id

@@ -35,7 +35,13 @@ def tumbling_window_agg(
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.sum("value"), 6).alias("v"),
+            # DECIMAL(18,6) accumulation: double sums reordered across
+            # engines/runs can flip the 6th decimal at the rounding
+            # boundary; the per-value decimal cast is deterministic
+            # (identical input doubles) and decimal addition associates
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
         )
         .select(
             F.col("w.start").alias("w_start"),
@@ -88,7 +94,10 @@ def session_window_agg(
         )
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.sum("value"), 6).alias("v"),
+            # DECIMAL(18,6) accumulation — see tumbling_window_agg
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
         )
         .select(
             F.col("w.start").alias("w_start"),
