@@ -54,3 +54,45 @@ def test_tsv_triples_named_schema(spark, tmp_path):
     assert {tuple(r) for r in df2.collect()} == {
         ("e1", "r1", "e2"), ("e2", "r1", "e3")
     }
+
+
+def test_load_table_normalizes_every_events_ts_layout(spark, tmp_path):
+    """Round-2 regression class: the driver has shipped events.ts as
+    TIMESTAMP(NANOS) (read as raw-nanos long) and as TIMESTAMP(MICROS)
+    without timezone (read as TIMESTAMP_NTZ).  load_table must
+    normalize EVERY layout to a session-tz TIMESTAMP with identical
+    wall-clock values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.io.readers import load_table
+
+    wall = [
+        datetime.datetime(2024, 3, 1, 12, 0, 0, 250_000),
+        datetime.datetime(2024, 3, 1, 12, 0, 1, 0),
+    ]
+    layouts = {
+        "ntz_us": pa.timestamp("us"),
+        "tz_us": pa.timestamp("us", tz="UTC"),
+        "nanos": pa.timestamp("ns"),
+    }
+    got = {}
+    for name, ty in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(wall, ty),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+            name, df.schema["ts"].dataType,
+        )
+        got[name] = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got["ntz_us"] == got["tz_us"] == got["nanos"], got
