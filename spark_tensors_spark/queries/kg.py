@@ -226,7 +226,15 @@ def kg_q19_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_id") == F.col("true_o")
     )
     return ranked.agg(
-        F.round(F.avg(1.0 / F.col("r")), 6).alias("mrr"),
+        # reciprocal ranks are non-terminating rationals: snap each to
+        # DECIMAL(18,12) (identical IEEE 1/r on both engines quantizes
+        # identically), then the sum is associative — no order-dependent
+        # 6th-decimal wobble
+        F.round(
+            F.sum((1.0 / F.col("r")).cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
         F.round(
             F.avg(F.when(F.col("r") <= 10, 1.0).otherwise(0.0)), 6
         ).alias("hits10"),
@@ -316,7 +324,15 @@ def kg_q19_filtered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_id") == F.col("true_s")
     )
     return ranked.agg(
-        F.round(F.avg(1.0 / F.col("r")), 6).alias("mrr"),
+        # reciprocal ranks are non-terminating rationals: snap each to
+        # DECIMAL(18,12) (identical IEEE 1/r on both engines quantizes
+        # identically), then the sum is associative — no order-dependent
+        # 6th-decimal wobble
+        F.round(
+            F.sum((1.0 / F.col("r")).cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
         F.round(
             F.avg(F.when(F.col("r") <= 10, 1.0).otherwise(0.0)), 6
         ).alias("hits10"),
@@ -565,7 +581,8 @@ ORACLES = {
     + """SELECT s_id, p_id, o_id, r
          FROM ranked WHERE o_id = true_o ORDER BY s_id""",
     "kg_q19_metrics": TRIPLES_CTE + "," + _Q19_RANKED_SQL
-    + """SELECT ROUND(AVG(1.0 / r), 6) AS mrr,
+    + """SELECT ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / r AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*), 6) AS mrr,
                 ROUND(AVG(CASE WHEN r <= 10 THEN 1.0 ELSE 0 END), 6)
                     AS hits10,
                 ROUND(AVG(r), 6) AS mean_rank,
@@ -575,7 +592,8 @@ ORACLES = {
     + """SELECT true_s AS s_id, p_id, o_id, r
          FROM ranked WHERE s_cand = true_s ORDER BY s_id""",
     "kg_q19_filtered_metrics": TRIPLES_CTE + "," + _Q19_FILTERED_RANKED_SQL
-    + """SELECT ROUND(AVG(1.0 / r), 6) AS mrr,
+    + """SELECT ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / r AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*), 6) AS mrr,
                 ROUND(AVG(CASE WHEN r <= 10 THEN 1.0 ELSE 0 END), 6)
                     AS hits10,
                 ROUND(AVG(r), 6) AS mean_rank,

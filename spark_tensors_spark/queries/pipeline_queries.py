@@ -217,7 +217,15 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
         )
         .groupBy("label", F.col("pos"))
-        .agg(F.round(F.avg("col"), 6).alias("v"))
+        .agg(
+            # per-row DECIMAL(18,12) snap → associative sum (identical
+            # doubles quantize identically on both engines)
+            F.round(
+                F.sum(F.col("col").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
         .orderBy("label", "pos")
     )
 
@@ -320,7 +328,12 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "keep")
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
         )
         .orderBy("source", "keep")
     )
@@ -370,7 +383,12 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.repetition_stats(docs, n=3)
         .groupBy("source")
         .agg(
-            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.round(
+                F.sum(F.col("dup_frac").cast("decimal(18,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_frac"),
             F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
             F.sum((F.col("dup_frac") > 0.1).cast("long")).alias("n_repetitive"),
         )
@@ -753,8 +771,9 @@ ORACLES = {
     """,
     "emb_label_centroids": """
         SELECT label, CAST(pos AS INT) AS pos,
-               ROUND(AVG(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE)), 6)
-                   AS v
+               ROUND(CAST(SUM(CAST(CAST(embedding[CAST(pos AS INT) + 1]
+                                        AS DOUBLE) AS DECIMAL(18,12)))
+                          AS DOUBLE) / COUNT(*), 6) AS v
         FROM embeddings
         CROSS JOIN (SELECT UNNEST(range(64)) AS pos) p
         GROUP BY label, pos ORDER BY label, pos
@@ -852,7 +871,8 @@ ORACLES = {
                (n_tokens >= 5 AND punct_ratio <= 0.2 AND quality >= 0.2)
                    AS keep,
                COUNT(*) AS c,
-               ROUND(AVG(quality), 6) AS avg_quality
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_quality
         FROM q
         GROUP BY 1, 2 ORDER BY source, keep
     """,
@@ -903,7 +923,8 @@ ORACLES = {
             FROM grams
         )
         SELECT source,
-               ROUND(AVG(dup), 6) AS avg_dup_frac,
+               ROUND(CAST(SUM(CAST(dup AS DECIMAL(18,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_dup_frac,
                ROUND(MAX(dup), 6) AS max_dup_frac,
                SUM(CASE WHEN dup > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
         FROM d GROUP BY source ORDER BY source""",
