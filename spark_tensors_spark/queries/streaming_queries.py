@@ -109,6 +109,17 @@ def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_last3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3 most recent events — batch form of the
+    transformWithStateInPandas ListState recency buffer
+    (streaming/stateful.py last_n_events; stream ≡ batch pinned in
+    tests/test_streaming.py)."""
+    from spark_tensors_spark.streaming.stateful import last_n_events
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_n_events(ev, n=3).orderBy("user_id", "rk")
+
+
 def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental corpus-dedup operator (streaming/dedup.py) run
     through a REAL readStream → foreachBatch pass over the documents
@@ -237,6 +248,7 @@ QUERIES = {
     "ev_session_5m": ev_session_5m,
     "ev_dedup_keys": ev_dedup_keys,
     "ev_running_user_totals": ev_running_user_totals,
+    "ev_last3_per_user": ev_last3_per_user,
 }
 
 ORACLES = {
@@ -305,6 +317,17 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
                MAX(epoch_us(ts)) AS last_ts_us
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "ev_last3_per_user": """
+        SELECT user_id, CAST(rk AS INT) AS rk, epoch_us(ts) AS ts_us,
+               event_id
+        FROM (SELECT user_id, ts, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rk
+              FROM events) t
+        WHERE rk <= 3
+        ORDER BY user_id, rk
     """,
     "ev_props_json_stats": """
         SELECT event_type, COUNT(*) AS n,

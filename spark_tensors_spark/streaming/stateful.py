@@ -96,3 +96,126 @@ def running_user_totals(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+LAST_N_SCHEMA = "user_id long, rk int, ts_us long, event_id long"
+
+
+def last_n_events(
+    events: DataFrame,
+    n: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key N most recent events (rk=1 newest; ties broken by larger
+    event_id first, matching a DESC/DESC window).
+
+    Batch mode: one row_number window — the oracle-checkable form.
+
+    Streaming mode: Spark 4's ``transformWithStateInPandas`` (the
+    successor API to applyInPandasWithState) with a **ListState**
+    recency buffer per key.  State is O(n) per key no matter the stream
+    length — the state store keeps exactly the candidate set the answer
+    needs, which is what makes "most recent N per entity" maintainable
+    over an unbounded 100 TB/day stream.  Each microbatch emits the
+    refreshed top-n for keys that saw input.
+    """
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(id_col).desc()
+        )
+        return (
+            events.select(
+                F.col(key_col).alias("user_id"),
+                F.row_number().over(w).alias("rk"),
+                F.unix_micros(F.col(ts_col)).alias("ts_us"),
+                F.col(id_col).alias("event_id"),
+            )
+            .filter(F.col("rk") <= n)
+            .select("user_id", F.col("rk").cast("int"), "ts_us", "event_id")
+        )
+
+    import importlib.util
+
+    try:  # find_spec raises if the parent 'google' namespace is absent
+        _has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        _has_protobuf = False
+
+    def _merge_emit(cur, pdfs):
+        """Shared per-key step: merge state + batch rows, keep top-n
+        by (ts, id) desc — the exact batch-window order."""
+        for pdf in pdfs:
+            us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            cur.extend((int(t), int(e)) for t, e in zip(us, pdf[id_col]))
+        cur.sort(reverse=True)
+        return cur[:n]
+
+    if _has_protobuf:
+        # Spark 4's successor state API — ListState per key.  Its python
+        # worker protocol needs protobuf, absent in this container, so
+        # the applyInPandasWithState fallback below is the tested path;
+        # this branch is the forward surface for real deployments.
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class LastN(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._buf = handle.getListState(
+                    "recent", "ts_us long, event_id long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                cur = _merge_emit(
+                    [(r.ts_us, r.event_id) for r in self._buf.get()], rows
+                )
+                self._buf.put(list(cur))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(cur),
+                        "rk": list(range(1, len(cur) + 1)),
+                        "ts_us": [t for t, _ in cur],
+                        "event_id": [e for _, e in cur],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy(key_col).transformWithStateInPandas(
+            LastN(), LAST_N_SCHEMA, "Update", "NoTime"
+        )
+
+    # applyInPandasWithState fallback: the O(n)-per-key list rides in
+    # two array columns of the state tuple
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_lastn(key, pdfs, state):
+        if state.exists:
+            ts_arr, id_arr = state.get
+            cur = list(zip(ts_arr, id_arr))
+        else:
+            cur = []
+        cur = _merge_emit(cur, pdfs)
+        state.update(([t for t, _ in cur], [e for _, e in cur]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(cur),
+                "rk": list(range(1, len(cur) + 1)),
+                "ts_us": [t for t, _ in cur],
+                "event_id": [e for _, e in cur],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update_lastn,
+        LAST_N_SCHEMA,
+        "ts_us array<long>, event_id array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

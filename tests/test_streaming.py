@@ -336,3 +336,38 @@ def test_foreach_batch_sink_replay_is_idempotent(spark, tmp_path):
         (r.id, r.s) for r in sinks.read_sink(spark, out_dir).collect()
     )
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_last_n_events_stream_equals_batch(spark, stream_source):
+    """transformWithStateInPandas ListState recency buffer: after the
+    stream drains, each user's latest emitted top-3 equals the batch
+    window top-3."""
+    from spark_tensors_spark.streaming.stateful import last_n_events
+
+    d, schema = stream_source
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = last_n_events(stream, n=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lastn_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.rk): (r.ts_us, r.event_id)
+        for r in spark.sql(
+            """SELECT user_id, rk, ts_us, event_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY user_id, rk ORDER BY ts_us DESC
+                 ) AS dup_rk FROM lastn_mem) WHERE dup_rk = 1"""
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.rk): (r.ts_us, r.event_id)
+        for r in last_n_events(
+            load_table(spark, SF, "events"), n=3
+        ).collect()
+    }
+    assert got == want
