@@ -429,3 +429,132 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") > threshold)
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_bucket: int | None = 1024,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with token-Jaccard
+    ≥ threshold_num/threshold_den — the prefix-filtering design of
+    Vernica/Carey/Li (SIGMOD 2010 MapReduce set-similarity join), the
+    exact-threshold complement to MinHash-LSH (no false negatives).
+
+    Scale shape:
+      1. tokens ranked globally by ascending frequency (one agg + one
+         join — rare tokens first);
+      2. each doc emits only its PREFIX (the first
+         ``n − ceil(t·n) + 1`` rarest tokens): two docs can pass the
+         threshold only if their prefixes share a token, so the
+         candidate join runs on the exploded prefix — |candidates| ≪ n²
+         because prefixes are rare-token-heavy;
+      3. an equi-join on (prefix token) proposes pairs; exact
+         verification joins the full token arrays back and tests the
+         INTEGER predicate den·|A∩B| ≥ num·(|A|+|B|−|A∩B|) — no float
+         threshold, so the decision is engine-exact.
+
+    Hot prefix tokens (stopword-like) are capped at
+    ``max_token_bucket`` docs (defensive — the frequency ordering
+    already pushes frequent tokens out of prefixes); dropped buckets
+    only lose candidates whose every shared prefix token is that hot,
+    mirroring the LSH bucket cap.
+
+    Returns (doc_a, doc_b, n_common, n_union) — all integers.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+
+    exploded = toks.select("doc_id", F.explode("toks").alias("tok"))
+    # Rarity order WITHOUT a dense global rank: the sort key is the
+    # struct (count, tok) itself — a total deterministic order (ties by
+    # token text), and no single-partition row_number over the whole
+    # vocabulary (at 100 TB the vocab is billions of tokens; a global
+    # window there is the exact cliff assign_ids avoids).
+    tok_count = exploded.groupBy("tok").count()
+    ranked = (
+        exploded.join(tok_count, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("count", "tok"))
+            ).alias("ranks")
+        )
+        .select(
+            "doc_id",
+            # prefix ordering needs the (count, tok) structs; exact
+            # verification only needs the plain token set — intersecting
+            # string arrays is ~2× cheaper than struct arrays
+            "ranks",
+            F.transform("ranks", lambda r: r["tok"]).alias("toks"),
+            F.size("ranks").alias("n_tok"),
+        )
+    )
+    # prefix length: n − ceil(t·n) + 1, computed in integers:
+    # ceil(num·n/den) = floor((num·n + den − 1)/den)
+    prefix_len = (
+        F.col("n_tok")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("n_tok") + threshold_den - 1)
+            / threshold_den
+        )
+        + 1
+    ).cast("int")
+    # two prefixes share a struct iff they share the token (count is a
+    # function of the token), so the candidate join keys on tok alone
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(F.slice("ranks", 1, prefix_len)).alias("pref"),
+    ).select("doc_id", F.col("pref.tok").alias("tok"))
+    if max_token_bucket is not None:
+        hot = (
+            prefix.groupBy("tok")
+            .count()
+            .filter(F.col("count") > max_token_bucket)
+            .select("tok")
+        )
+        prefix = prefix.join(F.broadcast(hot), "tok", "left_anti")
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = ranked.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ra"),
+                       F.col("n_tok").alias("na"))
+    tb = ranked.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("rb"),
+                       F.col("n_tok").alias("nb"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ra", "rb")).alias("n_common"),
+            (F.col("na") + F.col("nb")).alias("_nsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("_nsum") - F.col("n_common")).alias("n_union"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_common")
+            >= F.lit(threshold_num) * F.col("n_union")
+        )
+    )
+    return verified

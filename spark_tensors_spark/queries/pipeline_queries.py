@@ -258,6 +258,33 @@ def doc_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.duplicate_components(pairs).orderBy("doc_id")
 
 
+def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (prefix filtering, Vernica et al.
+    SIGMOD 2010): all doc pairs with token-Jaccard ≥ 9/10 on a doc_id%11
+    subset (the synthetic corpus is heavily templated — most pairs
+    clear 0.6 — so the subset keeps the verified pair set bounded).  Integer-exact output and an integer threshold predicate
+    (10·|A∩B| ≥ 9·|A∪B|) — zero float surface, so the oracle matches
+    bit-for-bit.  The no-false-negative complement to the MinHash-LSH
+    family above.  Declared form disables the hot-token cap (the scale
+    knob) so semantics are exactly the brute-force oracle's."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 0
+    )
+    docs = ensure_scan_parallelism(docs)
+    return (
+        dedup.jaccard_similarity_join(
+            docs, threshold_num=9, threshold_den=10, max_token_bucket=None
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-proportional train/valid/test split within
     each source stratum (md5-ranked, one partitioned window)."""
@@ -480,6 +507,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_simhash_candidates": doc_simhash_candidates,
+    "doc_jaccard_join": doc_jaccard_join,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
@@ -641,6 +669,26 @@ ORACLES = {
                ROUND(1.0 / (1.0 + l2), 6) AS euclid,
                ROUND((0.1 * dot + 1.0) * (0.1 * dot + 1.0), 6) AS poly2
         FROM m ORDER BY id_a
+    """,
+    "doc_jaccard_join": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS toks
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        t2 AS (
+            SELECT doc_id, toks, len(toks) AS n
+            FROM toks WHERE len(toks) > 0
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.toks, b.toks)) AS n_common,
+               a.n + b.n - len(list_intersect(a.toks, b.toks)) AS n_union
+        FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+        WHERE 10 * len(list_intersect(a.toks, b.toks))
+              >= 9 * (a.n + b.n - len(list_intersect(a.toks, b.toks)))
+        ORDER BY doc_a, doc_b
     """,
     "doc_winnow_fingerprints": """
         WITH codes_t AS (

@@ -213,3 +213,45 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     for r in ivf_rows:
         if (r.query_id, r.nn_id) in exact_sims:
             assert r.sim == exact_sims[(r.query_id, r.nn_id)]
+
+
+def test_jaccard_join_matches_bruteforce(spark):
+    """Prefix-filtered exact join ≡ brute-force all-pairs on a corpus
+    with known near-dups; the hot-token cap only ever REMOVES pairs."""
+    from spark_tensors_spark.pipeline.dedup import jaccard_similarity_join
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (5, "unrelated second topic with other vocabulary"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union)
+        for r in jaccard_similarity_join(
+            docs, threshold_num=3, threshold_den=5, max_token_bucket=None
+        ).collect()
+    }
+    # brute force in python
+    toks = {i: set(t.lower().split()) for i, t in texts}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                i = len(toks[a] & toks[b])
+                u = len(toks[a] | toks[b])
+                if 5 * i >= 3 * u:
+                    want[(a, b)] = (i, u)
+    assert got == want
+    assert (0, 4) in got and got[(0, 4)][0] == got[(0, 4)][1]  # exact dup
+    # cap: pairs under a cap are a subset of the uncapped result
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_similarity_join(
+            docs, threshold_num=3, threshold_den=5, max_token_bucket=2
+        ).collect()
+    }
+    assert capped <= set(want)
