@@ -496,7 +496,6 @@ QUERIES = {
     "emb_l2_topk": emb_l2_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_near_dup_pairs": emb_near_dup_pairs,
-    "emb_near_dup_bucketed": emb_near_dup_bucketed,
     "doc_lsh_components": doc_lsh_components,
     "doc_stratified_split": doc_stratified_split,
     "doc_weighted_sample": doc_weighted_sample,
@@ -507,6 +506,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
+    "emb_near_dup_bucketed": emb_near_dup_bucketed,
     # rows-only from here down — past the driver's 50-query window by
     # design (value-oracled entries take the checked slots)
     "doc_simhash_candidates": doc_simhash_candidates,

@@ -278,6 +278,55 @@ ORDER BY h.event_type
 """
 
 
+def ev_hll_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED mergeable-sketch composition: per-hour HLL distinct-user
+    estimate beside the exact count.  The register aggregation is the
+    same map-side-combinable shape as the global ev_hll_users — at
+    100 TB the per-(window, register) partial max is what makes
+    distinct-over-time queries one linear pass instead of a
+    count-distinct shuffle per window."""
+    from spark_tensors_spark.functions.sketches import hll_estimate
+
+    # column named hour_start, NOT "h": the oracle generator's hashed
+    # CTE uses h/w internally and a grouping column of the same name
+    # would collide
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "user_id"
+    )
+    est = hll_estimate(ev, "user_id", ["hour_start"])
+    exact = ev.groupBy("hour_start").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "hour_start")
+        .select(
+            "hour_start",
+            "n_exact",
+            F.round("hll_estimate", 4).alias("hll_users"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+def _hll_users_hourly_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import hll_oracle_sql
+
+    src = ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, "
+           "user_id FROM events")
+    hll = hll_oracle_sql(src, "user_id", ["hour_start"])
+    return f"""
+SELECT e.hour_start,
+       x.n_exact,
+       ROUND(e.hll_estimate, 4) AS hll_users
+FROM ({hll}) e
+JOIN (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) x
+  ON e.hour_start = x.hour_start
+ORDER BY e.hour_start
+"""
+
+
 def ev_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min-sketch frequency estimate, alongside
     their exact counts (functions/sketches.py count-min).  The sketch is
@@ -378,6 +427,7 @@ QUERIES = {
     "ev_range_click_stats_left": ev_range_click_stats_left,
     "ev_funnel": ev_funnel,
     "ev_hll_users": ev_hll_users,
+    "ev_hll_users_hourly": ev_hll_users_hourly,
     "ev_cms_top_users": ev_cms_top_users,
     "ev_retention_weekly": ev_retention_weekly,
 }
@@ -388,6 +438,7 @@ ORACLES = {
     "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_hll_users": _hll_users_oracle(),
+    "ev_hll_users_hourly": _hll_users_hourly_oracle(),
     "ev_cms_top_users": _cms_top_users_oracle(),
     "ev_retention_weekly": EV_RETENTION_WEEKLY_SQL,
 }
