@@ -74,7 +74,9 @@ def main() -> None:
     )
     spark.stop()
     if errors:
-        sys.exit(0)  # JSON already emitted; errors are in-band
+        # JSON (with in-band errors) already emitted; exit non-zero so
+        # callers keying only on exit status still see the failure.
+        sys.exit(1)
 
 
 if __name__ == "__main__":

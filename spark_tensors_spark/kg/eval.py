@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Hard cap on the entity matrix shipped in the ranking task closure:
+# 12.5M float64 = 100 MB serialized per task — the sensible closure
+# ceiling (FB15k at d=100 is ~1.5M floats; 100× the entity count at
+# d=256 would be ~400M and must NOT ride the closure).  Beyond the cap
+# use the SQL-window path: score candidates into a table (however the
+# model scores — joins, pandas_udf) and rank with rank_candidates(),
+# whose cost never depends on a driver-side collect.
+MAX_CLOSURE_MATRIX_FLOATS = 12_500_000
+
 
 def rank_candidates(
     scored: DataFrame,
@@ -138,6 +147,16 @@ def rank_against_all_entities_np(
     executors as a plain dict in the task closure — it is O(|triples|)
     ints, the same order as the test split itself.
     """
+    n_floats = int(emat.size) + int(rmat.size)
+    if n_floats > MAX_CLOSURE_MATRIX_FLOATS:
+        raise ValueError(
+            f"embedding matrices ({n_floats} floats, "
+            f"~{n_floats * 8 // 2**20} MB) exceed the "
+            f"{MAX_CLOSURE_MATRIX_FLOATS}-float task-closure ceiling; "
+            "score candidates into a table and rank with "
+            "rank_candidates() (SQL window) instead"
+        )
+
     known_by_sp: dict[tuple[int, int], np.ndarray] | None = None
     if known_triples is not None:
         kt = np.asarray(known_triples)

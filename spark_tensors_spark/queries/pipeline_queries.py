@@ -889,7 +889,7 @@ ORACLES = {
             FROM t
         )
         SELECT source, CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_id,
-               COUNT(*) AS n_docs, SUM(n_tokens) AS tok_sum
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
         FROM c
         GROUP BY 1, 2 ORDER BY source, bin_id
     """,
@@ -937,8 +937,8 @@ ORACLES = {
             JOIN bench USING (g)
         )
         SELECT d.source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_contaminated
+               CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 97 <> 0
         GROUP BY d.source ORDER BY d.source""",
@@ -976,7 +976,8 @@ ORACLES = {
                ROUND(CAST(SUM(CAST(dup AS DECIMAL(18,12))) AS DOUBLE)
                      / COUNT(*), 6) AS avg_dup_frac,
                ROUND(MAX(dup), 6) AS max_dup_frac,
-               SUM(CASE WHEN dup > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(SUM(CASE WHEN dup > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repetitive
         FROM d GROUP BY source ORDER BY source""",
     "doc_ngram_topk": _GRAMS_CTE
     + """ SELECT gram, c FROM (

@@ -553,15 +553,18 @@ ORACLES = {
     """,
     "q14_pivot": """
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_f,
                CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                     AS DOUBLE) AS total_f,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_o,
                CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                     AS DOUBLE) AS total_o,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_p,
                CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                     AS DOUBLE) AS total_p

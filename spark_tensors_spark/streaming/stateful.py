@@ -64,11 +64,14 @@ def running_user_totals(
             n, total_micro, last_us = 0, 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            # Decimal(float) is the float's EXACT expansion; quantize
-            # half-up ≡ Spark/DuckDB CAST(value AS DECIMAL(18,6))
+            # Spark's double→DECIMAL(18,6) cast rounds the SHORTEST
+            # decimal repr (BigDecimal.valueOf), not the exact binary
+            # expansion — Decimal(repr(v)) matches that; Decimal(v)
+            # can flip values whose shortest repr lands exactly on a
+            # 6-dp half boundary.
             total_micro += sum(
                 int(
-                    Decimal(float(v)).quantize(micro, ROUND_HALF_UP)
+                    Decimal(repr(float(v))).quantize(micro, ROUND_HALF_UP)
                     .scaleb(6)
                 )
                 for v in pdf[val_col]

@@ -57,9 +57,15 @@ _POINTWISE_G = {
 
 
 class JoinMergeKGETrainer:
-    """model ∈ {'transe','rescal','hole'}; optimizer ∈ {'adagrad','sgd'}
-    (stateful optimizers keep their state as array columns of the
-    parameter table — AdaGrad's Σg² rides along as ``acc``)."""
+    """model ∈ {'transe','rescal','hole'}; optimizer ∈ {'adagrad','sgd',
+    'adam'} (stateful optimizers keep their state as array columns of
+    the parameter table — AdaGrad's Σg² rides along as ``acc``; Adam's
+    first/second moments as ``m``/``v`` with a per-parameter timestep
+    on the trainer, matching the driver path's per-key ``t``).
+
+    Adam is the reference's own TransE optimizer (`TransE.scala:98` —
+    lr 0.001, weight decay 1e-4), so the 100 TB path supports the
+    reference's published training config."""
 
     def __init__(
         self,
@@ -75,8 +81,11 @@ class JoinMergeKGETrainer:
         seed: int = 42,
         neg_per_pos: int = 1,
         objective: str | None = None,
+        beta1: float = 0.9,
+        beta2: float = 0.999,
+        weight_decay: float = 0.0001,
     ):
-        if optimizer not in ("adagrad", "sgd"):
+        if optimizer not in ("adagrad", "sgd", "adam"):
             raise ValueError(f"unsupported optimizer: {optimizer!r}")
         self.spark = spark
         self.model = model
@@ -89,6 +98,9 @@ class JoinMergeKGETrainer:
         self.optimizer = optimizer
         self.lr = lr
         self.eps = eps
+        self.beta1 = beta1
+        self.beta2 = beta2
+        self.wd = weight_decay
         self.seed = seed
         self.neg = neg_per_pos
         self.n_entities = n_entities
@@ -108,12 +120,19 @@ class JoinMergeKGETrainer:
             p_width,
         ).persist()
         self.loss_history: list[float] = []
+        # per-parameter Adam timestep — the driver path bias-corrects
+        # each parameter by ITS OWN update count (optim.Adam._t)
+        self._t = {"E": 0, self.pname: 0}
 
     def _with_state(self, df: DataFrame, width: int) -> DataFrame:
         if self.optimizer == "adagrad":
             return df.withColumn(
                 "acc", F.array_repeat(F.lit(0.0), width)
             )
+        if self.optimizer == "adam":
+            return df.withColumn(
+                "m", F.array_repeat(F.lit(0.0), width)
+            ).withColumn("v", F.array_repeat(F.lit(0.0), width))
         return df
 
     # ------------------------------------------------------------ epoch
@@ -211,6 +230,55 @@ class JoinMergeKGETrainer:
         )
         joined = param_df.join(g, "id", "left")
         has_g = F.col("g").isNotNull()
+
+        if self.optimizer == "adam":
+            # mirror optim.Adam.step op-for-op: decayed grads, moment
+            # EMAs, bias correction by this parameter's own timestep
+            self._t[pname] += 1
+            t = self._t[pname]
+            b1, b2, wd = self.beta1, self.beta2, self.wd
+            bc1, bc2 = 1.0 - b1**t, 1.0 - b2**t
+            joined = (
+                joined.withColumn(
+                    "gw",
+                    F.zip_with(
+                        "g", "vec", lambda x, vv: x + F.lit(wd) * vv
+                    ),
+                )
+                .withColumn(
+                    "m",
+                    F.when(
+                        has_g,
+                        F.zip_with(
+                            "m",
+                            "gw",
+                            lambda m, x: F.lit(b1) * m
+                            + F.lit(1.0 - b1) * x,
+                        ),
+                    ).otherwise(F.col("m")),
+                )
+                .withColumn(
+                    "v",
+                    F.when(
+                        has_g,
+                        F.zip_with(
+                            "v",
+                            "gw",
+                            lambda v_, x: F.lit(b2) * v_
+                            + F.lit(1.0 - b2) * x * x,
+                        ),
+                    ).otherwise(F.col("v")),
+                )
+            )
+            adam_step = lambda vv, i: vv - F.lit(lr) * (  # noqa: E731
+                F.get(F.col("m"), i) / F.lit(bc1)
+            ) / (
+                F.sqrt(F.get(F.col("v"), i) / F.lit(bc2)) + F.lit(eps)
+            )
+            new_vec = F.when(
+                has_g, F.transform(F.col("vec"), adam_step)
+            ).otherwise(F.col("vec"))
+            return joined.select("id", new_vec.alias("vec"), "m", "v")
 
         def updated_vec(acc_col: Column | None) -> Column:
             gi = lambda i: F.get(F.col("g"), i)  # noqa: E731

@@ -4,6 +4,15 @@ Runs a PySpark query and its declared DuckDB oracle SQL over the same
 parquet tables, normalizes both results (column-name sort, 6-dp double
 rounding, ISO timestamps, row sort), and asserts equality — the same
 contract the driver's CORRECTNESS_r{N}.json check applies.
+
+Type-faithfulness (round-4 hardening): the driver fetches the DuckDB
+result through pandas, where an uncast integer SUM (DuckDB HUGEINT)
+becomes float64 and stringifies as "6.0" while Spark's BIGINT gives
+"6" — a hash mismatch the old harness could not see because Python's
+`6.0 == 6`. We now (a) fetch DuckDB via fetchdf() like the driver and
+(b) tag every normalized cell with its engine type class ("i"/"f"/"b"/
+"d"/"t"), so an int on one side and a float on the other NEVER compare
+equal locally. This reproduces the three r3 driver failures pre-fix.
 """
 
 from __future__ import annotations
@@ -11,6 +20,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 
@@ -42,21 +52,31 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, datetime):  # includes pd.Timestamp
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        # DuckDB DATE arrives as a midnight Timestamp through pandas
+        # while Spark DateType collects as datetime.date — align them.
+        return ("t", v.isoformat() + "T00:00:00")
+    if isinstance(v, dict):  # DuckDB struct via pandas
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "dtype") and hasattr(v, "__len__")
+    ):  # list/tuple/Row/np.ndarray
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar → Python scalar
+        v = v.item()
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         r = round(v, 6)
-        return 0.0 if r == 0 else r
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_cell(v.item())
+        return ("f", 0.0 if r == 0 else r)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("d", str(v))
     return v
 
 
@@ -79,8 +99,12 @@ def run_spark(query_fn, spark, sf_dir):
 
 
 def run_duck(con, sql):
-    res = con.sql(sql)
-    return list(res.columns), res.fetchall()
+    """Fetch through pandas — the driver's path — so DuckDB result
+    types (e.g. HUGEINT→float64) survive into the comparison."""
+    df = con.sql(sql).fetchdf()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def compare(query_fn, oracle, spark, sf_dir, con=None):

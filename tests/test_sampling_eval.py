@@ -235,6 +235,25 @@ def test_rank_against_all_entities_transe(spark):
     assert 0 < m.mrr <= 1 and m.n == 12
 
 
+def test_rank_closure_guard_rejects_oversized_matrices(spark):
+    """The ranking closure ships the entity matrix to every task; past
+    MAX_CLOSURE_MATRIX_FLOATS it must fail fast with a pointer to the
+    SQL-window path, never attempt the broadcast (VERDICT r3 item 7)."""
+    test = spark.createDataFrame(
+        [(0, 0, 1)], "s_id long, p_id long, o_id long"
+    )
+    big_n = kgeval.MAX_CLOSURE_MATRIX_FLOATS // 4 + 1
+    # strided fakes: .size reflects the logical shape, no real allocation
+    emat = np.lib.stride_tricks.as_strided(
+        np.zeros(4), shape=(big_n, 4), strides=(0, 8)
+    )
+    rmat = np.zeros((1, 4))
+    with pytest.raises(ValueError, match="rank_candidates"):
+        kgeval.rank_against_all_entities_np(
+            test, emat, np.arange(big_n), rmat, lambda E, S, R: None
+        )
+
+
 def test_filtered_ranks_never_worse_and_mask_exact(spark):
     """Filtered-protocol ranks are <= raw ranks everywhere, and a
     hand-built case where a known-true object outscores the test object

@@ -360,7 +360,8 @@ def test_last_n_events_stream_equals_batch(spark, stream_source):
         for r in spark.sql(
             """SELECT user_id, rk, ts_us, event_id FROM (
                  SELECT *, ROW_NUMBER() OVER (
-                     PARTITION BY user_id, rk ORDER BY ts_us DESC
+                     PARTITION BY user_id, rk
+                     ORDER BY ts_us DESC, event_id DESC
                  ) AS dup_rk FROM lastn_mem) WHERE dup_rk = 1"""
         ).collect()
     }
