@@ -331,7 +331,13 @@ def resize_image(
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "thumb": np.round(out, 6).astype(np.float32).tolist(),
+                        # half-up 6-dp (engine doctrine, see _round6):
+                        # block means of integer bytes are dyadic
+                        # rationals where banker's np.round splits from
+                        # SQL ROUND
+                        "thumb": (np.floor(out * 1e6 + 0.5) / 1e6)
+                        .astype(np.float32)
+                        .tolist(),
                     }
                 )
             yield pd.DataFrame(rows)

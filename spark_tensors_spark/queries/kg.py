@@ -599,6 +599,35 @@ ORACLES = {
                 ROUND(AVG(r), 6) AS mean_rank,
                 COUNT(*) AS n
          FROM ranked WHERE s_cand = true_s""",
+    # pseudo-embedding component (id·31 + j·17 + seed) % 97 − 48 is pure
+    # BIGINT arithmetic → DuckDB recomputes the trilinear sums exactly
+    "kg_distmult_scores": TRIPLES_CTE
+    + """, js AS (SELECT UNNEST(range(0, 8)) AS j)
+        SELECT s_id, p_id, o_id,
+               CAST(SUM(((p_id*31 + j*17 + 1) % 97 - 48)
+                      * ((s_id*31 + j*17 + 0) % 97 - 48)
+                      * ((o_id*31 + j*17 + 2) % 97 - 48)) AS BIGINT)
+                   AS score
+        FROM triples_encoded CROSS JOIN js
+        GROUP BY s_id, p_id, o_id
+        ORDER BY s_id, p_id, o_id""",
+    "kg_complex_scores": TRIPLES_CTE
+    + """, js AS (SELECT UNNEST(range(0, 4)) AS j),
+        comp AS (
+            SELECT s_id, p_id, o_id,
+                   (p_id*31 + j*17 + 3) % 97 - 48 AS rr,
+                   (p_id*31 + j*17 + 4) % 97 - 48 AS ri,
+                   (s_id*31 + j*17 + 5) % 97 - 48 AS sr,
+                   (s_id*31 + j*17 + 6) % 97 - 48 AS si,
+                   (o_id*31 + j*17 + 7) % 97 - 48 AS orr,
+                   (o_id*31 + j*17 + 8) % 97 - 48 AS oi
+            FROM triples_encoded CROSS JOIN js
+        )
+        SELECT s_id, p_id, o_id,
+               CAST(SUM(rr*sr*orr + rr*si*oi + ri*sr*oi - ri*si*orr)
+                    AS BIGINT) AS score
+        FROM comp GROUP BY s_id, p_id, o_id
+        ORDER BY s_id, p_id, o_id""",
     "kg_tensor_blocks": TRIPLES_CTE
     + """, consts AS (
             SELECT CAST(CEIL((SELECT COUNT(*) FROM entity_dict) / 8.0)

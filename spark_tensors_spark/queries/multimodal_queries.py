@@ -135,8 +135,11 @@ ORDER BY doc_id, win_no
 
 
 def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4×4 block-mean resize (rows-only check: the grid padding/pooling
-    geometry is numpy-specific; covered by unit tests instead)."""
+    """4×4 block-mean resize, value-oracled: DuckDB replays the exact
+    numpy geometry symbolically — np.array_split row/col groups, zero
+    padding to the w×h grid, per-block integer sums (exact in double),
+    half-up 6-dp rounding, float32 quantization, and the same
+    left-to-right fold over the 16 block values."""
     media = mm.attach_media(load_table(spark, sf_dir, "documents"))
     thumbs = mm.resize_image(media)
     return thumbs.select(
@@ -149,6 +152,51 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("thumb_mean"),
     ).orderBy("doc_id")
+
+
+# np.array_split(range(n), 4): first n%4 groups get n//4+1 rows, the
+# rest n//4 — replicated below with integer arithmetic.  Block sums of
+# uint8 values are exact integers in ANY association order, so only the
+# final 16-value fold needs order-matching (list_reduce = the same
+# left fold as Spark's F.aggregate with a 0.0 init).
+MM_THUMBNAILS_SQL = f"""
+WITH img AS (
+    SELECT doc_id, text, length(text) AS n,
+           32 + {_NBYTES_SQL} % {mm.WIDTH_MOD} AS w,
+           32 + {_NBYTES_SQL} % {mm.HEIGHT_MOD} AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+blocks AS (
+    SELECT doc_id, text, n, w,
+           yb.g AS yg, xb.g AS xg,
+           (h // 4) + CASE WHEN yb.g < h % 4 THEN 1 ELSE 0 END AS yl,
+           yb.g * (h // 4) + least(yb.g, h % 4) AS ys,
+           (w // 4) + CASE WHEN xb.g < w % 4 THEN 1 ELSE 0 END AS xl,
+           xb.g * (w // 4) + least(xb.g, w % 4) AS xs
+    FROM img, UNNEST(range(4)) AS yb(g), UNNEST(range(4)) AS xb(g)
+),
+cells AS (
+    SELECT doc_id, yg, xg, yl, xl,
+           (ys + t.k // xl) * w + (xs + t.k % xl) AS idx, n, text
+    FROM blocks, UNNEST(range(yl * xl)) AS t(k)
+),
+bmeans AS (
+    SELECT doc_id, yg, xg,
+           CAST(CAST(ROUND(
+               SUM(CASE WHEN idx < n
+                        THEN ascii(substr(text, CAST(idx + 1 AS INT), 1))
+                        ELSE 0 END) / CAST(MAX(yl * xl) AS DOUBLE), 6)
+             AS REAL) AS DOUBLE) AS bval
+    FROM cells GROUP BY doc_id, yg, xg
+),
+lists AS (
+    SELECT doc_id, list(bval ORDER BY yg, xg) AS tl
+    FROM bmeans GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(list_reduce(tl, (a, b) -> a + b) / 16, 6) AS thumb_mean
+FROM lists ORDER BY doc_id
+"""
 
 
 def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,5 +252,6 @@ ORACLES = {
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "mm_frame_index": MM_FRAME_INDEX_SQL,
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
+    "mm_thumbnails": MM_THUMBNAILS_SQL,
     "mm_wav_energy": MM_WAV_ENERGY_SQL,
 }

@@ -82,6 +82,42 @@ def test_cp_als_fit_query_runs(spark):
     assert all(-1.0 <= r["fit"] <= 1.0 for r in rows)
 
 
+def test_cp_als_fit_query_golden(spark):
+    """GOLDEN pin for the declared (rows-only) query: ALS is iterative
+    least squares, not SQL-expressible, so this exact fixed-seed
+    trajectory is the strongest check available (VERDICT r3 item 5).
+    The whole pipeline is deterministic — hash-seeded init, xxhash64-
+    ordered sample, exact normal-equation solves — so the 6-dp fits
+    are pinned EXACTLY, not approximately."""
+    got = [
+        (r.sweep, r.fit)
+        for r in tq.QUERIES["tns_cp_als_fit"](spark, SF).collect()
+    ]
+    assert got == [(1, 0.008597), (2, 0.011841)], got
+
+
+def test_cp_als_golden_trajectory_synthetic(spark):
+    """Machine-local golden trajectory on a fixed synthetic tensor:
+    pins the full double-precision fit values (1e-9), catching any
+    change to init, sweep order, or normal-equation assembly."""
+    coo = spark.createDataFrame(
+        [
+            (i, j, k, float(1 + ((i * 7 + j * 3 + k * 5) % 4)))
+            for i in range(6)
+            for j in range(5)
+            for k in range(3)
+            if (i + j + k) % 2 == 0
+        ],
+        "i long, j long, k long, v double",
+    )
+    m = CPALS(spark, 6, 5, 3, rank=3, seed=7).fit(coo, sweeps=3)
+    np.testing.assert_allclose(
+        m.fit_history,
+        [0.293762501, 0.37300286, 0.460423561],
+        atol=2e-9,
+    )
+
+
 def test_cpals_checkpoint_roundtrip(spark, tmp_path):
     rows = [(i % 3, i % 2, i % 2, float(i + 1)) for i in range(8)]
     coo = spark.createDataFrame(rows, "i long, j long, k long, v double")

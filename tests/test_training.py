@@ -226,6 +226,31 @@ def test_joinmerge_matches_driver_path(spark, kg_triples):
         np.testing.assert_allclose(E_jm[i], driver.E[i], rtol=1e-9)
 
 
+def test_joinmerge_adam_matches_driver_path(spark, kg_triples):
+    """Adam through the join-merge path, at the REFERENCE's TransE
+    config (`TransE.scala:98`: lr 0.001, weight decay 1e-4): loss
+    trajectory and final embeddings match the driver path to 1e-9 —
+    m/v moments live as array columns, t per parameter."""
+    from spark_tensors_spark.train import JoinMergeKGETrainer
+
+    driver = KGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model="transe",
+        optimizer=Adam(lr=0.001, weight_decay=1e-4), seed=23,
+        neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    jm = JoinMergeKGETrainer(
+        spark, n_entities=40, n_relations=2, dim=8, model="transe",
+        optimizer="adam", lr=0.001, weight_decay=1e-4, seed=23,
+        neg_per_pos=2,
+    ).fit(kg_triples, epochs=3)
+    np.testing.assert_allclose(
+        jm.loss_history, driver.loss_history, rtol=1e-9
+    )
+    E_jm = {r.id: np.array(r.vec) for r in jm.entity_embeddings().collect()}
+    for i in range(40):
+        np.testing.assert_allclose(E_jm[i], driver.E[i], rtol=1e-9)
+
+
 def test_joinmerge_rescal_matches_driver_path(spark, kg_triples):
     """Pointwise RESCAL through the join-merge path: same trajectory as
     the driver path (covers the labeled-row gather and the W merge)."""
