@@ -27,6 +27,7 @@ join/agg shape if a corpus ever needs it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,8 +84,13 @@ def connected_components(
         schema = e.select(
             F.col("u").alias("node"), F.col("u").alias("comp")
         ).schema
+        # go through pandas so Arrow turns this into a JVM
+        # LocalTableScan — a plain Python list becomes a pickled RDD
+        # that spins up Python workers on EVERY downstream action
+        # (measured 5-7 s per action vs ~0.1 s for the local relation)
         out = e.sparkSession.createDataFrame(
-            sorted(comp.items()), schema
+            pd.DataFrame(sorted(comp.items()), columns=["node", "comp"]),
+            schema,
         )
         e.unpersist()
         return out

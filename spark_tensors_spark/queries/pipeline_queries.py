@@ -62,9 +62,23 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sigs(spark, sf_dir).orderBy("doc_id")
 
 
+# the banded-bucket candidate-pair join is itself consumed twice
+# (doc_lsh_pairs, doc_lsh_components) — memoize alongside the
+# signatures so the bucket join runs once per (session, dataset)
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = dedup.lsh_candidate_pairs(
+            _sigs(spark, sf_dir)
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
 def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _sigs(spark, sf_dir)
-    return dedup.lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+    return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def doc_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,8 +267,7 @@ def doc_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared a bucket."""
     from spark_tensors_spark.pipeline import components
 
-    sigs = _sigs(spark, sf_dir)
-    pairs = dedup.lsh_candidate_pairs(sigs)
+    pairs = _lsh_pairs(spark, sf_dir)
     return components.duplicate_components(pairs).orderBy("doc_id")
 
 
