@@ -37,7 +37,13 @@ TABLES = (
 # The reference keeps URI-only triples (`RDFDatasetReader.scala:22-25`);
 # the rdflib path inverts the filter — a bug we do not replicate
 # (`rdfio.py:46-47`, SURVEY §1.4).
-_NT_PATTERN = r"^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
+# (?s): Java regex otherwise refuses to match '.' across U+0085/U+2028/
+# U+2029, which are legal UNESCAPED inside N-Triples literals (grammar
+# only excludes " \ LF CR) — without DOTALL such triples silently
+# vanish while Jena/rdflib keep them (found by the escape property
+# test).  Rows are already line-split by the text source, so DOTALL
+# cannot over-match.
+_NT_PATTERN = r"(?s)^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -116,6 +122,51 @@ def read_ntriples(
         .otherwise(F.col("o_raw"))
         .alias("o"),
     )
+
+
+_ECHAR = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def unescape_ntriples_literal(term: str) -> tuple[str, str]:
+    """(lexical value, suffix) from a literal term as read_ntriples
+    captures it; suffix is ``''``, ``@lang`` or ``^^<datatype>``.
+
+    Implements the W3C N-Triples STRING_LITERAL_QUOTE / ECHAR / UCHAR
+    productions, so values round-trip exactly as the reference's real
+    parsers (Jena `RDFDatasetReader.scala:21`, rdflib `rdfio.py:42-50`)
+    produce them — e.g. ``"say \\"hi\\""`` → ``say "hi"``.  The Spark
+    column keeps the verbatim term (cheap, codegen-friendly); this
+    helper is the value-level view for consumers that compare or dedup
+    literal VALUES.
+    """
+    if not term.startswith('"'):
+        raise ValueError(f"not a literal term: {term!r}")
+    i, out = 1, []
+    while i < len(term):
+        c = term[i]
+        if c == '"':
+            return "".join(out), term[i + 1:]
+        if c == "\\":
+            nxt = term[i + 1] if i + 1 < len(term) else ""
+            if nxt in _ECHAR:
+                out.append(_ECHAR[nxt])
+                i += 2
+                continue
+            if nxt == "u":
+                out.append(chr(int(term[i + 2: i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U":
+                out.append(chr(int(term[i + 2: i + 10], 16)))
+                i += 10
+                continue
+            raise ValueError(f"bad escape at {i} in {term!r}")
+        out.append(c)
+        i += 1
+    raise ValueError(f"unterminated literal: {term!r}")
 
 
 def read_tsv_triples(
