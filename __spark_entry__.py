@@ -83,12 +83,19 @@ def _order_by_gate_staleness(queries, oracles):
     only move a query INTO the window, never out of it, and the stalest
     external verification is always refreshed first.
     """
+    here = os.path.dirname(os.path.abspath(__file__))
+    return _order_queries(queries, oracles, _gate_history(here))
+
+
+def _gate_history(dirpath):
+    """query -> (round, kind) from CORRECTNESS_r*.json; kind 'ok' (hash
+    green), 'weak' (no_oracle record, still rows-only), 'fail' (hash or
+    run failure — round forced to 0 so it re-enters the window)."""
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    hist: dict[str, tuple[int, str]] = {}  # query -> (round, kind)
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    hist: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(dirpath, "CORRECTNESS_r*.json"))):
         try:
             rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
             recs = json.load(open(path))
@@ -103,7 +110,10 @@ def _order_by_gate_staleness(queries, oracles):
                     hist[q] = (rnd, "weak")
             else:
                 hist[q] = (0, "fail")
+    return hist
 
+
+def _order_queries(queries, oracles, hist):
     def score(q: str) -> int:
         rnd, kind = hist.get(q, (0, "never"))
         if kind == "ok":

@@ -43,6 +43,20 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # spin up the Arrow Python workers once — otherwise the first
+    # pandas_udf/mapInPandas query absorbs the whole fleet's fork+import
+    # cost (~5-10 s measured) that every later Python query reuses
+    try:
+        import pandas as _pd
+
+        spark.range(10_000).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(
+            lambda it: (pdf.assign(id=pdf["id"]) for pdf in it),
+            "id long",
+        ).count()
+    except Exception:
+        pass
 
     # fault-isolated: one broken query must never abort the run — it is
     # recorded in "errors" and the JSON line is still emitted (round-2

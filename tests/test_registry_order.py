@@ -1,0 +1,101 @@
+"""Registration-order policy + type-faithful harness regression tests.
+
+The driver's correctness gate samples the FIRST N registered queries,
+so the ordering policy (`__spark_entry__._order_queries`) is itself
+contract surface: failed / never-gated / newly-oracled queries must
+always rotate INTO the window, green queries rotate by staleness, and
+no hand-ordering exists to steer modified queries out (ADVICE r3).
+"""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entry
+
+
+def _order(queries, oracles, hist):
+    q, _ = entry._order_queries(
+        {name: (lambda *_: None) for name in queries},
+        {name: "SELECT 1" for name in oracles},
+        hist,
+    )
+    return list(q)
+
+
+def test_failed_and_never_gated_sort_first():
+    hist = {
+        "green_r1": (1, "ok"),
+        "green_r3": (3, "ok"),
+        "failed": (0, "fail"),
+    }
+    order = _order(
+        ["green_r3", "green_r1", "failed", "brand_new"],
+        ["green_r3", "green_r1", "failed", "brand_new"],
+        hist,
+    )
+    assert order == ["brand_new", "failed", "green_r1", "green_r3"]
+
+
+def test_new_oracle_on_weak_query_fronts_it():
+    hist = {"was_rows_only": (2, "weak"), "green_r1": (1, "ok")}
+    # oracle now declared → never hash-verified → front of the window
+    order = _order(
+        ["green_r1", "was_rows_only"],
+        ["green_r1", "was_rows_only"],
+        hist,
+    )
+    assert order[0] == "was_rows_only"
+    # still rows-only by design → keeps its weak-gate round (rotates)
+    order2 = _order(["green_r1", "was_rows_only"], ["green_r1"], hist)
+    assert order2 == ["green_r1", "was_rows_only"]
+
+
+def test_rotation_by_staleness_not_by_family():
+    hist = {f"q{i}": ((i % 3) + 1, "ok") for i in range(9)}
+    order = _order([f"q{i}" for i in range(9)],
+                   [f"q{i}" for i in range(9)], hist)
+    rounds = [hist[q][0] for q in order]
+    assert rounds == sorted(rounds)
+
+
+def test_gate_history_fail_then_fix_uses_fix_round(tmp_path):
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q": {"hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q": {"hash_match": True, "err": None},
+        "r": {"hash_match": False, "err": None},
+        "w": {"hash_match": None, "err": "no_oracle"},
+    }))
+    hist = entry._gate_history(str(tmp_path))
+    assert hist["q"] == (3, "ok")      # fixed and re-verified
+    assert hist["r"] == (0, "fail")    # failure pins to round 0
+    assert hist["w"] == (3, "weak")    # rows-only record
+
+
+def test_live_registry_window_covers_failed_and_stale():
+    """The real registry (real CORRECTNESS files): every query whose
+    last gate FAILED or whose oracle is newer than its last gate (score
+    0) must be inside the driver's 50-query window, as long as they fit."""
+    import os
+
+    qs, oracles = entry._registry()
+    names = list(qs)
+    hist = entry._gate_history(os.path.dirname(entry.__file__))
+
+    def score(q):
+        rnd, kind = hist.get(q, (0, "never"))
+        if kind == "ok":
+            return rnd
+        if kind == "weak":
+            return 0 if q in oracles else rnd
+        return 0
+
+    urgent = {q for q in names if score(q) == 0}
+    window = set(names[:50])
+    if len(urgent) <= 50:
+        assert urgent <= window, urgent - window
+    # and the ordering is globally non-decreasing in staleness score
+    scores = [score(q) for q in names]
+    assert scores == sorted(scores)
