@@ -53,6 +53,7 @@ def mttkrp_wide(
     b_col: str = "j",
     c_col: str = "k",
     val_col: str = "v",
+    broadcast_factors: bool = True,
 ) -> DataFrame:
     """M[i] = Σ v · (B[j] ∘ C[k]) as one array row per mode id.
 
@@ -61,10 +62,17 @@ def mttkrp_wide(
     its own column inside ONE hash aggregate (map-side combine, no
     explode) — the pre-agg posexplode form shuffled `rank×nnz` rows,
     this shuffles `nnz` array rows.
+
+    ``broadcast_factors=False`` drops the broadcast hints for the
+    DataFrame-factor scale path (`JoinMergeCPALS`), where a factor can
+    be too large to broadcast — AQE then picks shuffle vs broadcast
+    from runtime sizes.
     """
     b = factor_b.select(F.col(b_col), F.col("vec").alias("_bv"))
     c = factor_c.select(F.col(c_col), F.col("vec").alias("_cv"))
-    joined = coo.join(F.broadcast(b), b_col).join(F.broadcast(c), c_col)
+    if broadcast_factors:
+        b, c = F.broadcast(b), F.broadcast(c)
+    joined = coo.join(b, b_col).join(c, c_col)
     prod = joined.select(
         F.col(mode_col),
         F.col(val_col),
@@ -310,3 +318,180 @@ class CPALS:
             self.fit_history.append(self._fit_value(coo, norm_x_sq))
         coo.unpersist()
         return self
+
+
+def _uniform_factor_df(
+    spark: SparkSession, n: int, rank: int, seed: int, id_name: str
+) -> DataFrame:
+    """Distributed U[0,1) factor init — the SAME counter-hash values as
+    the driver path's `_hash_uniform(seed, arange(n), rank)`, generated
+    per partition from `spark.range` (no driver matrix, retry-safe)."""
+    rng = spark.range(
+        0, n, 1, min(spark.sparkContext.defaultParallelism, max(n, 1))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mat = _hash_uniform(seed, ids, rank)
+            yield pd.DataFrame({id_name: ids, "vec": list(mat)})
+
+    return rng.mapInPandas(gen, f"{id_name} long, vec array<double>")
+
+
+class JoinMergeCPALS:
+    """CP-ALS with DataFrame-resident factors — the 100 TB path for the
+    last driver-held state in the tensor layer (SCALE.md cliff #3).
+
+    Where :class:`CPALS` keeps A/B/C as numpy on the driver (right at
+    reference scale: entities × R floats are MBs), this trainer keeps
+    each factor as a DataFrame(id, vec) that never passes through the
+    driver.  Per mode update, everything that touches data scale stays
+    distributed:
+
+    - MTTKRP: the same `mttkrp_wide` join+agg (`broadcast_factors=False`
+      so AQE sizes the joins at runtime);
+    - Gram matrices: ONE hash aggregate per factor producing the R(R+1)/2
+      upper-triangle sums — the only driver state is R×R floats;
+    - solve: the R×R Hadamard gram is inverted on the driver (same ridge
+      + pinv as the driver path) and applied as a codegen array
+      expression in a LEFT JOIN merge — rows of the mode with no
+      nonzeros become zero rows, exactly like the driver path's
+      zero-filled MTTKRP;
+    - factor frames are eagerly `localCheckpoint`ed per update
+      (plan-growth control, same as `JoinMergeKGETrainer`).
+
+    Parity: fit trajectory matches :class:`CPALS` to ~1e-9 on the same
+    tensor/seed (tests/test_parafac.py) — differences are only float
+    summation order inside grams/matmuls.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_i: int,
+        n_j: int,
+        n_k: int,
+        rank: int = 8,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.rank = rank
+        self.n_i, self.n_j, self.n_k = n_i, n_j, n_k
+        self.A_df = _uniform_factor_df(spark, n_i, rank, seed, "i").localCheckpoint()
+        self.B_df = _uniform_factor_df(spark, n_j, rank, seed + 1, "j").localCheckpoint()
+        self.C_df = _uniform_factor_df(spark, n_k, rank, seed + 2, "k").localCheckpoint()
+        self.fit_history: list[float] = []
+
+    # ------------------------------------------------------------ pieces
+
+    def _gram(self, df: DataFrame) -> np.ndarray:
+        """(R×R) Σ_rows vec·vecᵀ via one distributed aggregate — the
+        R(R+1)/2 upper-triangle sums collect as a single row."""
+        r = self.rank
+        aggs = [
+            F.sum(F.get("vec", a) * F.get("vec", b)).alias(f"g_{a}_{b}")
+            for a in range(r)
+            for b in range(a, r)
+        ]
+        row = df.agg(*aggs).first()
+        g = np.zeros((r, r))
+        for a in range(r):
+            for b in range(a, r):
+                g[a, b] = g[b, a] = float(row[f"g_{a}_{b}"] or 0.0)
+        return g
+
+    def _solve_merge(
+        self, factor_df: DataFrame, m_wide: DataFrame, ginv: np.ndarray,
+        id_name: str,
+    ) -> DataFrame:
+        """factor_new = M @ ginv as a LEFT-JOIN array expression; ids
+        with no MTTKRP row (no nonzeros in their slice) become zero rows
+        — identical to the driver path's zero-filled collect."""
+        r = self.rank
+        joined = factor_df.select(id_name).join(m_wide, id_name, "left")
+        has_m = F.col("m").isNotNull()
+        cols = []
+        for col_r in range(r):
+            acc = F.lit(0.0)
+            for s in range(r):
+                acc = acc + F.get("m", s) * F.lit(float(ginv[s, col_r]))
+            cols.append(F.when(has_m, acc).otherwise(F.lit(0.0)))
+        return joined.select(
+            id_name, F.array(*cols).alias("vec")
+        ).localCheckpoint()
+
+    def _update(self, coo: DataFrame, mode: str) -> None:
+        if mode == "i":
+            m = mttkrp_wide(coo, self.B_df, self.C_df, self.rank,
+                            "i", "j", "k", broadcast_factors=False)
+            gram = self._gram(self.B_df) * self._gram(self.C_df)
+            old = self.A_df
+            self.A_df = self._solve_merge(
+                old, m, np.linalg.pinv(CPALS._ridge(gram)), "i"
+            )
+        elif mode == "j":
+            m = mttkrp_wide(coo, self.A_df, self.C_df, self.rank,
+                            "j", "i", "k", broadcast_factors=False)
+            gram = self._gram(self.A_df) * self._gram(self.C_df)
+            old = self.B_df
+            self.B_df = self._solve_merge(
+                old, m, np.linalg.pinv(CPALS._ridge(gram)), "j"
+            )
+        else:
+            m = mttkrp_wide(coo, self.A_df, self.B_df, self.rank,
+                            "k", "i", "j", broadcast_factors=False)
+            gram = self._gram(self.A_df) * self._gram(self.B_df)
+            old = self.C_df
+            self.C_df = self._solve_merge(
+                old, m, np.linalg.pinv(CPALS._ridge(gram)), "k"
+            )
+
+    def _fit_value(self, coo: DataFrame, norm_x_sq: float) -> float:
+        scored = (
+            coo.join(self.A_df.withColumnRenamed("vec", "_av"), "i")
+            .join(self.B_df.withColumnRenamed("vec", "_bv"), "j")
+            .join(self.C_df.withColumnRenamed("vec", "_cv"), "k")
+            .select(
+                "v",
+                F.aggregate(
+                    F.zip_with(
+                        F.zip_with("_av", "_bv", lambda x, y: x * y),
+                        "_cv",
+                        lambda xy, z: xy * z,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("xhat"),
+            )
+        )
+        row = scored.agg(F.sum(F.col("v") * F.col("xhat")).alias("inner")).first()
+        inner = float(row["inner"] or 0.0)
+        norm_hat_sq = float(
+            (self._gram(self.A_df) * self._gram(self.B_df)
+             * self._gram(self.C_df)).sum()
+        )
+        resid_sq = max(norm_x_sq - 2 * inner + norm_hat_sq, 0.0)
+        return 1.0 - np.sqrt(resid_sq) / max(np.sqrt(norm_x_sq), 1e-12)
+
+    # ------------------------------------------------------------ fit
+
+    def fit(self, coo: DataFrame, sweeps: int = 5) -> "JoinMergeCPALS":
+        coo = coo.select("i", "j", "k", "v").cache()
+        norm_x_sq = float(
+            coo.agg(F.sum(F.col("v") * F.col("v")).alias("n")).first()["n"]
+        )
+        for _ in range(sweeps):
+            self._update(coo, "i")
+            self._update(coo, "j")
+            self._update(coo, "k")
+            self.fit_history.append(self._fit_value(coo, norm_x_sq))
+        coo.unpersist()
+        return self
+
+    def factors(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        return (
+            self.A_df.select(F.col("i").alias("id"), "vec"),
+            self.B_df.select(F.col("j").alias("id"), "vec"),
+            self.C_df.select(F.col("k").alias("id"), "vec"),
+        )

@@ -118,6 +118,60 @@ def test_cp_als_golden_trajectory_synthetic(spark):
     )
 
 
+def _synthetic_coo(spark):
+    return spark.createDataFrame(
+        [
+            (i, j, k, float(1 + ((i * 7 + j * 3 + k * 5) % 4)))
+            for i in range(6)
+            for j in range(5)
+            for k in range(3)
+            if (i + j + k) % 2 == 0
+        ],
+        "i long, j long, k long, v double",
+    )
+
+
+def test_joinmerge_cpals_matches_driver_path(spark):
+    """The DataFrame-factor CP-ALS (SCALE cliff #3 closed) reproduces
+    the driver path's fit trajectory AND final factors on the same
+    tensor/seed: same counter-hash init, same MTTKRP, same ridge+pinv
+    solve — only the physical location of the factors differs."""
+    from spark_tensors_spark.train.parafac import JoinMergeCPALS
+
+    coo = _synthetic_coo(spark)
+    d = CPALS(spark, 6, 5, 3, rank=3, seed=7).fit(coo, sweeps=3)
+    jm = JoinMergeCPALS(spark, 6, 5, 3, rank=3, seed=7).fit(coo, sweeps=3)
+    np.testing.assert_allclose(
+        jm.fit_history, d.fit_history, rtol=1e-9, atol=1e-12
+    )
+    a_df, _, _ = jm.factors()
+    a_jm = {r.id: np.array(r.vec) for r in a_df.collect()}
+    for i in range(6):
+        np.testing.assert_allclose(a_jm[i], d.A[i], rtol=1e-9, atol=1e-12)
+
+
+def test_joinmerge_cpals_never_collects_factors(spark, monkeypatch):
+    """Scale guarantee: per sweep only 1-row aggregates (grams, fit
+    inner product) reach the driver — factor tables never do."""
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    from spark_tensors_spark.train.parafac import JoinMergeCPALS
+
+    sizes = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    JoinMergeCPALS(spark, 6, 5, 3, rank=2, seed=3).fit(
+        _synthetic_coo(spark), sweeps=2
+    )
+    assert sizes and max(sizes) <= 1, sizes
+
+
 def test_cpals_checkpoint_roundtrip(spark, tmp_path):
     rows = [(i % 3, i % 2, i % 2, float(i + 1)) for i in range(8)]
     coo = spark.createDataFrame(rows, "i long, j long, k long, v double")
