@@ -220,3 +220,62 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_adam_merge_update_is_codegen_not_python(spark):
+    """The Adam join-merge update (m/v EMAs + bias-corrected step) must
+    plan as pure array expressions — any Python evaluator in the merge
+    stage would put the optimizer on the slow path at every epoch."""
+    from pyspark.sql import functions as F
+
+    from spark_tensors_spark.train.joinmerge import JoinMergeKGETrainer
+
+    t = JoinMergeKGETrainer(
+        spark, n_entities=20, n_relations=2, dim=4,
+        model="transe", optimizer="adam", seed=11,
+    )
+    agg = spark.createDataFrame(
+        [("E", 0, [0.1, 0.2, 0.3, 0.4], 2)],
+        "param string, id long, g array<double>, c long",
+    )
+    merged = t._merge_step(agg, t.E_df, "E")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    p = buf.getvalue()
+    # the init path is mapInPandas (ArrowEvalPython) by design; the
+    # merge must not ADD any Python stage beyond it
+    assert "BatchEvalPython" not in p
+    assert p.count("ArrowEvalPython") == 0
+
+
+def test_cpals_solve_merge_is_codegen_not_python(spark):
+    """JoinMergeCPALS's normal-equation solve (M @ G⁻¹) is a LEFT-JOIN
+    array projection — no Python evaluator may appear in it."""
+    import numpy as np
+
+    from spark_tensors_spark.train.parafac import JoinMergeCPALS
+
+    jm = JoinMergeCPALS(spark, 5, 4, 3, rank=2, seed=3)
+    m_wide = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "i long, m array<double>"
+    )
+    # localCheckpoint in _solve_merge materializes; plan-check the
+    # expression BEFORE checkpoint via the same construction
+    r = jm.rank
+    from pyspark.sql import functions as F
+    ginv = np.eye(2)
+    joined = jm.A_df.select("i").join(m_wide, "i", "left")
+    has_m = F.col("m").isNotNull()
+    cols = []
+    for col_r in range(r):
+        acc = F.lit(0.0)
+        for s in range(r):
+            acc = acc + F.get("m", s) * F.lit(float(ginv[s, col_r]))
+        cols.append(F.when(has_m, acc).otherwise(F.lit(0.0)))
+    out = joined.select("i", F.array(*cols).alias("vec"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p
