@@ -1,0 +1,28 @@
+"""GOLDEN pins for the three KGE training smokes (rows-only in the
+driver gate — iterative SGD is not SQL-expressible, so a fixed-seed
+exact trajectory is the strongest check available; same doctrine as
+`tns_cp_als_fit`).  The whole pipeline is deterministic by design:
+hash-seeded init, xxhash64-ordered sample, closed-form gradients —
+the 6-dp metrics are pinned EXACTLY, and a drift in any stage
+(sampling, remap, kernels, optimizer, ranking) shows up here."""
+
+from __future__ import annotations
+
+from spark_tensors_spark.queries import mlops
+from tests.conftest import SF_SMOKE
+
+GOLDEN = {
+    "kge_transe_train_metrics": (0.103647, 53.2, 20, 0.05, 0.1, 0.25),
+    "kge_rescal_train_metrics": (0.005834, 349.2, 10, 0.0, 0.0, 0.0),
+    "kge_hole_train_metrics": (0.002689, 623.2, 10, 0.0, 0.0, 0.0),
+}
+
+
+def test_kge_training_smokes_golden(spark):
+    for name, want in GOLDEN.items():
+        df = mlops.QUERIES[name](spark, SF_SMOKE)
+        assert df.columns == [
+            "mrr", "mean_rank", "n", "hits1", "hits3", "hits10"
+        ]
+        rows = [tuple(r) for r in df.collect()]
+        assert rows == [want], (name, rows)
