@@ -271,6 +271,21 @@ def doc_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.duplicate_components(pairs).orderBy("doc_id")
 
 
+def doc_lsh_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transitive groups FORCED through the distributed CC
+    path (driver_threshold=0: symmetrize → iterative min-label
+    propagation → pointer jumping, localCheckpointed rounds) — this
+    puts the 100 TB implementation itself under the driver's value
+    oracle, not just the small-graph union-find shortcut that
+    `doc_lsh_components` takes below 2M edges."""
+    from spark_tensors_spark.pipeline import components
+
+    pairs = _lsh_pairs(spark, sf_dir)
+    return components.duplicate_components(
+        pairs, driver_threshold=0
+    ).orderBy("doc_id")
+
+
 def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (prefix filtering, Vernica et al.
     SIGMOD 2010): all doc pairs with token-Jaccard ≥ 9/10 on a doc_id%11
@@ -510,6 +525,7 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "doc_lsh_components": doc_lsh_components,
+    "doc_lsh_components_dist": doc_lsh_components_dist,
     "doc_stratified_split": doc_stratified_split,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -572,6 +588,43 @@ _STOP_EN = "('the','and','of','to','a','in','is','it','that','for')"
 _STOP_DE = "('der','die','das','und','ist','ein','zu','mit','von','nicht')"
 _STOP_FR = "('le','la','les','et','est','un','une','de','que','pour')"
 
+_LSH_COMPONENTS_SQL = (
+    _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """, banded_all AS (
+            SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
+        ),
+        banded AS (
+            SELECT * FROM banded_all
+            QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, seen) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT r.node, e.v
+            FROM reach r JOIN edges e ON e.u = r.seen
+        )
+        SELECT node AS doc_id, MIN(seen) AS keep_doc_id
+        FROM reach
+        GROUP BY node HAVING MIN(seen) <> node
+        ORDER BY doc_id"""
+)
+
 ORACLES = {
     "doc_source_hash_stats": """
         SELECT source, COUNT(*) AS n_docs,
@@ -623,40 +676,8 @@ ORACLES = {
         SELECT doc_id, MIN(keep_doc_id) AS keep_doc_id
         FROM linked WHERE doc_id > keep_doc_id
         GROUP BY doc_id ORDER BY doc_id""",
-    "doc_lsh_components": _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """, banded_all AS (
-            SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
-            UNION ALL
-            SELECT doc_id, 1, concat_ws('_', m2, m3) FROM sigs
-            UNION ALL
-            SELECT doc_id, 2, concat_ws('_', m4, m5) FROM sigs
-            UNION ALL
-            SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
-        ),
-        banded AS (
-            SELECT * FROM banded_all
-            QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
-        ),
-        pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-        ),
-        edges AS (
-            SELECT doc_a AS u, doc_b AS v FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(node, seen) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT r.node, e.v
-            FROM reach r JOIN edges e ON e.u = r.seen
-        )
-        SELECT node AS doc_id, MIN(seen) AS keep_doc_id
-        FROM reach
-        GROUP BY node HAVING MIN(seen) <> node
-        ORDER BY doc_id""",
+    "doc_lsh_components": _LSH_COMPONENTS_SQL,
+    "doc_lsh_components_dist": _LSH_COMPONENTS_SQL,
     "emb_similarity_zoo": """
         WITH pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
