@@ -58,6 +58,24 @@ def tns_mttkrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "pos")
 
 
+def tns_mttkrp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MTTKRP forced through the non-broadcast join path that
+    `JoinMergeCPALS` uses at factor sizes past the broadcast ceiling
+    (AQE sizes the joins at runtime) — identical values under the
+    identical oracle, different physical plan.  Safe to value-compare
+    across plans because the factor components are INTEGER-valued:
+    every partial sum is exact in IEEE double, so the shuffle-join's
+    different accumulation order cannot change a single bit."""
+    _raw, ent, rel, _enc = _encoded(spark, sf_dir)
+    coo = _coo(spark, sf_dir)
+    fb = _int_factor(ent.select(F.col("id").alias("j")), "j", 31, 17, 97)
+    fc = _int_factor(rel.select(F.col("id").alias("k")), "k", 37, 23, 89)
+    out = mttkrp(coo, fb, fc, "i", "j", "k", broadcast_factors=False)
+    return out.select(
+        "i", "pos", F.round(F.col("m") / (97.0 * 89.0), 6).alias("m")
+    ).orderBy("i", "pos")
+
+
 TNS_MTTKRP_SQL = (
     TRIPLES_CTE
     + f""",
@@ -103,7 +121,11 @@ def tns_cp_als_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tns_mttkrp": tns_mttkrp,
+    "tns_mttkrp_shuffle": tns_mttkrp_shuffle,
     "tns_cp_als_fit": tns_cp_als_fit,
 }
 
-ORACLES = {"tns_mttkrp": TNS_MTTKRP_SQL}
+ORACLES = {
+    "tns_mttkrp": TNS_MTTKRP_SQL,
+    "tns_mttkrp_shuffle": TNS_MTTKRP_SQL,
+}

@@ -99,6 +99,7 @@ def mttkrp(
     c_col: str = "k",
     val_col: str = "v",
     rank: int | None = None,
+    broadcast_factors: bool = True,
 ) -> DataFrame:
     """(i, pos, m) row form of :func:`mttkrp_wide` (the oracle-checked
     public shape); the explode happens AFTER aggregation, on the
@@ -106,7 +107,8 @@ def mttkrp(
     if rank is None:
         rank = len(factor_b.select("vec").first()["vec"])
     wide = mttkrp_wide(
-        coo, factor_b, factor_c, rank, mode_col, b_col, c_col, val_col
+        coo, factor_b, factor_c, rank, mode_col, b_col, c_col, val_col,
+        broadcast_factors=broadcast_factors,
     )
     return wide.select(
         mode_col, F.posexplode("m").alias("pos", "m")
