@@ -95,10 +95,19 @@ def connected_components(
         e.unpersist()
         return out
 
-    # symmetrize once; both directions feed every propagation round
+    # symmetrize once; both directions feed every propagation round.
+    # Partition count follows the edge count (~50k edges/partition,
+    # capped at the cluster default): every propagation round launches
+    # 2 joins + an agg over this frame, and a tiny graph on
+    # defaultParallelism partitions pays ~32 near-empty tasks per stage
+    # per round in pure scheduling overhead.  At scale the cap keeps
+    # full parallelism.
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(2, min(parallelism, n_edges // 50_000 + 1))
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        .repartition(n_parts, "u")
         .persist()
     )
 
