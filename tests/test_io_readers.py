@@ -110,6 +110,19 @@ def test_ntriples_literal_escapes_property(spark, tmp_path_factory,
     assert read_ntriples(spark, str(p), uri_only=True).count() == 0
 
 
+def test_unescape_literal_uchar_and_errors():
+    from spark_tensors_spark.io.readers import unescape_ntriples_literal
+
+    assert unescape_ntriples_literal(r'"A\U0001F600"') == ("A\U0001F600", "")
+    assert unescape_ntriples_literal(r'"a\tb"@en') == ("a\tb", "@en")
+    assert unescape_ntriples_literal(
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ) == ("42", "^^<http://www.w3.org/2001/XMLSchema#integer>")
+    for bad in ['no-quote', '"unterminated', '"bad\\x"', '"trail\\']:
+        with pytest.raises(ValueError):
+            unescape_ntriples_literal(bad)
+
+
 def test_ntriples_literals_match_rdflib():
     """Cross-parser check against rdflib itself where available (the
     reference's own literal parser); skipped in containers without it."""
