@@ -157,3 +157,55 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("_es_key")
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap — the standard LM
+    training-data op: split each document's token sequence into
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window − stride), final partial chunk kept.
+
+    Pure codegen (split → sequence of chunk starts → posexplode →
+    slice): the explode multiplies rows by ~n/stride, never by token
+    count, and nothing wider than one chunk's tokens leaves the scan
+    stage.  Output is integer-exact — (doc_id, chunk_no, start_tok,
+    n_tokens, len_sum) with len_sum = Σ token lengths in the chunk —
+    so the operator carries its own slicing checksum for the oracle.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # number of extra chunks past the first: ceil(max(n - window, 0)/stride)
+    extra = F.floor(
+        (F.greatest(n - window, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), extra)).alias("chunk_no", "_k"),
+    ).select(
+        id_col,
+        "chunk_no",
+        (F.col("_k") * stride).alias("start_tok"),
+        F.slice("_toks", F.col("_k") * stride + 1, window).alias("_chunk"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform("_chunk", F.length),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("len_sum"),
+    )

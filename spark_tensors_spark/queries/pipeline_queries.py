@@ -349,6 +349,21 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (64-token windows every 48
+    tokens, final partial chunk kept) — the standard LM training-data
+    chunker, integer-exact with a per-chunk length checksum; subsets
+    doc_id%13 to keep the oracle's lateral expansion bounded."""
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    )
+    return curation.chunk_windows(docs, window=64, stride=48).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample without replacement: top-5 docs per
     source, inclusion probability proportional to token count
@@ -527,6 +542,7 @@ QUERIES = {
     "doc_lsh_components": doc_lsh_components,
     "doc_lsh_components_dist": doc_lsh_components_dist,
     "doc_stratified_split": doc_stratified_split,
+    "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_filter": doc_quality_filter,
@@ -880,6 +896,27 @@ ORACLES = {
                COUNT(*) AS c, MIN(doc_id) AS min_id
         FROM ranked
         GROUP BY 1, 2 ORDER BY source, split
+    """,
+    "doc_chunk_windows": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS} AS toks,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        ks AS (
+            SELECT doc_id, toks, n, k.g AS k
+            FROM t, UNNEST(range(
+                CAST((greatest(n - 64, 0) + 47) // 48 AS BIGINT) + 1
+            )) AS k(g)
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_no,
+               CAST(k * 48 AS BIGINT) AS start_tok,
+               CAST(len(toks[k*48 + 1 : k*48 + 64]) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform(
+                   toks[k*48 + 1 : k*48 + 64], x -> length(x)
+               )), 0) AS BIGINT) AS len_sum
+        FROM ks ORDER BY doc_id, chunk_no
     """,
     "doc_weighted_sample": f"""
         WITH t AS (

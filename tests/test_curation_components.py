@@ -215,3 +215,31 @@ def test_weighted_sample_plan_group_limits(spark):
             df, 5, "w", strata_cols=["source"]
         ).explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_chunk_windows_overlap_semantics(spark):
+    from spark_tensors_spark.pipeline.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i:03d}" for i in range(150))),  # 3 chunks
+            (2, "a b c"),                                     # 1 short chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_no): (r.start_tok, r.n_tokens, r.len_sum)
+        for r in chunk_windows(docs, window=64, stride=48).collect()
+    }
+    # doc 1: starts 0, 48, 96; lengths 64, 64, 54
+    assert rows[(1, 0)] == (0, 64, 64 * 4)
+    assert rows[(1, 1)] == (48, 64, 64 * 4)
+    assert rows[(1, 2)] == (96, 54, 54 * 4)
+    # doc 2: one partial chunk
+    assert rows[(2, 0)] == (0, 3, 3)
+    assert len(rows) == 4
+    # overlap: chunk 1 of doc 1 starts inside chunk 0 (stride < window)
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=0)
