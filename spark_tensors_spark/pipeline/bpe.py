@@ -1,0 +1,141 @@
+"""Distributed BPE vocabulary induction (byte-pair-encoding merges).
+
+The classic tokenizer-fitting algorithm (Sennrich et al. 2016) mapped
+to DataFrame ops.  BPE operates on the WORD-FREQUENCY table, not the
+corpus: the corpus-scale work is exactly one distinct+count aggregate
+(`word_symbol_table`), after which every merge round runs on the
+distinct-word table — millions of rows for a 100 TB corpus, not
+trillions.  Per round:
+
+- `pair_counts`: posexplode adjacent symbol pairs weighted by word
+  frequency → hash agg (shuffle is O(distinct pairs));
+- `top_pair`: deterministic argmax (count desc, pair asc) — a 1-row
+  collect, the only driver data per round;
+- `merge_pair`: a left fold over each word's symbol array
+  (`F.aggregate` with a (acc, prev) struct accumulator) implementing
+  the standard greedy left-to-right non-overlapping merge — pure
+  codegen, no Python;
+- the word table is `localCheckpoint`ed per round (same plan-growth
+  control as the iterative trainers).
+
+`fit_bpe` returns the ordered merge list — the learned tokenizer.
+Reference parity is pinned against a pure-Python BPE in
+tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(symbols array<string>, c bigint): distinct words of the corpus
+    split into single-character symbols, with occurrence counts — the
+    one corpus-scale aggregate of BPE fitting."""
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.select(
+        F.split(F.col("w"), "").alias("symbols"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts weighted by word
+    frequency.  The explode multiplies by symbols-per-word (bounded by
+    word length), never by corpus size."""
+    pos = words.select(
+        "symbols",
+        "c",
+        F.posexplode(
+            F.slice("symbols", 1, F.size("symbols") - 1)
+        ).alias("i", "a"),
+    ).filter(F.size("symbols") >= 2)
+    return (
+        pos.select(
+            "a",
+            F.element_at("symbols", F.col("i") + 2).alias("b"),
+            "c",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def top_pair(pairs: DataFrame) -> tuple[str, str, int] | None:
+    """Deterministic argmax: highest count, ties by (a, b) ascending."""
+    row = pairs.orderBy(
+        F.col("cnt").desc(), F.col("a"), F.col("b")
+    ).first()
+    if row is None:
+        return None
+    return row["a"], row["b"], int(row["cnt"])
+
+
+def merge_pair(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge every non-overlapping left-to-right occurrence of the
+    adjacent pair (a, b) into the single symbol a+b — the standard BPE
+    merge, as a codegen left fold (accumulator = (acc, prev))."""
+    merged = a + b
+
+    def step(st, x):
+        return (
+            F.when(
+                st["prev"].isNull(),
+                F.struct(st["acc"].alias("acc"), x.alias("prev")),
+            )
+            .when(
+                (st["prev"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(
+                        st["acc"], F.array(F.lit(merged))
+                    ).alias("acc"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["acc"], F.array(st["prev"])).alias("acc"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    folded = F.aggregate(
+        "symbols",
+        init,
+        step,
+        lambda st: F.when(st["prev"].isNull(), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["prev"]))
+        ),
+    )
+    return words.select(folded.alias("symbols"), "c")
+
+
+def fit_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge list.  Driver state per round: one (a, b, count)
+    row."""
+    words = word_symbol_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = top_pair(pair_counts(words))
+        if best is None or best[2] < 1:
+            break
+        a, b, _cnt = best
+        merges.append((a, b))
+        words = merge_pair(words, a, b).localCheckpoint()
+    return merges

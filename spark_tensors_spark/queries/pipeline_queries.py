@@ -364,6 +364,21 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round over the corpus: adjacent character-pair
+    counts weighted by word frequency, top 20 (count desc, pair asc).
+    The corpus-scale step of tokenizer fitting (pipeline/bpe.py) under
+    a full integer-exact oracle; the iterative merge loop is pinned
+    against a pure-Python reference BPE in tests/test_bpe.py."""
+    from spark_tensors_spark.pipeline import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = bpe.pair_counts(bpe.word_symbol_table(docs))
+    return pairs.orderBy(
+        F.col("cnt").desc(), F.col("a"), F.col("b")
+    ).limit(20)
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample without replacement: top-5 docs per
     source, inclusion probability proportional to token count
@@ -542,6 +557,7 @@ QUERIES = {
     "doc_lsh_components": doc_lsh_components,
     "doc_lsh_components_dist": doc_lsh_components_dist,
     "doc_stratified_split": doc_stratified_split,
+    "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -896,6 +912,20 @@ ORACLES = {
                COUNT(*) AS c, MIN(doc_id) AS min_id
         FROM ranked
         GROUP BY 1, 2 ORDER BY source, split
+    """,
+    "doc_bpe_pair_counts": f"""
+        WITH words AS (
+            SELECT UNNEST({_TOKENS}) AS w FROM documents
+        ),
+        wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        pairs AS (
+            SELECT substr(w, CAST(i.g AS INT), 1) AS a,
+                   substr(w, CAST(i.g AS INT) + 1, 1) AS b, c
+            FROM wc, UNNEST(range(1, length(w))) AS i(g)
+        )
+        SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM pairs GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT 20
     """,
     "doc_chunk_windows": f"""
         WITH t AS (

@@ -1,0 +1,81 @@
+"""Distributed BPE fitting vs a pure-Python reference implementation
+(the Sennrich et al. 2016 algorithm: word-frequency dict, greedy
+left-to-right non-overlapping merges, argmax pair by count with a
+deterministic (a, b) tie-break)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from spark_tensors_spark.pipeline import bpe
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new wider wide",
+    "low newer wide wide lowest",
+    "banana bandana ban banana",
+]
+
+
+def test_fit_bpe_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = bpe.fit_bpe(docs, n_merges=8)
+    want = _ref_bpe(TEXTS, n_merges=8)
+    assert got == want, (got, want)
+
+
+def test_merge_pair_greedy_left_nonoverlapping(spark):
+    """'aaa' with pair (a,a) merges LEFT-greedily to [aa, a] — the
+    overlap rule every real BPE implements."""
+    words = spark.createDataFrame(
+        [(["a", "a", "a"], 2), (["a", "a", "a", "a"], 1), (["b"], 3)],
+        "symbols array<string>, c long",
+    )
+    out = {
+        tuple(r["symbols"]): r["c"]
+        for r in bpe.merge_pair(words, "a", "a").collect()
+    }
+    assert out == {("aa", "a"): 2, ("aa", "aa"): 1, ("b",): 3}
+
+
+def test_word_symbol_table_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab b"), (1, "b ab")], "doc_id long, text string"
+    )
+    rows = {
+        tuple(r["symbols"]): r["c"]
+        for r in bpe.word_symbol_table(docs).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b",): 2}
