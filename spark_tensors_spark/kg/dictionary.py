@@ -36,17 +36,6 @@ DEFAULT_BUCKETS = 32
 MAX_BOUNDARY_SAMPLE = 100_000
 
 
-def _bounded_sample_mod(n_distinct: int, base_mod: int) -> int:
-    """Sampling modulus that keeps the expected driver-side boundary
-    sample ≤ MAX_BOUNDARY_SAMPLE rows regardless of dictionary size: at
-    1B+ distinct URIs a fixed 1/101 rate would ship ~10M strings to the
-    driver."""
-    return max(
-        base_mod,
-        (n_distinct + MAX_BOUNDARY_SAMPLE - 1) // MAX_BOUNDARY_SAMPLE,
-    )
-
-
 def assign_ids(
     uris: DataFrame,
     uri_col: str = "uri",
@@ -58,20 +47,32 @@ def assign_ids(
     but computed without a global single-partition sort.
     """
     p = num_partitions or DEFAULT_BUCKETS
-    # persisted: the distinct set feeds four actions (count, sample
-    # collect, bucket counts, final id assignment) — without it the
+    # persisted: the distinct set feeds three actions (boundary-sample
+    # probe, bucket counts, final id assignment) — without it the
     # upstream union+distinct shuffle runs each time
     distinct = uris.select(F.col(uri_col).alias("uri")).distinct().persist()
 
-    n_distinct = distinct.count()
-    mod = _bounded_sample_mod(n_distinct, sample_mod)
-
-    sample = sorted(
-        r["uri"]
-        for r in distinct.filter(
-            F.crc32(F.col("uri").cast("binary")) % mod == 0
-        ).collect()
-    )
+    # Boundary sample with a HARD driver bound and no separate count
+    # job (r4: the count existed only to pre-size the modulus and cost
+    # one full pass per dictionary): probe at the base rate under
+    # limit(MAX+1); on overflow escalate the modulus geometrically and
+    # re-probe.  Dictionaries under ~mod·MAX ≈ 10M distinct URIs never
+    # escalate; 1B URIs escalate twice.  Deterministic: limit() can
+    # only truncate DISCARDED overflow probes, and the final
+    # (mod, sample) is a pure function of the values.
+    mod = sample_mod
+    while True:
+        rows = (
+            distinct.filter(
+                F.crc32(F.col("uri").cast("binary")) % mod == 0
+            )
+            .limit(MAX_BOUNDARY_SAMPLE + 1)
+            .collect()
+        )
+        if len(rows) <= MAX_BOUNDARY_SAMPLE:
+            break
+        mod *= 16
+    sample = sorted(r["uri"] for r in rows)
     boundaries: list[str] = []
     if len(sample) >= p:
         step = len(sample) / p
