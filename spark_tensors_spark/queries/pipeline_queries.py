@@ -364,6 +364,29 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column
+    (pipeline/quantize.py): per-vector integer code aggregates (sum,
+    min, max, squared norm — all exact BIGINTs) + the 6-dp-rounded
+    scale.  Codes are integer-exact cross-engine: both engines compute
+    round(v·127/max|v|) on the identical IEEE double."""
+    from spark_tensors_spark.pipeline import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize.scalar_quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("qsum"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("qnorm_sq"),
+        F.array_min("codes").cast("long").alias("qmin"),
+        F.array_max("codes").cast("long").alias("qmax"),
+    ).orderBy("vec_id")
+
+
 def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round over the corpus: adjacent character-pair
     counts weighted by word frequency, top 20 (count desc, pair asc).
@@ -558,6 +581,7 @@ QUERIES = {
     "doc_lsh_components_dist": doc_lsh_components_dist,
     "doc_stratified_split": doc_stratified_split,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
+    "emb_int8_quantize": emb_int8_quantize,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -912,6 +936,34 @@ ORACLES = {
                COUNT(*) AS c, MIN(doc_id) AS min_id
         FROM ranked
         GROUP BY 1, 2 ORDER BY source, split
+    """,
+    "emb_int8_quantize": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, vd,
+                   list_max(list_transform(vd, x -> abs(x))) AS maxabs
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, maxabs,
+                   list_transform(vd, x -> CASE WHEN maxabs = 0 THEN 0
+                       ELSE CAST(greatest(-127, least(127,
+                            round(x * 127 / maxabs))) AS BIGINT) END)
+                       AS codes
+            FROM s
+        )
+        SELECT vec_id,
+               ROUND(maxabs / 127, 6) AS scale,
+               CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS qsum,
+               CAST(COALESCE(list_sum(list_transform(codes, c -> c * c)),
+                             0) AS BIGINT) AS qnorm_sq,
+               CAST(list_min(codes) AS BIGINT) AS qmin,
+               CAST(list_max(codes) AS BIGINT) AS qmax
+        FROM q ORDER BY vec_id
     """,
     "doc_bpe_pair_counts": f"""
         WITH words AS (
