@@ -1,0 +1,40 @@
+"""GOLDEN digests for every remaining rows-only declared query
+(ADVICE r3: rows-only queries deserve value checks too).  Each query
+is fully deterministic — hash-seeded inits, engine-pinned tie-breaks —
+so the normalized result set is pinned by an exact md5 at sf0.001.
+Any drift in bucketing, Lloyd iterations, PQ codebooks, SimHash bands,
+or tie-breaks shows up as a digest change.
+
+(The three KGE smokes and tns_cp_als_fit have their own exact-value
+golden tests; this file covers the ANN/sketch remainder.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import normalize
+
+GOLDEN = {
+    "doc_simhash_candidates": (2459, "63f884fdea4a18068c6754fa25916c08"),
+    "emb_ann_ivf_topk": (2500, "8d5cb4158af413ae1beef7da25459338"),
+    "emb_ann_lsh_topk": (2500, "6f701780bfc11c76a0e00151f7cec12f"),
+    "emb_near_dup_bucketed": (50, "7975f90a6062e4cba607f588acfdcca2"),
+    "emb_pq_topk": (50, "70987e7dacbc506d9017593727485947"),
+}
+
+
+def test_rows_only_query_digests(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name, (want_rows, want_md5) in GOLDEN.items():
+        df = qs[name](spark, SF_SMOKE)
+        cols, rows = normalize(
+            df.columns, [tuple(r) for r in df.collect()]
+        )
+        got_md5 = hashlib.md5(repr((cols, rows)).encode()).hexdigest()
+        assert (len(rows), got_md5) == (want_rows, want_md5), (
+            name, len(rows), got_md5,
+        )
