@@ -108,6 +108,52 @@ def quality_filter(
     )
 
 
+def canonicalize_groups(
+    members: DataFrame,
+    scores: DataFrame,
+    member_id: str = "node",
+    group_id: str = "comp",
+    score_id: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: for every duplicate group, keep the
+    highest-scoring member (ties broken by smallest id) — the decision
+    step that turns transitive dedup groups into an actual curated
+    corpus ("drop all but the best copy").
+
+    ``members`` is (member_id, group_id) — e.g. the output of
+    ``components.connected_components``; ``scores`` is (score_id,
+    score_col) — e.g. ``text.quality_score_col`` over the documents.
+
+    Shape at scale: ONE shuffle join on the member id (both sides keyed
+    by it), then one window shuffle on the group id; group sizes are
+    dup-cluster sizes (small by construction), so the window never
+    skews.  Returns one row per group: (group_id, n_docs, best_doc_id,
+    best_quality).
+    """
+    m = members.join(
+        scores.select(
+            F.col(score_id).alias(member_id), F.col(score_col)
+        ),
+        member_id,
+    )
+    w_all = Window.partitionBy(group_id)
+    w_rank = Window.partitionBy(group_id).orderBy(
+        F.col(score_col).desc(), F.col(member_id).asc()
+    )
+    return (
+        m.withColumn("n_docs", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(group_id).alias("group_id"),
+            F.col("n_docs"),
+            F.col(member_id).alias("best_doc_id"),
+            F.col(score_col).alias("best_quality"),
+        )
+    )
+
+
 def es_sample_key_col(
     id_col: str, weight_col: str, seed: int = 42
 ) -> Column:

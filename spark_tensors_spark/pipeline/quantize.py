@@ -19,6 +19,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def int8_gram_matrix(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Gram matrix ``G = Cᵀ C`` over the int8 codes — the
+    one-pass second-moment aggregate behind covariance/PCA/whitening,
+    in exact integer arithmetic (codes ∈ [-127,127] ⇒ every partial fits
+    a BIGINT, so the result is bit-identical on any engine).
+
+    Shape at scale: ``mapInPandas`` accumulates ONE d×d int64 partial
+    per Arrow batch (a BLAS matmul — the corpus rows never leave their
+    partition) and emits the d(d+1)/2 upper triangle per batch; the
+    final groupBy(i,j) aggregate touches #batches·d²/2 rows, which is
+    independent of corpus size.  This is the canonical pattern for any
+    fixed-size statistic over 100 TB: reduce in the map task, shuffle
+    only the statistic.
+
+    Returns (i int, j int, gram bigint) for 0 ≤ i ≤ j < dims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codes = scalar_quantize_int8(emb, id_col, vec_col).select("codes")
+    d = int(dims)
+
+    def part(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(
+                [np.asarray(c[:d], dtype=np.int64) for c in pdf["codes"]]
+            )
+            acc += m.T @ m
+            seen = True
+        if seen:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "partial": acc[iu],
+                }
+            )
+
+    partials = codes.mapInPandas(part, "i int, j int, partial long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").cast("long").alias("gram")
+    )
+
+
 def scalar_quantize_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

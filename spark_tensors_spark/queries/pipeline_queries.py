@@ -286,6 +286,73 @@ def doc_lsh_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def emb_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Cᵀ C over the int8-quantized embeddings
+    (`quantize.int8_gram_matrix`): per-Arrow-batch BLAS partials, one
+    d²/2-row final aggregate — exact integer output, so the oracle (a
+    symbolic DuckDB recompute of codes → pairwise products) matches
+    bit-for-bit.  The covariance/PCA/whitening input statistic computed
+    the way a 100 TB pass must: reduce in the map task, shuffle only
+    the d×d statistic."""
+    from spark_tensors_spark.pipeline import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    return quantize.int8_gram_matrix(emb, dims=64).orderBy("i", "j")
+
+
+def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding table (`pipeline/pca.py`): one
+    distributed moment pass (per-batch BLAS partials, fixed-size
+    shuffle), driver eigh of the 64×64 covariance.  Eigensolve output
+    is not SQL-expressible → rows-only; numeric contract is pinned by
+    tests/test_pca.py (parity vs direct numpy PCA, orthonormality,
+    projection-variance = eigenvalue) and a golden digest."""
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    model = pca.fit_pca(emb, dims=64, k=8)
+    rows = pd.DataFrame(
+        {
+            "pc": range(8),
+            "eigenvalue": [round(float(v), 4) for v in model.eigenvalues],
+            "explained_ratio": [
+                round(float(v), 4) for v in model.explained_ratio
+            ],
+        }
+    )
+    return spark.createDataFrame(
+        rows, "pc int, eigenvalue double, explained_ratio double"
+    )
+
+
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection per transitive dup group: join the LSH
+    connected components with the composite quality score and keep the
+    best-scoring member of every group (ties → smallest doc_id) — the
+    step that turns "these docs are near-dups" into "keep THIS one".
+    One join + one group-partitioned window (`curation.
+    canonicalize_groups`); the oracle replays the closure with a
+    recursive CTE and the identical quality formula."""
+    from spark_tensors_spark.pipeline import components, curation, text
+
+    pairs = _lsh_pairs(spark, sf_dir)
+    cc = components.connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id", text.quality_score_col("text").alias("quality")
+    )
+    return curation.canonicalize_groups(
+        cc.select(F.col("node").alias("doc_id"), "comp"),
+        scores,
+        member_id="doc_id",
+        group_id="comp",
+    ).orderBy("group_id")
+
+
 def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (prefix filtering, Vernica et al.
     SIGMOD 2010): all doc pairs with token-Jaccard ≥ 9/10 on a doc_id%11
@@ -591,10 +658,13 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
+    "emb_gram_int8": emb_gram_int8,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     # rows-only from here down — past the driver's 50-query window by
     # design (value-oracled entries take the checked slots)
     "doc_simhash_candidates": doc_simhash_candidates,
+    "emb_pca_topvar": emb_pca_topvar,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
@@ -644,7 +714,7 @@ _STOP_EN = "('the','and','of','to','a','in','is','it','that','for')"
 _STOP_DE = "('der','die','das','und','ist','ein','zu','mit','von','nicht')"
 _STOP_FR = "('le','la','les','et','est','un','une','de','que','pour')"
 
-_LSH_COMPONENTS_SQL = (
+_LSH_REACH_PREFIX = (
     _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + """, banded_all AS (
             SELECT doc_id, 0 AS band, concat_ws('_', m0, m1) AS sig FROM sigs
@@ -674,11 +744,49 @@ _LSH_COMPONENTS_SQL = (
             UNION
             SELECT r.node, e.v
             FROM reach r JOIN edges e ON e.u = r.seen
-        )
+        )"""
+)
+
+_LSH_COMPONENTS_SQL = (
+    _LSH_REACH_PREFIX
+    + """
         SELECT node AS doc_id, MIN(seen) AS keep_doc_id
         FROM reach
         GROUP BY node HAVING MIN(seen) <> node
         ORDER BY doc_id"""
+)
+
+_KEEP_BEST_SQL = (
+    _LSH_REACH_PREFIX
+    + f""",
+        comp AS (
+            SELECT node, MIN(seen) AS group_id FROM reach GROUP BY node
+        ),
+        q AS (
+            SELECT doc_id,
+                   ROUND(0.5 * LEAST(CAST(len(tk) AS BIGINT) / 100.0, 1.0)
+                         + 0.5 * LEAST(CASE WHEN len(tk) > 0 THEN
+                               CAST(len(list_filter(
+                                   tk, x -> lower(x) IN {_STOP_EN}))
+                                   AS DOUBLE) / len(tk) ELSE 0 END * 5.0,
+                               1.0)
+                         - 0.25 * LEAST(CASE WHEN length(text) > 0 THEN
+                               CAST(length(regexp_replace(
+                                   text, '[^,.!?;:]', '', 'g'))
+                                   AS DOUBLE) / length(text) ELSE 0 END
+                               * 10.0, 1.0), 6) AS quality
+            FROM (SELECT doc_id, text, {_TOKENS} AS tk FROM documents)
+        )
+        SELECT group_id, n_docs, best_doc_id, best_quality FROM (
+            SELECT c.group_id,
+                   COUNT(*) OVER (PARTITION BY c.group_id) AS n_docs,
+                   c.node AS best_doc_id,
+                   q.quality AS best_quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.group_id
+                       ORDER BY q.quality DESC, c.node ASC) AS rk
+            FROM comp c JOIN q ON q.doc_id = c.node
+        ) WHERE rk = 1 ORDER BY group_id"""
 )
 
 ORACLES = {
@@ -734,6 +842,36 @@ ORACLES = {
         GROUP BY doc_id ORDER BY doc_id""",
     "doc_lsh_components": _LSH_COMPONENTS_SQL,
     "doc_lsh_components_dist": _LSH_COMPONENTS_SQL,
+    "doc_dedup_keep_best": _KEEP_BEST_SQL,
+    "emb_gram_int8": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, vd,
+                   list_max(list_transform(vd, x -> abs(x))) AS maxabs
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id,
+                   list_transform(vd, x -> CASE WHEN maxabs = 0 THEN 0
+                       ELSE CAST(greatest(-127, least(127,
+                            round(x * 127 / maxabs))) AS BIGINT) END)
+                       AS codes
+            FROM s
+        ),
+        pos AS (SELECT CAST(UNNEST(range(64)) AS INT) AS p),
+        ij AS (
+            SELECT a.p AS i, b.p AS j FROM pos a JOIN pos b ON a.p <= b.p
+        )
+        SELECT ij.i, ij.j,
+               CAST(SUM(codes[ij.i + 1] * codes[ij.j + 1]) AS BIGINT)
+                   AS gram
+        FROM q CROSS JOIN ij
+        GROUP BY ij.i, ij.j ORDER BY i, j
+    """,
     "emb_similarity_zoo": """
         WITH pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
