@@ -329,6 +329,76 @@ def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting (`pipeline/scrub.py`).  The synthetic
+    corpus carries no PII, so the query first derives a deterministic
+    PII-bearing column from doc_id (emails on %3, IPv4 on %5, phone
+    numbers on %7 — both engines replay the identical construction),
+    then counts and scrubs it: per source, detection counts, redacted
+    char volume, and an md5-prefix checksum of every scrubbed document.
+    Pure scan-side codegen (regexp_count + chained regexp_replace)."""
+    from spark_tensors_spark.pipeline import scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@mail-svc.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" src 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    a = docs.select("source", aug.alias("aug"))
+    s = a.select(
+        "source",
+        "aug",
+        scrub.pii_count_col("aug", "email").alias("ce"),
+        scrub.pii_count_col("aug", "ipv4").alias("ci"),
+        scrub.pii_count_col("aug", "phone").alias("cp"),
+        scrub.scrub_pii_col("aug").alias("scrubbed"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ce").cast("long").alias("n_emails"),
+            F.sum("ci").cast("long").alias("n_ips"),
+            F.sum("cp").cast("long").alias("n_phones"),
+            F.sum(F.length("aug") - F.length("scrubbed"))
+            .cast("long")
+            .alias("redacted_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("scrubbed"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("scrub_check"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-copy selection per transitive dup group: join the LSH
     connected components with the composite quality score and keep the
@@ -660,6 +730,7 @@ QUERIES = {
     "doc_jaccard_join": doc_jaccard_join,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "emb_gram_int8": emb_gram_int8,
+    "doc_pii_scrub": doc_pii_scrub,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     # rows-only from here down — past the driver's 50-query window by
     # design (value-oracled entries take the checked slots)
@@ -843,6 +914,51 @@ ORACLES = {
     "doc_lsh_components": _LSH_COMPONENTS_SQL,
     "doc_lsh_components_dist": _LSH_COMPONENTS_SQL,
     "doc_dedup_keep_best": _KEEP_BEST_SQL,
+    "doc_pii_scrub": r"""
+        WITH a AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN
+                          ' reach user' || doc_id
+                          || '@mail-svc.example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                          ' src 10.' || (doc_id % 200) || '.0.'
+                          || (doc_id % 250) ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                          ' call +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS aug
+            FROM documents
+        ),
+        s AS (
+            SELECT source, aug,
+                   len(regexp_extract_all(aug,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS ce,
+                   len(regexp_extract_all(aug,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS ci,
+                   len(regexp_extract_all(aug,
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS cp,
+                   regexp_replace(regexp_replace(regexp_replace(aug,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<PII>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<PII>', 'g'),
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PII>', 'g')
+                       AS scrubbed
+            FROM a
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(ce) AS BIGINT) AS n_emails,
+               CAST(SUM(ci) AS BIGINT) AS n_ips,
+               CAST(SUM(cp) AS BIGINT) AS n_phones,
+               CAST(SUM(length(aug) - length(scrubbed)) AS BIGINT)
+                   AS redacted_chars,
+               CAST(SUM(CAST(('0x' || substr(md5(scrubbed), 1, 8))
+                             AS BIGINT)) AS BIGINT) AS scrub_check
+        FROM s GROUP BY source ORDER BY source
+    """,
     "emb_gram_int8": """
         WITH v AS (
             SELECT vec_id,

@@ -421,7 +421,55 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def ev_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes over (user_id, hour-of-epoch)
+    — the multi-column data-layout operator (`operators/zorder.py`,
+    Delta OPTIMIZE ZORDER BY shape).  Pure integer shift/mask codegen;
+    per coarse z-bucket (z >> 12, a 64×64 tile): row count and exact min/max/sum of
+    the codes.  File-skipping benefit of the layout itself is pinned by
+    tests/test_zorder.py (point queries intersect ~1 of 8 files after
+    layout vs all 8 before)."""
+    from spark_tensors_spark.operators.zorder import zvalue_col
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zvalue_col(
+        F.col("user_id") % 65536,
+        F.expr("unix_micros(ts) div 3600000000") % 65536,
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 12).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.sum("z").cast("long").alias("z_sum"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def _zorder_stats_oracle() -> str:
+    from spark_tensors_spark.operators.zorder import zvalue_sql
+
+    return f"""
+        WITH b AS (
+            SELECT (user_id % 65536) AS ux,
+                   ((epoch_us(ts) // 3600000000) % 65536) AS hx
+            FROM events
+        ),
+        zt AS (SELECT ({zvalue_sql("ux", "hx")}) AS z FROM b)
+        SELECT CAST(z >> 12 AS BIGINT) AS zbucket,
+               COUNT(*) AS n_events,
+               CAST(MIN(z) AS BIGINT) AS min_z,
+               CAST(MAX(z) AS BIGINT) AS max_z,
+               CAST(SUM(z) AS BIGINT) AS z_sum
+        FROM zt GROUP BY zbucket ORDER BY zbucket
+    """
+
+
 QUERIES = {
+    "ev_zorder_stats": ev_zorder_stats,
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
     "ev_range_click_stats_left": ev_range_click_stats_left,
@@ -433,6 +481,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_zorder_stats": _zorder_stats_oracle(),
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
     "ev_range_click_stats_left": EV_RANGE_CLICK_STATS_LEFT_SQL,
