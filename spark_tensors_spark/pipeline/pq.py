@@ -225,6 +225,195 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. §IV): coarse-quantize the corpus
+    into ``n_cells`` inverted lists, PQ-encode the RESIDUAL
+    ``v − centroid(cell)``, and answer queries by scanning only the
+    ``nprobe`` nearest lists with asymmetric distances computed from
+    the query's per-cell residual.  The production-scale composition of
+    the two machines this module and `similarity.ivf_index` already
+    gate separately: the scan touches nprobe/n_cells of the corpus AND
+    reads m bytes per vector instead of d floats.
+
+    Scale shape: centroids (n_cells×d) and codebooks (m·n_codes·dsub)
+    ride in task closures; the per-cell candidate work is an
+    applyInPandas gather+sum keyed by cell — query×corpus never
+    shuffles.  Output: (query_id, nn_id, adc_dist, rk≤k).
+    """
+    from spark_tensors_spark.pipeline.similarity import ivf_index
+
+    assignments, centroids = ivf_index(
+        emb,
+        n_cells=n_cells,
+        seed=seed,
+        lloyd_iters=lloyd_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    with_cell = emb.join(assignments, id_col).select(
+        F.col(id_col).alias("_id"), F.col("cell"), F.col(vec_col).alias("_v")
+    )
+
+    def residualize(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            res = mat - centroids[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "cell": pdf["cell"], "res": list(res)}
+            )
+
+    residuals = with_cell.mapInPandas(
+        residualize, "_id long, cell long, res array<double>"
+    ).persist()
+    codebooks = pq_train(
+        residuals,
+        m=m,
+        n_codes=n_codes,
+        lloyd_iters=lloyd_iters,
+        seed=seed,
+        id_col="_id",
+        vec_col="res",
+    )
+
+    def encode_keep_cell(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["res"].to_numpy()).astype(np.float64)
+            codes = _assign_codes(mat, codebooks)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    corpus = residuals.mapInPandas(
+        encode_keep_cell, "vid long, cell long, codes array<long>"
+    )
+
+    # query → nprobe nearest cells by L2 to the centroid (the IVF
+    # assignment metric), query vector rides along for in-cell ADC
+    c_sq = (centroids * centroids).sum(axis=1)
+
+    def probe(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            d2 = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2.0 * (qm @ centroids.T)
+                + c_sq[None, :]
+            )
+            top = np.argsort(d2, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["_qid"].to_numpy(), nprobe),
+                    "cell": top.reshape(-1),
+                    "qv": [
+                        v
+                        for v in pdf["_qv"].to_numpy()
+                        for _ in range(nprobe)
+                    ],
+                }
+            )
+
+    q_probe = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    ).mapInPandas(probe, "qid long, cell long, qv array<double>")
+
+    both = corpus.select(
+        "cell",
+        F.lit(False).alias("is_q"),
+        F.col("vid"),
+        F.col("codes"),
+        F.lit(None).cast("array<double>").alias("qv"),
+    ).unionByName(
+        q_probe.select(
+            "cell",
+            F.lit(True).alias("is_q"),
+            F.col("qid").alias("vid"),
+            F.lit(None).cast("array<long>").alias("codes"),
+            "qv",
+        )
+    )
+
+    n_sub = m
+
+    def cell_adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf[pdf["is_q"]]
+        cm = pdf[~pdf["is_q"]]
+        if qm.empty or cm.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "nn_id": pd.Series(dtype="int64"),
+                    "adc_dist": pd.Series(dtype="float64"),
+                }
+            )
+        cell = int(pdf["cell"].iloc[0])
+        codes = np.stack(cm["codes"].to_numpy())  # (nc, m)
+        c_ids = cm["vid"].to_numpy()
+        qv = np.stack(qm["qv"].to_numpy()).astype(np.float64)
+        qres = qv - centroids[cell]
+        qs = _subspace_views(qres, n_sub)  # (m, nq, dsub)
+        tables = np.stack(
+            [
+                ((qs[j][:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                for j in range(n_sub)
+            ],
+            axis=1,
+        )  # (nq, m, n_codes)
+        q_ids = qm["vid"].to_numpy()
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            d2 = tables[qi][np.arange(n_sub)[:, None], codes.T].sum(axis=0)
+            d2 = np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+            mask = c_ids != q_ids[qi]
+            ids_m, row_m = c_ids[mask], d2[mask]
+            order = np.lexsort((ids_m, row_m))[:k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(ids_m[order].tolist())
+            out_d.extend(row_m[order].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "nn_id": out_n, "adc_dist": out_d}
+        )
+
+    scored = (
+        both.groupBy("cell")
+        .applyInPandas(cell_adc, "query_id long, nn_id long, adc_dist double")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    residuals.unpersist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def quantization_error(
     emb: DataFrame,
     codebooks: np.ndarray,

@@ -169,6 +169,26 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(emb, queries, cb, k=5).orderBy("query_id", "rk")
 
 
+def emb_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) composed ANN: inverted lists from the IVF coarse
+    quantizer + residual product quantization + per-probed-cell ADC
+    (`pq.ivfpq_topk`) — the scan reads nprobe/n_cells of the corpus at
+    m bytes/vector.  Rows-only (codebooks/centroids are engine-trained);
+    recall vs exact L2 is pinned in tests/test_pq.py and the result
+    digest in tests/test_rows_only_goldens.py."""
+    from spark_tensors_spark.pipeline import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq.ivfpq_topk(
+        emb, queries, k=5, n_cells=8, nprobe=3, m=8, n_codes=16
+    ).orderBy("query_id", "rk")
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -739,6 +759,7 @@ QUERIES = {
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
+    "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
 }
 
 _SHINGLES = (

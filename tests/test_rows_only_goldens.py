@@ -22,6 +22,8 @@ GOLDEN = {
     "emb_ann_lsh_topk": (2500, "6f701780bfc11c76a0e00151f7cec12f"),
     "emb_near_dup_bucketed": (50, "7975f90a6062e4cba607f588acfdcca2"),
     "emb_pq_topk": (50, "70987e7dacbc506d9017593727485947"),
+    "emb_ann_ivfpq_topk": (50, "e732af31f4e92186275af64f46cc073f"),
+    "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
 }
 
 
