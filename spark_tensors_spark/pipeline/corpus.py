@@ -150,3 +150,37 @@ def ngram_topk(
         .orderBy(F.desc("c"), F.asc("gram"))
         .limit(k)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT n-token span duplication — the span-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): a span appearing in ≥2 documents is
+    memorization fuel that document-level MinHash can miss when the
+    containing docs are otherwise different.
+
+    Returns (gram, n_docs, n_occ) for every n-gram seen in more than
+    one document.  Shape at scale: scan-side n-gram expansion (×~n_tok
+    rows) feeding ONE hash aggregate — the partial agg collapses each
+    partition to its distinct grams before the shuffle, and the result
+    is vocabulary-scale, not corpus-scale.  (A full suffix-array pass à
+    la Lee et al. finds arbitrary-length spans; fixed-n grams are the
+    standard distributed approximation.)
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(text_col, n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -120,6 +120,87 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: each
+    anchor's top-k most-similar candidates with a DIFFERENT label —
+    the pairs that carry the most gradient signal.  Identical scale
+    shape to :func:`cosine_topk` (anchors in the task closure, one
+    matmul + top-k truncation per partition, |Q|×|C| never shuffles);
+    the label mask is applied inside the partition scan, so same-label
+    rows never leave their partition either."""
+    qrows = (
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col), F.col(query_label_col)
+        )
+        .limit(MAX_DRIVER_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query set exceeds {MAX_DRIVER_QUERY_ROWS} rows; bucket the "
+            "anchors (lsh/ivf) before mining hard negatives"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_labels = np.array([r[2] for r in qrows], dtype=np.int64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def partition_topk(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_labels = pdf[label_col].to_numpy()
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = cm / np.maximum(
+                np.linalg.norm(cm, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(qn @ cn.T, 6)
+            out_q, out_n, out_l, out_s = [], [], [], []
+            for qi in range(len(q_ids)):
+                mask = (c_labels != q_labels[qi]) & (c_ids != q_ids[qi])
+                ids_m = c_ids[mask]
+                if not len(ids_m):
+                    continue
+                row_m = sims[qi][mask]
+                lab_m = c_labels[mask]
+                order = np.lexsort((ids_m, -row_m))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids_m[order].tolist())
+                out_l.extend(lab_m[order].tolist())
+                out_s.extend(row_m[order].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "nn_id": out_n,
+                    "nn_label": out_l,
+                    "sim": out_s,
+                }
+            )
+
+    scored = emb.select(id_col, vec_col, label_col).mapInPandas(
+        partition_topk,
+        "query_id long, nn_id long, nn_label long, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def l2_topk(
     emb: DataFrame,
     queries: DataFrame,

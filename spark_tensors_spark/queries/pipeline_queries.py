@@ -321,6 +321,39 @@ def emb_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.int8_gram_matrix(emb, dims=64).orderBy("i", "j")
 
 
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact 8-token span duplication
+    (`corpus.duplicated_spans`, the Lee-et-al span-dedup signal): the
+    25 most-shared spans by (n_docs, n_occ)."""
+    from spark_tensors_spark.pipeline import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        corpus.duplicated_spans(docs, n=8)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram")
+        )
+        .limit(25)
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`similarity.hard_negative_topk`): for each
+    anchor (vec_id % 50 == 0), the 3 most-cosine-similar vectors with a
+    DIFFERENT label — the contrastive-training pair miner.  Exact, so
+    the oracle is the label-masked cross join + window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return similarity.hard_negative_topk(emb, queries, k=3).orderBy(
+        "query_id", "rk"
+    )
+
+
 def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum of the embedding table (`pipeline/pca.py`): one
     distributed moment pass (per-batch BLAS partials, fixed-size
@@ -751,6 +784,8 @@ QUERIES = {
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "emb_gram_int8": emb_gram_int8,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_dup_spans": doc_dup_spans,
+    "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     # rows-only from here down — past the driver's 50-query window by
     # design (value-oracled entries take the checked slots)
@@ -979,6 +1014,46 @@ ORACLES = {
                CAST(SUM(CAST(('0x' || substr(md5(scrubbed), 1, 8))
                              AS BIGINT)) AS BIGINT) AS scrub_check
         FROM s GROUP BY source ORDER BY source
+    """,
+    "doc_dup_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tk FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, UNNEST(
+                CASE WHEN len(tk) >= 8 THEN
+                    list_transform(range(1, len(tk) - 6),
+                                   i -> array_to_string(tk[i:i+7], ' '))
+                ELSE [] END) AS gram
+            FROM toks
+        )
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occ
+        FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) > 1
+        ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 25
+    """,
+    "emb_hard_negatives": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                   CAST(c.label AS BIGINT) AS nn_label,
+                   ROUND(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+              AND q.label <> c.label
+        ),
+        ranked AS (
+            SELECT query_id, nn_id, nn_label, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, nn_id)
+                       AS BIGINT) AS rk
+            FROM scored
+        )
+        SELECT query_id, nn_id, nn_label, sim, rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY query_id, rk
     """,
     "emb_gram_int8": """
         WITH v AS (

@@ -91,3 +91,27 @@ def test_ngram_topk_counts_and_ties(spark, docs):
     assert rows[1].gram == "c d e" and rows[1].c == 2
     # remaining all count 1 → lexicographically smallest gram third
     assert rows[2].c == 1
+
+
+def test_duplicated_spans_crafted(spark):
+    """Shared 8-token span across docs is found; unique text is not;
+    n_occ counts occurrences, n_docs distinct documents."""
+    from spark_tensors_spark.pipeline import corpus
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {shared} tail words here"),
+            (1, f"other head {shared} closing"),
+            (2, "completely unrelated text with no repeated span at all x y"),
+            (3, f"{shared} {shared} doubled inside one doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.gram: r for r in corpus.duplicated_spans(docs, n=8).collect()}
+    assert shared in rows
+    assert rows[shared].n_docs == 3
+    # doc 3 contains the span 3 times as an 8-gram? the doubled text
+    # yields overlapping grams; count occurrences of the exact gram
+    assert rows[shared].n_occ >= 4
+    assert all(r.n_docs > 1 for r in rows.values())

@@ -255,3 +255,47 @@ def test_jaccard_join_matches_bruteforce(spark):
         ).collect()
     }
     assert capped <= set(want)
+
+
+def test_hard_negative_topk_masks_labels(spark):
+    """No same-label neighbor ever surfaces; ranks are contiguous; the
+    mined negative really is the most similar other-label vector."""
+    import numpy as np
+
+    from spark_tensors_spark.pipeline import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, (rng.normal(size=8) + (i % 2) * 5).tolist(), i % 2)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_topk(emb, queries, k=3).collect()
+    labels = {r[0]: r[2] for r in rows}
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert labels[r.nn_id] != labels[r.query_id]
+        assert r.nn_label == labels[r.nn_id]
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3]
+        # brute-force check of the top hard negative
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        best = max(
+            (i for i in vecs if labels[i] != labels[q] and i != q),
+            key=lambda i: (
+                round(float(qv @ (vecs[i] / np.linalg.norm(vecs[i]))), 6),
+                -i,
+            ),
+        )
+        assert rs[0].nn_id == best

@@ -279,3 +279,40 @@ def test_cpals_solve_merge_is_codegen_not_python(spark):
         out.explain("formatted")
     p = buf.getvalue()
     assert "BatchEvalPython" not in p
+
+
+def test_pii_scrub_pure_codegen(spark):
+    """PII scrub is scan-side codegen: no Python evaluator anywhere,
+    partial+final agg, and a 2-column pruned documents scan."""
+    from spark_tensors_spark.queries import pipeline_queries as pq
+
+    p = plan(spark, pq.QUERIES["doc_pii_scrub"])
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in p
+    assert p.count("HashAggregate") >= 2
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "source" in read and "lang" not in read
+
+
+def test_zorder_stats_pure_codegen(spark):
+    """Morton interleave is shift/mask codegen — no Python, partial
+    agg, 2-column events scan."""
+    from spark_tensors_spark.queries import temporal_queries as tq
+
+    p = plan(spark, tq.QUERIES["ev_zorder_stats"])
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in p
+    assert p.count("HashAggregate") >= 2
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "event_type" not in read and "props" not in read
+
+
+def test_gram_aggregates_batch_partials(spark):
+    """The Gram shuffle carries per-batch partials (MapInPandas feeding
+    the aggregate), never an exploded per-row d^2 expansion."""
+    from spark_tensors_spark.queries import pipeline_queries as pq
+
+    p = plan(spark, pq.QUERIES["emb_gram_int8"])
+    assert "MapInPandas" in p
+    assert "Generate" not in p  # no explode in the statistic path
+    assert p.count("HashAggregate") >= 2
