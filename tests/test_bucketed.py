@@ -78,3 +78,63 @@ def test_bucketed_join_result_correct(spark, bucketed_pair):
     )
     assert row["n"] == 10_000
     assert row["s"] == sum(2 * i + 3 * i for i in range(10_000))
+
+
+def test_bucketed_epoch_gather_loop_is_exchange_free(spark):
+    """SURVEY §4.2(c) — the 'co-partition embeddings with triples'
+    item v1 deferred: no custom Catalyst strategy is needed, bucketing
+    already does it.  Encoded triples bucketed by s_id and the entity
+    parameter table bucketed by id make BOTH per-epoch hot paths
+    exchange-free: (1) the embedding gather join, (2) the gradient
+    aggregate keyed by the same id; and re-bucketing the merged
+    parameters on write restores the property for the next epoch."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        triples = spark.range(0, 5000).select(
+            (F.col("id") % 500).alias("s_id"),
+            (F.col("id") % 7).alias("p_id"),
+            ((F.col("id") * 13) % 500).alias("o_id"),
+        )
+        params = spark.range(0, 500).select(
+            F.col("id"), F.array(F.col("id") * 0.1).alias("emb")
+        )
+        write_bucketed(triples, "t_enc_triples", ["s_id"], n_buckets=8)
+        write_bucketed(params, "t_params_e0", ["id"], n_buckets=8)
+        t = read_bucketed(spark, "t_enc_triples")
+        p0 = read_bucketed(spark, "t_params_e0")
+
+        # epoch 1: gather + grad agg — no Exchange anywhere
+        gather = t.join(
+            p0.select(F.col("id").alias("s_id"), "emb"), "s_id"
+        )
+        assert "Exchange" not in _plan(gather)
+        grads = gather.groupBy("s_id").agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        assert "Exchange" not in _plan(grads)
+
+        # merge step joins params with grads on the same bucketed key
+        merged = p0.join(
+            grads.select(F.col("s_id").alias("id"), "deg"), "id", "left"
+        ).select(
+            "id",
+            F.transform(
+                "emb", lambda x: x + F.coalesce(F.col("deg"), F.lit(0)) * 0.0
+            ).alias("emb"),
+        )
+        assert "Exchange" not in _plan(merged)
+
+        # epoch 2: re-bucketed write restores the property
+        write_bucketed(merged, "t_params_e1", ["id"], n_buckets=8)
+        p1 = read_bucketed(spark, "t_params_e1")
+        gather2 = t.join(
+            p1.select(F.col("id").alias("s_id"), "emb"), "s_id"
+        )
+        assert "Exchange" not in _plan(gather2)
+        assert gather2.count() == 5000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for tbl in ("t_enc_triples", "t_params_e0", "t_params_e1"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
