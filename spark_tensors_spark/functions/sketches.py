@@ -87,20 +87,28 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_estimate(
+def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str], p: int = 10
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate: DataFrame(*group_cols,
-    hll_estimate).  Deterministic — any engine implementing the same
-    register math produces the identical float."""
-    m = 1 << p
-    alpha = hll_alpha(m)
+    """Per-group register table (*group_cols, hll_reg, max_rho) — the
+    sketch itself.  Register tables MERGE by per-register max: a
+    commutative, associative, idempotent fold, which is what makes the
+    sketch both map-side combinable and streaming/CRDT-safe."""
     reg, rho = hll_register_cols(value_col, p)
-    registers = (
+    return (
         df.select(*group_cols, reg, rho)
         .groupBy(*group_cols, "hll_reg")
         .agg(F.max("hll_rho").alias("max_rho"))
     )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Estimate from a (possibly merged) register table — shared by the
+    batch path and the streaming register-state path."""
+    m = 1 << p
+    alpha = hll_alpha(m)
     sums = registers.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("occupied_sum"),
         F.count(F.lit(1)).alias("n_occupied"),
@@ -114,6 +122,17 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return sums.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_estimate(
+    df: DataFrame, value_col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: DataFrame(*group_cols,
+    hll_estimate).  Deterministic — any engine implementing the same
+    register math produces the identical float."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
 
 
 def hll_oracle_sql(

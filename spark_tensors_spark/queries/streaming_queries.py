@@ -239,7 +239,81 @@ ORDER BY k.source
 """
 
 
+def ev_stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL maintained as STREAMING register
+    state (`streaming/sketches.py`): a real readStream → foreachBatch
+    pass appends per-batch register partials (CRDT max-merge, replay
+    idempotent); the estimate folded from state is bit-identical to
+    the batch sketch over the same rows, so this shares the batch
+    oracle's register math.  Multi-batch merge + replay idempotence
+    are pinned in tests/test_streaming_sketches.py."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.sketches import (
+        hll_estimate_from_state,
+        streaming_hourly_hll,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_hll_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from pyspark.sql import types as T
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # mirror load_table's events-ts normalization (io/readers.py) —
+    # both layout casts are stateless projections, streaming-safe
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = streaming_hourly_hll(
+        stream,
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    est = hll_estimate_from_state(
+        spark, os.path.join(root, "state"), ["hour_start"]
+    )
+    return est.select(
+        "hour_start", F.round("hll_estimate", 4).alias("hll_users")
+    ).orderBy("hour_start")
+
+
+def _stream_hll_hourly_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import hll_oracle_sql
+
+    src = (
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, "
+        "user_id FROM events"
+    )
+    hll = hll_oracle_sql(src, "user_id", ["hour_start"])
+    return f"""
+SELECT hour_start, ROUND(hll_estimate, 4) AS hll_users
+FROM ({hll})
+ORDER BY hour_start
+"""
+
+
 QUERIES = {
+    "ev_stream_hll_hourly": ev_stream_hll_hourly,
     "doc_stream_dedup": doc_stream_dedup,
     "ev_tumbling_hour": ev_tumbling_hour,
     "ev_sink_roundtrip": ev_sink_roundtrip,
@@ -252,6 +326,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),
     "doc_stream_dedup": _doc_stream_dedup_oracle(),
     "ev_sink_roundtrip": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,

@@ -1,0 +1,96 @@
+"""Streaming mergeable sketches: per-window HLL register state
+maintained across micro-batches.
+
+The HLL register table merges by per-register MAX — a commutative,
+associative, **idempotent** fold, i.e. the sketch is a CRDT.  That
+gives the streaming form for free and makes it unusually robust:
+
+- **Per micro-batch** (`merge_hll_batch`): reduce the batch to its
+  (window, register, max_rho) partials — at most windows×m rows no
+  matter the batch size — and append them under the batch's own
+  ``_batch_id`` partition (`sinks.write_idempotent_batch`).
+- **Replay safety twice over**: a replayed batch overwrites its own
+  partition with identical rows (decisions are a pure function of the
+  batch), AND even a hypothetical duplicate append could not corrupt
+  the estimate, because max-merge is idempotent.
+- **Read side** (`hll_estimate_from_state`): fold all appended partials
+  with one groupBy-max, then the shared estimator
+  (`functions.sketches.hll_estimate_from_registers`) — bit-identical
+  to running the batch HLL over the union of all batches, which is why
+  the streaming query shares the batch query's DuckDB oracle.
+
+State size: Σ_batches (windows_touched × occupied_registers) rows of
+three small integers — bounded by windows×m per batch, compactable by
+rewriting the fold result (same shape as every external-state streaming
+operator here, cf. streaming/dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_tensors_spark.functions.sketches import (
+    hll_estimate_from_registers,
+    hll_registers,
+)
+from spark_tensors_spark.streaming.sinks import write_idempotent_batch
+
+
+def merge_hll_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 10,
+) -> None:
+    """Append one micro-batch's register partials to the state table."""
+    partials = hll_registers(batch, value_col, group_cols, p)
+    write_idempotent_batch(partials, batch_id, state_dir)
+
+
+def hll_estimate_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Fold the accumulated partials and estimate — identical to the
+    batch estimate over everything the stream has seen."""
+    regs = (
+        spark.read.parquet(state_dir)
+        .groupBy(*group_cols, "hll_reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def streaming_hourly_hll(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach the per-hour distinct-count sketch to an event stream."""
+    hourly = stream_df.withColumn(
+        "hour_start", F.date_trunc("hour", F.col(ts_col))
+    )
+    writer = (
+        hourly.writeStream.foreachBatch(
+            lambda bdf, bid: merge_hll_batch(
+                bdf, bid, state_dir, value_col, ["hour_start"], p
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,101 @@
+"""Streaming HLL register state: multi-batch merge equals the batch
+sketch over the union, and replaying a batch is a no-op (CRDT
+max-merge + batch-id partition overwrite)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.functions.sketches import hll_estimate
+from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.streaming.sketches import (
+    hll_estimate_from_state,
+    merge_hll_batch,
+    streaming_hourly_hll,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def ev(spark):
+    return load_table(spark, SF_SMOKE, "events").withColumn(
+        "hour_start", F.date_trunc("hour", F.col("ts"))
+    )
+
+
+def _estimates(df):
+    return {
+        r.hour_start: round(r.hll_estimate, 4) for r in df.collect()
+    }
+
+
+def test_multibatch_merge_equals_batch_sketch(spark, ev, tmp_path):
+    """Three micro-batches (split by event_id mod) folded from state ==
+    one batch sketch over everything."""
+    state = str(tmp_path / "state")
+    for b in range(3):
+        merge_hll_batch(
+            ev.filter(F.col("event_id") % 3 == b),
+            b,
+            state,
+            "user_id",
+            ["hour_start"],
+        )
+    streamed = _estimates(
+        hll_estimate_from_state(spark, state, ["hour_start"])
+    )
+    batch = _estimates(hll_estimate(ev, "user_id", ["hour_start"]))
+    assert streamed == batch
+
+
+def test_replay_is_noop(spark, ev, tmp_path):
+    state = str(tmp_path / "state")
+    for b in range(2):
+        merge_hll_batch(
+            ev.filter(F.col("event_id") % 2 == b),
+            b,
+            state,
+            "user_id",
+            ["hour_start"],
+        )
+    before = _estimates(
+        hll_estimate_from_state(spark, state, ["hour_start"])
+    )
+    # replay batch 0 — overwrites its own partition with identical rows
+    merge_hll_batch(
+        ev.filter(F.col("event_id") % 2 == 0),
+        0,
+        state,
+        "user_id",
+        ["hour_start"],
+    )
+    after = _estimates(
+        hll_estimate_from_state(spark, state, ["hour_start"])
+    )
+    assert before == after
+
+
+def test_real_stream_matches_batch(spark, ev, tmp_path):
+    """readStream (availableNow) through streaming_hourly_hll == the
+    batch sketch — the stream≡batch contract behind the shared
+    oracle."""
+    src_dir = str(tmp_path / "src")
+    ev.select("event_id", "ts", "user_id").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = streaming_hourly_hll(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    streamed = _estimates(
+        hll_estimate_from_state(
+            spark, str(tmp_path / "state"), ["hour_start"]
+        )
+    )
+    batch = _estimates(hll_estimate(ev, "user_id", ["hour_start"]))
+    assert streamed == batch
