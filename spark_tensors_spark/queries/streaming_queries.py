@@ -312,8 +312,72 @@ ORDER BY hour_start
 """
 
 
+def ev_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy hitters from a count-min sketch maintained as
+    STREAMING state (`streaming/sketches.py`): per-batch cell-count
+    partials (≤ depth×width rows per batch) appended under batch-id
+    partitions — sum-merge, replay-safe by partition overwrite.  The
+    folded sketch is bit-identical to the batch sketch, so this shares
+    the batch query's oracle; exact counts ride along as the
+    verification column (CMS never underestimates)."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.functions.sketches import cms_estimate
+    from spark_tensors_spark.streaming.sketches import (
+        cms_sketch_from_state,
+        streaming_cms,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_cms_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = streaming_cms(
+        stream,
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    sketch = cms_sketch_from_state(spark, os.path.join(root, "state"))
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id", "n_exact", F.col("cms_estimate").alias("cms_est")
+        )
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(20)
+    )
+
+
+def _stream_cms_top_users_oracle() -> str:
+    from spark_tensors_spark.queries.temporal_queries import (
+        _cms_top_users_oracle,
+    )
+
+    return _cms_top_users_oracle()
+
+
 QUERIES = {
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
+    "ev_stream_cms_top_users": ev_stream_cms_top_users,
     "doc_stream_dedup": doc_stream_dedup,
     "ev_tumbling_hour": ev_tumbling_hour,
     "ev_sink_roundtrip": ev_sink_roundtrip,
@@ -327,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),
+    "ev_stream_cms_top_users": _stream_cms_top_users_oracle(),
     "doc_stream_dedup": _doc_stream_dedup_oracle(),
     "ev_sink_roundtrip": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,

@@ -94,3 +94,62 @@ def streaming_hourly_hll(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------ count-min
+# CMS partials merge by SUM — associative/commutative but NOT
+# idempotent, so unlike the HLL the replay guarantee rests entirely on
+# the batch-id partition overwrite (a replayed batch rewrites its own
+# partition with identical rows; it can never double-count).
+
+
+def merge_cms_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    value_col: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """Append one micro-batch's CMS cell counts (≤ depth×width rows
+    regardless of batch size) under the batch's own partition."""
+    from spark_tensors_spark.functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_sketch,
+    )
+
+    partials = cms_sketch(
+        batch, value_col, depth or CMS_DEPTH, width or CMS_WIDTH
+    )
+    write_idempotent_batch(partials, batch_id, state_dir)
+
+
+def cms_sketch_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the per-batch cell partials into the current sketch —
+    identical to the batch sketch over everything the stream has seen."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("cms_d", "cms_col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach the frequency sketch to an event stream."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: merge_cms_batch(bdf, bid, state_dir, value_col)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -99,3 +99,48 @@ def test_real_stream_matches_batch(spark, ev, tmp_path):
     )
     batch = _estimates(hll_estimate(ev, "user_id", ["hour_start"]))
     assert streamed == batch
+
+
+def test_cms_multibatch_merge_equals_batch_sketch(spark, ev, tmp_path):
+    from spark_tensors_spark.functions.sketches import cms_sketch
+    from spark_tensors_spark.streaming.sketches import (
+        cms_sketch_from_state,
+        merge_cms_batch,
+    )
+
+    state = str(tmp_path / "cms_state")
+    for b in range(3):
+        merge_cms_batch(
+            ev.filter(F.col("event_id") % 3 == b), b, state, "user_id"
+        )
+    folded = sorted(
+        map(tuple, cms_sketch_from_state(spark, state).collect())
+    )
+    batch = sorted(map(tuple, cms_sketch(ev, "user_id").collect()))
+    assert folded == batch
+
+
+def test_cms_replay_is_noop(spark, ev, tmp_path):
+    from spark_tensors_spark.streaming.sketches import (
+        cms_sketch_from_state,
+        merge_cms_batch,
+    )
+
+    state = str(tmp_path / "cms_state")
+    for b in range(2):
+        merge_cms_batch(
+            ev.filter(F.col("event_id") % 2 == b), b, state, "user_id"
+        )
+    before = sorted(
+        map(tuple, cms_sketch_from_state(spark, state).collect())
+    )
+    # replay: same batch content, same id — partition overwrite, not
+    # double-count (sum-merge is not idempotent; the overwrite is the
+    # guarantee)
+    merge_cms_batch(
+        ev.filter(F.col("event_id") % 2 == 0), 0, state, "user_id"
+    )
+    after = sorted(
+        map(tuple, cms_sketch_from_state(spark, state).collect())
+    )
+    assert before == after
