@@ -168,3 +168,51 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label — a fully deterministic variant (the classic
+    random-order LPA is not reproducible across engines; fixed-point
+    synchronous rounds with an integer-count argmax are).
+
+    Per round: one join keyed on the node id + one (node, label) count
+    aggregate + one windowed argmax partitioned by node — the same
+    shuffle shape as a PageRank round; the label frame is
+    ``localCheckpoint``-ed so plans stay O(1) deep.  Returns
+    DataFrame(node, label) after ``iterations`` rounds.
+    """
+    from pyspark.sql.window import Window
+
+    e = undirect_edges(edges, src, dst)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("u"), "label"), "u"
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -91,16 +91,9 @@ ORDER BY node_id
 """
 
 
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 parts by triangle participation in the 1995-H1
-    co-purchase graph (parts linked when they appear in the same order)
-    — the degree-oriented O(m^{3/2}) plan; ties broken by part id.
-
-    The order-date window is a *predicate-pushdown* scope, not a scale
-    crutch: it keeps every intra-order clique (where the triangle mass
-    lives) while bounding the cross-order edge merge, exactly how a
-    production co-occurrence job scopes by time.  The operator itself
-    is windowless."""
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1995-H1 co-purchase part graph (u < v) — shared by the triangle
+    and community queries."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1995-07-01")
@@ -117,12 +110,25 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     other = op.select(F.col("ok"), F.col("pk").alias("pk2"))
-    edges = (
+    return (
         op.join(other, "ok")
         .filter(F.col("pk") < F.col("pk2"))
         .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
         .distinct()
     )
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 parts by triangle participation in the 1995-H1
+    co-purchase graph (parts linked when they appear in the same order)
+    — the degree-oriented O(m^{3/2}) plan; ties broken by part id.
+
+    The order-date window is a *predicate-pushdown* scope, not a scale
+    crutch: it keeps every intra-order clique (where the triangle mass
+    lives) while bounding the cross-order edge merge, exactly how a
+    production co-occurrence job scopes by time.  The operator itself
+    is windowless."""
+    edges = _copurchase_edges(spark, sf_dir)
     return (
         triangle_counts(edges)
         .select(F.col("node").alias("part_id"), "n_triangles")
@@ -161,12 +167,85 @@ LIMIT 100
 """
 
 
+LPA_ITERATIONS = 3
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: 3 synchronous
+    label-propagation rounds (`operators/graph.label_propagation` —
+    deterministic argmax-count with min-label ties), summarized per
+    community.  The oracle unrolls the same 3 rounds as chained CTEs,
+    integer counts throughout."""
+    from spark_tensors_spark.operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, iterations=LPA_ITERATIONS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(50)
+    )
+
+
+def _communities_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERATIONS + 1):
+        rounds.append(
+            f"""l{i} AS (
+    SELECT node, label FROM (
+        SELECT s.v AS node, l.label AS label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.v
+                   ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+        FROM sym s JOIN {prev} l ON l.node = s.u
+        GROUP BY s.v, l.label
+    ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+),
+e AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+sym AS (
+    SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS (
+    SELECT node, node AS label
+    FROM (SELECT DISTINCT u AS node FROM sym)
+),
+{rounds_sql}
+SELECT label AS community, COUNT(*) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM {prev}
+GROUP BY label
+ORDER BY n_nodes DESC, community
+LIMIT 50
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
     "graph_triangles": copurchase_triangles,
+    "graph_communities": copurchase_communities,
 }
 
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
+    "graph_communities": _communities_oracle(),
 }

@@ -210,3 +210,30 @@ def test_cms_estimate_absent_key_low(spark):
     assert set(got) == {"nope-1", "nope-2"}
     for v in got.values():
         assert 0 <= v <= 5
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: each clique collapses
+    to its min label; determinism across runs."""
+    import pandas as pd
+
+    from spark_tensors_spark.operators.graph import label_propagation
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))  # bridge
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["u", "v"]), "u long, v long"
+    )
+    labels = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert set(labels) == set(range(4)) | set(range(10, 14))
+    # clique 0 all label 0
+    assert {labels[i] for i in range(4)} == {0}
+    # clique 10: members 11-13 converge to 10's community; with the
+    # bridge, node 10 hears clique-0 labels too, but its majority
+    # neighborhood is its own clique
+    assert len({labels[i] for i in range(10, 14)}) == 1
+    labels2 = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert labels == labels2
