@@ -216,3 +216,47 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_wedge_degree: int | None = None,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Link prediction by common-neighbor count (the classic heuristic
+    baseline, Liben-Nowell & Kleinberg 2003): for every NON-edge pair
+    (u < v), the number of shared neighbors — integer-exact, so it sits
+    under a value oracle (Adamic-Adar's 1/log(deg) weights are the same
+    plan with a float weight).
+
+    Plan: wedge enumeration through the shared neighbor (two joins on
+    the middle node) → (pair) count aggregate → anti-join existing
+    edges.  The wedge fan-out is Σ deg(w)² — at scale pass
+    ``max_wedge_degree`` to drop hub middles (the standard cap: a
+    celebrity node connects everyone and predicts nothing), which
+    bounds the blow-up at cap²·nodes while keeping the informative
+    wedges.
+    """
+    e = undirect_edges(edges, src, dst)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mid = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    if max_wedge_degree is not None:
+        deg = mid.groupBy("w").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") <= max_wedge_degree).select("w")
+        mid = mid.join(F.broadcast(keep), "w")
+    pairs = (
+        mid.alias("a")
+        .join(
+            mid.select(F.col("w"), F.col("x").alias("y")).alias("b"), "w"
+        )
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return pairs.join(e, ["u", "v"], "left_anti").filter(
+        F.col("n_common") >= min_common
+    )

@@ -238,14 +238,61 @@ LIMIT 50
 """
 
 
+def copurchase_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-30 predicted links in the co-purchase graph by
+    common-neighbor count (`operators/graph.common_neighbor_scores`) —
+    the classic link-prediction baseline, integer-exact under the
+    wedge-join oracle.  Ties broken by (u, v)."""
+    from spark_tensors_spark.operators.graph import common_neighbor_scores
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return (
+        common_neighbor_scores(edges, min_common=2)
+        .orderBy(F.desc("n_common"), "u", "v")
+        .limit(30)
+    )
+
+
+LINK_PREDICTION_SQL = """
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+),
+e AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+sym AS (
+    SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e
+),
+pairs AS (
+    SELECT a.x AS u, b.x AS v, COUNT(*) AS n_common
+    FROM sym a JOIN sym b ON a.w = b.w AND a.x < b.x
+    GROUP BY a.x, b.x
+)
+SELECT p.u, p.v, p.n_common
+FROM pairs p
+LEFT JOIN e ON e.u = p.u AND e.v = p.v
+WHERE e.u IS NULL AND p.n_common >= 2
+ORDER BY p.n_common DESC, p.u, p.v
+LIMIT 30
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
     "graph_triangles": copurchase_triangles,
     "graph_communities": copurchase_communities,
+    "graph_link_prediction": copurchase_link_prediction,
 }
 
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
     "graph_communities": _communities_oracle(),
+    "graph_link_prediction": LINK_PREDICTION_SQL,
 }

@@ -237,3 +237,42 @@ def test_label_propagation_two_cliques(spark):
     assert len({labels[i] for i in range(10, 14)}) == 1
     labels2 = {r.node: r.label for r in label_propagation(df, 3).collect()}
     assert labels == labels2
+
+
+def test_common_neighbor_scores_and_degree_cap(spark):
+    """Star + square: the two star leaves share the hub (1 common
+    neighbor); opposite square corners share 2. The hub cap removes
+    star wedges but keeps square ones."""
+    import pandas as pd
+
+    from spark_tensors_spark.operators.graph import common_neighbor_scores
+
+    edges = [
+        # square 10-11-12-13
+        (10, 11), (11, 12), (12, 13), (13, 10),
+        # star: hub 0 with leaves 1..4
+        (0, 1), (0, 2), (0, 3), (0, 4),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["u", "v"]), "u long, v long"
+    )
+    got = {
+        (r.u, r.v): r.n_common
+        for r in common_neighbor_scores(df, min_common=1).collect()
+    }
+    # opposite square corners: two common neighbors
+    assert got[(10, 12)] == 2 and got[(11, 13)] == 2
+    # star leaves share only the hub
+    assert got[(1, 2)] == 1
+    # existing edges never appear
+    assert (10, 11) not in got and (0, 1) not in got
+    capped = {
+        (r.u, r.v): r.n_common
+        for r in common_neighbor_scores(
+            df, min_common=1, max_wedge_degree=3
+        ).collect()
+    }
+    # hub (degree 4) removed as wedge middle: star-leaf pairs vanish,
+    # square pairs (middles have degree 2) survive
+    assert (1, 2) not in capped
+    assert capped[(10, 12)] == 2
