@@ -260,3 +260,43 @@ def common_neighbor_scores(
     return pairs.join(e, ["u", "v"], "left_anti").filter(
         F.col("n_common") >= min_common
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core peeling: repeatedly drop nodes with remaining degree < k
+    for a FIXED number of rounds (deterministic on any engine — a
+    converged graph makes the extra rounds no-ops).  The k-core is the
+    standard "dense enough to matter" filter before community/embedding
+    work on web-scale graphs.
+
+    Per round: one degree aggregate + two semi-joins restricting the
+    edge list to surviving endpoints — all equi-shuffles on node ids,
+    edge frame localCheckpointed so plans stay O(1) deep.  Returns
+    DataFrame(node, degree) for nodes surviving ``rounds`` peels, with
+    their degree in the peeled subgraph.
+    """
+    e = undirect_edges(edges, src, dst).localCheckpoint()
+    for _ in range(rounds):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select(F.col("u").alias("node"))
+        e = (
+            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

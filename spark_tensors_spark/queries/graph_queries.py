@@ -283,11 +283,71 @@ LIMIT 30
 """
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph after 4 fixed peeling rounds
+    (`operators/graph.kcore_peel`): surviving nodes with their core
+    degree — the density filter run before graph embedding at scale.
+    Integer-exact; the oracle unrolls the same peels."""
+    from spark_tensors_spark.operators.graph import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return (
+        kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+        .orderBy(F.desc("degree"), "node")
+        .limit(100)
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""k{i} AS (
+    SELECT u AS node FROM (
+        SELECT u, COUNT(*) AS d
+        FROM (SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev})
+        GROUP BY u
+    ) WHERE d >= {KCORE_K}
+),
+e{i} AS (
+    SELECT e.u, e.v FROM {prev} e
+    JOIN k{i} a ON a.node = e.u
+    JOIN k{i} b ON b.node = e.v
+)"""
+        )
+        prev = f"e{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+),
+e0 AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+{rounds_sql}
+SELECT u AS node, COUNT(*) AS degree
+FROM (SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev})
+GROUP BY u
+ORDER BY degree DESC, node
+LIMIT 100
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
     "graph_triangles": copurchase_triangles,
     "graph_communities": copurchase_communities,
     "graph_link_prediction": copurchase_link_prediction,
+    "graph_kcore": copurchase_kcore,
 }
 
 ORACLES = {
@@ -295,4 +355,5 @@ ORACLES = {
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
     "graph_communities": _communities_oracle(),
     "graph_link_prediction": LINK_PREDICTION_SQL,
+    "graph_kcore": _kcore_oracle(),
 }

@@ -493,6 +493,43 @@ Q18_BLOOM_JOIN_SQL = """
 """
 
 
+def q19_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (per-customer top-2 orders by price)
+    — the SQL-surface form of grouped top-n.  Catalyst decorrelates the
+    LATERAL into a ranked window/join plan; the declared subset keeps
+    the output bounded.  Ties by o_orderkey."""
+    from spark_tensors_spark.io.readers import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               ROUND(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey, price DESC, t.o_orderkey
+        """
+    )
+
+
+Q19_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey, price DESC, t.o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_region_nation_rollup": q2_region_nation_rollup,
@@ -518,10 +555,12 @@ QUERIES = {
     "q16_exists": q16_exists,
     "q17_unpivot": q17_unpivot,
     "q18_bloom_join": q18_bloom_join,
+    "q19_lateral_topn": q19_lateral_topn,
 }
 
 ORACLES = {
     "q18_bloom_join": Q18_BLOOM_JOIN_SQL,
+    "q19_lateral_topn": Q19_LATERAL_SQL,
     "q16_exists": """
         SELECT c_nationkey, COUNT(*) AS n_customers
         FROM customer c

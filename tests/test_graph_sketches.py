@@ -276,3 +276,20 @@ def test_common_neighbor_scores_and_degree_cap(spark):
     # square pairs (middles have degree 2) survive
     assert (1, 2) not in capped
     assert capped[(10, 12)] == 2
+
+
+def test_kcore_peels_tree_keeps_clique(spark):
+    """A 5-clique with a pendant path: the path (degrees <=2) fully
+    peels out of the 3-core; the clique survives with degree 4."""
+    import pandas as pd
+
+    from spark_tensors_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 100), (100, 101), (101, 102)]
+    df = spark.createDataFrame(
+        pd.DataFrame(clique + path, columns=["u", "v"]), "u long, v long"
+    )
+    core = {r.node: r.degree for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert set(core) == set(range(5))
+    assert all(d == 4 for d in core.values())
