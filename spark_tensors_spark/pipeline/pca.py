@@ -139,6 +139,6 @@ def project_pca(
 
     return (
         emb.select(id_col, vec_col)
-        .mapInPandas(part, f"id long, proj array<double>")
+        .mapInPandas(part, "id long, proj array<double>")
         .withColumnsRenamed({"id": id_col})
     )
