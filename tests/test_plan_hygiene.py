@@ -1,0 +1,80 @@
+"""Repo-wide physical-plan hygiene for EVERY declared query:
+
+- ``BatchEvalPython`` (row-at-a-time Python UDF) appears NOWHERE — all
+  Python is Arrow-batched (pandas_udf / mapInPandas / applyInPandas).
+- ``CartesianProduct`` (unbroadcast cross product) appears NOWHERE.
+- ``BroadcastNestedLoopJoin`` only where a small broadcast side is the
+  intended plan, each with a reason in the allowlist below.
+
+One sweep builds all plans at sf0.001 (the streaming-state and
+training queries execute their driver work once — that is what makes
+their returned frame's plan real).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# BroadcastNestedLoopJoin is the CORRECT plan when one side is a scalar
+# or a capped/bounded broadcast; every entry documents why.
+BNLJ_ALLOWED = {
+    # 1-row corpus-size scalar cross-joined into the TF-IDF scoring
+    "doc_tfidf_top_terms",
+    # declared all-pairs baseline, oracle-bounded to vec_id < 300; the
+    # scale path is emb_near_dup_bucketed
+    "emb_near_dup_pairs",
+    # bounded negative-sample frame broadcast against the rejection set
+    "kg_q18_neg_reject",
+    # J7 eval expansion: entity matrix broadcast by design (closure/
+    # broadcast guarded); metrics variants inherit the ranks plan
+    "kg_q19_ranks",
+    "kg_q19_metrics",
+    "kg_q19_filtered_ranks",
+    "kg_q19_filtered_metrics",
+}
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    import __spark_entry__ as entry
+
+    plans = {}
+    for name, fn in sorted(entry.queries().items()):
+        df = fn(spark, SF_SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plans[name] = buf.getvalue()
+    return plans
+
+
+def test_no_row_at_a_time_python(all_plans):
+    offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_no_cartesian_product(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_nested_loop_joins_are_allowlisted(all_plans):
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == []
+    # the allowlist must not rot: entries that no longer plan a BNLJ
+    # should be removed so the gate stays tight
+    stale = [
+        n
+        for n in BNLJ_ALLOWED
+        if n in all_plans and "BroadcastNestedLoopJoin" not in all_plans[n]
+    ]
+    assert stale == []
