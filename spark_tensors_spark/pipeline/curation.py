@@ -154,6 +154,66 @@ def canonicalize_groups(
     )
 
 
+def mixture_allocation(weights: dict[str, float], n: int) -> dict[str, int]:
+    """Exact integer quotas for a weighted domain mixture via the
+    largest-remainder method (deterministic, ties by key): quotas sum
+    to exactly ``n`` and deviate from n·w/Σw by < 1 each — the
+    allocation step of Pile/DoReMi-style domain weighting."""
+    total = float(sum(weights.values()))
+    exact = {k: n * w / total for k, w in weights.items()}
+    quotas = {k: int(exact[k]) for k in weights}
+    shortfall = n - sum(quotas.values())
+    by_remainder = sorted(
+        weights, key=lambda k: (-(exact[k] - quotas[k]), k)
+    )
+    for k in by_remainder[:shortfall]:
+        quotas[k] += 1
+    return quotas
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    n: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted domain mixture: exactly ``n`` rows with
+    per-domain counts fixed by :func:`mixture_allocation`, members
+    chosen by portable md5 rank within each domain (reproducible on
+    any engine — the same discipline as :func:`stratified_split`).
+
+    Shape at scale: one partitioned window per domain + a broadcast
+    join against the quota table (|weights| rows).  Domains absent
+    from ``weights`` are dropped (inner join), short domains yield
+    their full membership.  Returns (strat_col, id_col, sample_rank).
+    """
+    import pandas as pd
+
+    quotas = mixture_allocation(weights, n)
+    alloc = df.sparkSession.createDataFrame(
+        pd.DataFrame(
+            sorted(quotas.items()), columns=[strat_col, "_quota"]
+        ),
+        f"{strat_col} string, _quota long",
+    )
+    w = Window.partitionBy(strat_col).orderBy(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"_mx{seed}"))
+        ),
+        id_col,
+    )
+    ranked = df.select(strat_col, id_col).withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), strat_col)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .select(strat_col, id_col, "sample_rank")
+    )
+
+
 def es_sample_key_col(
     id_col: str, weight_col: str, seed: int = 42
 ) -> Column:

@@ -354,6 +354,48 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_WEIGHTS = {f"src{i}": float((i % 4) + 1) for i in range(20)}
+MIXTURE_N = 120
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixture (`curation.mixture_sample`): exactly 120
+    docs with per-source quotas from largest-remainder allocation over
+    explicit weights (1..4 cycling), members picked by portable md5
+    rank — the Pile/DoReMi-style domain-weighting step, integer/string
+    exact so the oracle restates quotas as a VALUES table."""
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.mixture_sample(
+        docs, MIXTURE_WEIGHTS, MIXTURE_N
+    ).orderBy("source", "sample_rank")
+
+
+def _mixture_sample_oracle() -> str:
+    from spark_tensors_spark.pipeline.curation import mixture_allocation
+
+    quotas = mixture_allocation(MIXTURE_WEIGHTS, MIXTURE_N)
+    values = ", ".join(
+        f"('{s}', {q})" for s, q in sorted(quotas.items())
+    )
+    return f"""
+        WITH alloc(source, quota) AS (VALUES {values}),
+        ranked AS (
+            SELECT source, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '_mx42'),
+                                doc_id) AS BIGINT) AS sample_rank
+            FROM documents
+        )
+        SELECT r.source, r.doc_id, r.sample_rank
+        FROM ranked r JOIN alloc a ON a.source = r.source
+        WHERE r.sample_rank <= a.quota
+        ORDER BY r.source, r.sample_rank
+    """
+
+
 def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum of the embedding table (`pipeline/pca.py`): one
     distributed moment pass (per-batch BLAS partials, fixed-size
@@ -785,6 +827,7 @@ QUERIES = {
     "emb_gram_int8": emb_gram_int8,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_dup_spans": doc_dup_spans,
+    "doc_mixture_sample": doc_mixture_sample,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     # rows-only from here down — past the driver's 50-query window by
@@ -1015,6 +1058,7 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS scrub_check
         FROM s GROUP BY source ORDER BY source
     """,
+    "doc_mixture_sample": _mixture_sample_oracle(),
     "doc_dup_spans": f"""
         WITH toks AS (
             SELECT doc_id, {_TOKENS} AS tk FROM documents

@@ -243,3 +243,42 @@ def test_chunk_windows_overlap_semantics(spark):
 
     with pytest.raises(ValueError):
         chunk_windows(docs, window=0)
+
+
+def test_mixture_allocation_exact_and_deterministic():
+    from spark_tensors_spark.pipeline.curation import mixture_allocation
+
+    w = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 1.5}
+    q = mixture_allocation(w, 100)
+    assert sum(q.values()) == 100
+    total = sum(w.values())
+    for k in w:
+        assert abs(q[k] - 100 * w[k] / total) < 1
+    assert q == mixture_allocation(w, 100)
+    # remainder ties break by key: equal weights, n not divisible
+    q2 = mixture_allocation({"x": 1.0, "y": 1.0, "z": 1.0}, 4)
+    assert q2 == {"x": 2, "y": 1, "z": 1}
+
+
+def test_mixture_sample_quotas_and_short_domains(spark):
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline.curation import mixture_sample
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(55)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source"]),
+        "doc_id long, source string",
+    )
+    out = mixture_sample(
+        df, {"big": 3.0, "small": 1.0, "absent": 1.0}, 20
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    # quotas: big 12, small 4, absent 4 (largest remainder on 3/1/1)
+    assert len(per["big"]) == 12
+    # "small" has 5 members >= its quota of 4; "absent" contributes 0
+    assert len(per["small"]) == 4
+    assert "absent" not in per
+    assert sorted(per["big"]) == list(range(1, 13))
