@@ -300,3 +300,60 @@ def kcore_peel(
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_wedge_degree: int | None = None,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Adamic-Adar link prediction: Σ_w 1/ln(deg(w)) over the common
+    neighbors w of each non-edge pair — the rare-neighbor-weighted
+    refinement of :func:`common_neighbor_scores` (same wedge plan, one
+    extra degree join).  Cross-engine float doctrine: each 1/ln(deg)
+    term is quantized to DECIMAL(18,12) BEFORE the sum, so the
+    aggregate is exact and order-independent; only the per-term
+    ln/÷ must agree (one correctly-rounded libm call on an integer
+    input — the established weighted-sample discipline).
+    """
+    e = undirect_edges(edges, src, dst)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    mid = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    if max_wedge_degree is not None:
+        mid = mid.join(
+            F.broadcast(
+                deg.filter(F.col("_d") <= max_wedge_degree).select("w")
+            ),
+            "w",
+        )
+    weighted = mid.join(deg, "w").withColumn(
+        "_aa",
+        (F.lit(1.0) / F.log(F.col("_d").cast("double"))).cast(
+            "decimal(18,12)"
+        ),
+    )
+    pairs = (
+        weighted.alias("a")
+        .join(
+            weighted.select(
+                F.col("w"), F.col("x").alias("y")
+            ).alias("b"),
+            "w",
+        )
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("a._aa").cast("double"), 6).alias("aa"),
+        )
+    )
+    return pairs.join(e, ["u", "v"], "left_anti").filter(
+        F.col("n_common") >= min_common
+    )

@@ -283,6 +283,59 @@ LIMIT 30
 """
 
 
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 predicted links by Adamic-Adar score
+    (`operators/graph.adamic_adar_scores`): rare shared neighbors count
+    more.  Per-term DECIMAL(18,12) quantization makes the sum exact on
+    both engines; ties by (n_common, u, v)."""
+    from spark_tensors_spark.operators.graph import adamic_adar_scores
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return (
+        adamic_adar_scores(edges, min_common=2)
+        .orderBy(F.desc("aa"), F.desc("n_common"), "u", "v")
+        .limit(30)
+    )
+
+
+ADAMIC_ADAR_SQL = """
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+),
+e AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+sym AS (
+    SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (
+    SELECT w, COUNT(*) AS d FROM sym GROUP BY w
+),
+weighted AS (
+    SELECT s.w, s.x,
+           CAST(1.0 / LN(CAST(deg.d AS DOUBLE)) AS DECIMAL(18,12)) AS aa_t
+    FROM sym s JOIN deg ON deg.w = s.w
+),
+pairs AS (
+    SELECT a.x AS u, b.x AS v,
+           COUNT(*) AS n_common,
+           ROUND(CAST(SUM(a.aa_t) AS DOUBLE), 6) AS aa
+    FROM weighted a JOIN weighted b ON a.w = b.w AND a.x < b.x
+    GROUP BY a.x, b.x
+)
+SELECT p.u, p.v, p.n_common, p.aa
+FROM pairs p
+LEFT JOIN e ON e.u = p.u AND e.v = p.v
+WHERE e.u IS NULL AND p.n_common >= 2
+ORDER BY p.aa DESC, p.n_common DESC, p.u, p.v
+LIMIT 30
+"""
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 4
 
@@ -348,6 +401,7 @@ QUERIES = {
     "graph_communities": copurchase_communities,
     "graph_link_prediction": copurchase_link_prediction,
     "graph_kcore": copurchase_kcore,
+    "graph_adamic_adar": copurchase_adamic_adar,
 }
 
 ORACLES = {
@@ -356,4 +410,5 @@ ORACLES = {
     "graph_communities": _communities_oracle(),
     "graph_link_prediction": LINK_PREDICTION_SQL,
     "graph_kcore": _kcore_oracle(),
+    "graph_adamic_adar": ADAMIC_ADAR_SQL,
 }

@@ -153,3 +153,37 @@ def streaming_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_hll_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str = "hour_start",
+    keep_from=None,
+) -> None:
+    """State lifecycle: fold all appended partials into one compacted
+    partition, optionally EVICTING windows older than ``keep_from``
+    (the watermark-style horizon for an external-state operator).
+    Estimates for the kept windows are unchanged — max-merge folding is
+    exactly what the read side does anyway; this just materializes it
+    and drops dead windows, bounding state at horizon×m registers.
+
+    Run while the stream is stopped (between availableNow drains): the
+    rewrite replaces every batch partition with one compacted
+    ``_batch_id=0`` partition, and the next drain appends after it.
+    """
+    import shutil
+
+    df = spark.read.parquet(state_dir)
+    if keep_from is not None:
+        df = df.filter(F.col(group_col) >= keep_from)
+    folded = (
+        df.groupBy(group_col, "hll_reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .toPandas()
+    )
+    tmp = state_dir.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_idempotent_batch(spark.createDataFrame(folded), 0, tmp)
+    shutil.rmtree(state_dir)
+    shutil.move(tmp, state_dir)

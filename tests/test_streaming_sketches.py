@@ -144,3 +144,32 @@ def test_cms_replay_is_noop(spark, ev, tmp_path):
         map(tuple, cms_sketch_from_state(spark, state).collect())
     )
     assert before == after
+
+
+def test_compact_hll_state_evicts_and_preserves(spark, ev, tmp_path):
+    """Compaction with a horizon: kept hours estimate identically,
+    evicted hours vanish, and the state physically shrinks."""
+    from spark_tensors_spark.streaming.sketches import compact_hll_state
+
+    state = str(tmp_path / "state")
+    for b in range(3):
+        merge_hll_batch(
+            ev.filter(F.col("event_id") % 3 == b),
+            b,
+            state,
+            "user_id",
+            ["hour_start"],
+        )
+    before = _estimates(
+        hll_estimate_from_state(spark, state, ["hour_start"])
+    )
+    hours = sorted(before)
+    horizon = hours[len(hours) // 2]
+    rows_before = spark.read.parquet(state).count()
+    compact_hll_state(spark, state, keep_from=horizon)
+    after = _estimates(
+        hll_estimate_from_state(spark, state, ["hour_start"])
+    )
+    assert set(after) == {h for h in hours if h >= horizon}
+    assert all(after[h] == before[h] for h in after)
+    assert spark.read.parquet(state).count() < rows_before
