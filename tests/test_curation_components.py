@@ -282,3 +282,35 @@ def test_mixture_sample_quotas_and_short_domains(spark):
     assert len(per["small"]) == 4
     assert "absent" not in per
     assert sorted(per["big"]) == list(range(1, 13))
+
+
+def test_mixture_allocation_properties_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_tensors_spark.pipeline.curation import mixture_allocation
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefgh", min_size=1, max_size=4
+            ),
+            st.floats(
+                min_value=0.01, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=0, max_value=1000),
+    )
+    def prop(weights, n):
+        q = mixture_allocation(weights, n)
+        assert sum(q.values()) == n
+        total = sum(weights.values())
+        for k, w in weights.items():
+            assert abs(q[k] - n * w / total) < 1 + 1e-9
+        assert q == mixture_allocation(weights, n)
+
+    prop()

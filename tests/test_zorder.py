@@ -103,3 +103,23 @@ def test_layout_prunes_point_queries(spark, tmp_path):
     assert n_hit_z <= 2
     assert n_hit_r >= 6
     assert n_hit_z < n_hit_r
+
+
+def test_interleave_random_batch_matches_reference(spark):
+    """200 seeded-random 16-bit pairs in one frame == python reference;
+    and deinterleaving the even/odd bits recovers (x, y)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 65536, size=200)
+    ys = rng.integers(0, 65536, size=200)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": xs, "y": ys}), "x long, y long"
+    )
+    rows = df.select("x", "y", zvalue_col("x", "y").alias("z")).collect()
+    for r in rows:
+        assert r.z == _morton_ref(r.x, r.y)
+        # deinterleave: even bits -> x, odd bits -> y
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
