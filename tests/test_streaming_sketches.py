@@ -173,3 +173,32 @@ def test_compact_hll_state_evicts_and_preserves(spark, ev, tmp_path):
     assert set(after) == {h for h in hours if h >= horizon}
     assert all(after[h] == before[h] for h in after)
     assert spark.read.parquet(state).count() < rows_before
+
+
+def test_cms_real_stream_matches_batch(spark, ev, tmp_path):
+    """readStream (availableNow) through streaming_cms == the batch
+    sketch — the stream≡batch contract behind the shared oracle."""
+    from spark_tensors_spark.functions.sketches import cms_sketch
+    from spark_tensors_spark.streaming.sketches import (
+        cms_sketch_from_state,
+        streaming_cms,
+    )
+
+    src_dir = str(tmp_path / "src")
+    ev.select("event_id", "user_id").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = streaming_cms(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    folded = sorted(
+        map(
+            tuple,
+            cms_sketch_from_state(spark, str(tmp_path / "state")).collect(),
+        )
+    )
+    batch = sorted(map(tuple, cms_sketch(ev, "user_id").collect()))
+    assert folded == batch
