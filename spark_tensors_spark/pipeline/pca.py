@@ -142,3 +142,40 @@ def project_pca(
         .mapInPandas(part, "id long, proj array<double>")
         .withColumnsRenamed({"id": id_col})
     )
+
+
+def whiten_pca(
+    emb: DataFrame,
+    model: PCAModel,
+    eps: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA whitening: project onto the principal axes and scale each
+    coordinate by 1/√(eigenvalue+eps), so the output coordinates have
+    unit variance and zero covariance — the standard preprocessing
+    before cosine retrieval or clustering on anisotropic embeddings.
+    Same closure-broadcast one-matmul-per-batch shape as
+    :func:`project_pca`."""
+    scale = 1.0 / np.sqrt(model.eigenvalues + eps)
+    mean = model.mean
+    w_t = (model.components * scale[:, None]).T  # (d, k)
+    d = mean.shape[0]
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(
+                [np.asarray(v[:d], dtype=np.float64) for v in pdf[vec_col]]
+            )
+            proj = (m - mean) @ w_t
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "white": list(proj)}
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(part, "id long, white array<double>")
+        .withColumnsRenamed({"id": id_col})
+    )

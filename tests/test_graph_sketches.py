@@ -293,3 +293,41 @@ def test_kcore_peels_tree_keeps_clique(spark):
     core = {r.node: r.degree for r in kcore_peel(df, k=3, rounds=4).collect()}
     assert set(core) == set(range(5))
     assert all(d == 4 for d in core.values())
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """On two disjoint directed cycles, PPR seeded in cycle A puts all
+    mass in A and none in B; ranks match a numpy power iteration."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_tensors_spark.operators.graph import personalized_pagerank
+
+    edges = [(i, (i + 1) % 4) for i in range(4)] + [
+        (10 + i, 10 + (i + 1) % 4) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["s", "d"]), "s long, d long"
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"node": [0, 1]}), "node long"
+    )
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            df, seeds, iterations=6, damping=0.85
+        ).collect()
+    }
+    # cycle B never receives mass
+    assert all(got[10 + i] == 0.0 for i in range(4))
+    # numpy reference: same fixed-iteration update on cycle A
+    nodes = list(range(4))
+    tele = np.array([0.075, 0.075, 0.0, 0.0])
+    r = tele.copy()
+    for _ in range(6):
+        inflow = np.array([r[(i - 1) % 4] for i in nodes])  # outdeg 1
+        r = tele + 0.85 * inflow
+    for i in nodes:
+        assert abs(got[i] - r[i]) < 1e-12
+    # the node fed by BOTH teleport and seed-0's outflow ranks highest
+    assert max(got, key=got.get) == 1

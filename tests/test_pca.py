@@ -77,3 +77,13 @@ def test_full_rank_reconstruction(spark, emb_np):
     p = (emb_np - full.mean) @ full.components.T
     recon = p @ full.components + full.mean
     np.testing.assert_allclose(recon, emb_np, atol=1e-8)
+
+
+def test_whitening_unit_covariance(spark, emb_np):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    model = pca.fit_pca(emb, dims=DIMS, k=16)
+    rows = pca.whiten_pca(emb, model).orderBy("vec_id").collect()
+    w = np.array([np.asarray(r.white) for r in rows])
+    cov = np.cov(w, rowvar=False)
+    np.testing.assert_allclose(cov, np.eye(16), atol=1e-6)
+    assert abs(w.mean()) < 1e-9
