@@ -175,3 +175,59 @@ def bucketed_interval_join(
                 c, F.lit(None).cast(dict(matched.dtypes)[c])
             )
     return matched.unionByName(unmatched).drop("_lid")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 60,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    gap-filling operator (pandas ``resample().last().ffill()`` per
+    key, distributed).  Per key: a codegen ``sequence()`` generates the
+    grid between the key's first and last observation, the last value
+    in each bucket lands via one grouped agg, and gaps forward-fill
+    with a ``last(ignoreNulls)`` running window.
+
+    Scale shape: one groupBy for the per-key span (tiny), one grouped
+    agg keyed (key, bucket), one window partitioned by key — grid rows
+    are (span/step) per key, generated scan-side, never a cross join.
+    Returns (*key_cols, bucket_ts, v) with v forward-filled (leading
+    gaps keep the first observed value by construction: the grid
+    starts at the first observation's bucket).
+    """
+    from pyspark.sql.window import Window
+
+    step = int(step_seconds)
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    obs = df.select(*key_cols, bucket.alias("_b"), F.col(value_col))
+    # last observation per (key, bucket): max_by = latest row wins;
+    # within equal ts the max value is the deterministic pick
+    per_bucket = obs.groupBy(*key_cols, "_b").agg(
+        F.max(value_col).alias("_v")
+    )
+    span = obs.groupBy(*key_cols).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias("_b"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [*key_cols, "_b"], "left")
+        .withColumn("v", F.last("_v", ignorenulls=True).over(w))
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("_b")).alias("bucket_ts"),
+            "v",
+        )
+    )

@@ -563,3 +563,67 @@ def lsh_bucketed_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    emb: DataFrame,
+    n: int = 5,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) over a top-k candidate table: greedily pick the
+    candidate maximizing λ·sim(query) − (1−λ)·max cosine to already
+    selected — the standard retrieval post-processor that stops near-
+    duplicate results crowding the list.
+
+    ``scored`` is (query_id, nn_id, sim) — e.g. the output of
+    :func:`cosine_topk`.  Scale shape: candidates join their vectors
+    (equi-join on the id), then ONE applyInPandas keyed by query_id;
+    each group is ≤ k rows, so the greedy O(n·k) loop is per-group
+    local work.  Ties break by nn_id.  Returns (query_id, nn_id,
+    mmr_rank 1..n).
+    """
+    cand = scored.join(
+        emb.select(
+            F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_v")
+        ),
+        "nn_id",
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "nn_id"], ascending=[False, True])
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        )
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        vn = vecs / norms
+        sims = pdf["sim"].to_numpy()
+        ids = pdf["nn_id"].to_numpy()
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < n:
+            if not chosen:
+                best = remaining[0]  # already sorted by (sim, id)
+            else:
+                sel = vn[chosen]
+                red = (vn[remaining] @ sel.T).max(axis=1)
+                score = lambda_ * sims[remaining] - (1 - lambda_) * red
+                # argmax with (score desc, id asc) tie-break
+                order = np.lexsort((ids[remaining], -score))
+                best = remaining[int(order[0])]
+            chosen.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "nn_id": ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        pick, "query_id long, nn_id long, mmr_rank long"
+    )

@@ -72,3 +72,85 @@ def test_interval_join_left_keeps_all_left_rows(spark):
     assert ids == [1, 2, 3]
     matched = {r.event_id: r.r_v for r in out}
     assert matched[1] == 5.0 and matched[2] is None and matched[3] is None
+
+
+def test_resample_ffill_matches_pandas(spark):
+    """Distributed resample+ffill == pandas resample('30s').max().ffill()
+    per key, including multi-bucket gaps."""
+    import pandas as pd
+
+    from spark_tensors_spark.operators.temporal import resample_ffill
+
+    rows = [
+        ("a", "2024-01-01 00:00:05", 1.0),
+        ("a", "2024-01-01 00:00:20", 2.0),   # same bucket: max wins
+        ("a", "2024-01-01 00:02:10", 3.0),   # 3-bucket gap before this
+        ("b", "2024-01-01 00:00:45", 10.0),
+        ("b", "2024-01-01 00:01:40", 20.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.k, r.bucket_ts.isoformat()): r.v
+        for r in resample_ffill(
+            df, ["k"], ts_col="ts", value_col="value", step_seconds=30
+        ).collect()
+    }
+    expected = {}
+    for k, g in pdf.groupby("k"):
+        ser = (
+            g.set_index("ts")["value"].resample("30s").max().ffill()
+        )
+        for ts, v in ser.items():
+            expected[(k, ts.isoformat())] = v
+    assert got == expected
+    # the gap buckets really exist and carry the filled value
+    assert got[("a", "2024-01-01T00:01:00")] == 2.0
+    assert got[("a", "2024-01-01T00:01:30")] == 2.0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Three near-duplicates of the query + one orthogonal candidate:
+    plain top-3 keeps the duplicates; MMR at lambda=0.5 pulls the
+    orthogonal one into the top 3."""
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],    # query
+        1: [0.99, 0.1, 0.0],   # near-dup of query
+        2: [0.98, 0.12, 0.0],  # near-dup
+        3: [0.97, 0.14, 0.0],  # near-dup
+        4: [0.0, 0.0, 1.0],    # orthogonal
+    }
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, v) for i, v in vecs.items()],
+            columns=["vec_id", "embedding"],
+        ),
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = cosine_topk(emb, queries, k=4)
+    plain_top3 = {
+        r.nn_id for r in scored.filter(F.col("rk") <= 3).collect()
+    }
+    assert plain_top3 == {1, 2, 3}
+    mmr = mmr_rerank(scored, emb, n=3, lambda_=0.5)
+    picked = {r.nn_id for r in mmr.collect()}
+    ranks = {r.nn_id: r.mmr_rank for r in mmr.collect()}
+    assert 4 in picked
+    assert ranks[1] == 1  # best sim still first
+    # deterministic across runs
+    again = {r.nn_id: r.mmr_rank for r in mmr_rerank(
+        scored, emb, n=3, lambda_=0.5
+    ).collect()}
+    assert again == ranks
