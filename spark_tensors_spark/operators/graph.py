@@ -322,8 +322,14 @@ def adamic_adar_scores(
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = sym.groupBy(F.col("u").alias("w")).agg(
-        F.count(F.lit(1)).alias("_d")
+    deg = (
+        sym.groupBy(F.col("u").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        # A degree-1 middle can never form a wedge (x < y needs two
+        # distinct neighbors), and 1/ln(1) would be a DIVIDE_BY_ZERO
+        # under ANSI mode if a plan change ever evaluated _aa before
+        # the x<y filter — drop those rows before the weight exists.
+        .filter(F.col("_d") >= 2)
     )
     mid = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
     if max_wedge_degree is not None:

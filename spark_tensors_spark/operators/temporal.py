@@ -202,11 +202,15 @@ def resample_ffill(
 
     step = int(step_seconds)
     bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
-    obs = df.select(*key_cols, bucket.alias("_b"), F.col(value_col))
-    # last observation per (key, bucket): max_by = latest row wins;
-    # within equal ts the max value is the deterministic pick
+    obs = df.select(
+        *key_cols, bucket.alias("_b"), F.col(ts_col).alias("_ts"),
+        F.col(value_col),
+    )
+    # last observation per (key, bucket): max_by on (ts, value) — the
+    # latest row wins; within equal ts the max value is the
+    # deterministic tie-break (struct ordering is lexicographic).
     per_bucket = obs.groupBy(*key_cols, "_b").agg(
-        F.max(value_col).alias("_v")
+        F.max_by(value_col, F.struct("_ts", value_col)).alias("_v")
     )
     span = obs.groupBy(*key_cols).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")

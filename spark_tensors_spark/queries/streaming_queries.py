@@ -267,34 +267,52 @@ def ev_stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     src = os.path.join(sf_dir, "events.parquet")
+    # nanosAsLong only matters for the legacy NANOS events layout; set
+    # it for the scan's lifetime and RESTORE it after the drain so the
+    # shared session's later parquet reads are unaffected.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # mirror load_table's events-ts normalization (io/readers.py) —
-    # both layout casts are stateless projections, streaming-safe
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    q = streaming_hourly_hll(
-        stream,
-        state_dir=os.path.join(root, "state"),
-        checkpoint_dir=os.path.join(root, "ckpt"),
-    )
-    q.awaitTermination()
+        # mirror load_table's events-ts normalization (io/readers.py) —
+        # both layout casts are stateless projections, streaming-safe
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = streaming_hourly_hll(
+            stream,
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     est = hll_estimate_from_state(
         spark, os.path.join(root, "state"), ["hour_start"]
     )
-    return est.select(
-        "hour_start", F.round("hll_estimate", 4).alias("hll_users")
-    ).orderBy("hour_start")
+    out = (
+        est.select(
+            "hour_start", F.round("hll_estimate", 4).alias("hll_users")
+        )
+        .orderBy("hour_start")
+        # materialize off the state parquet so the per-pid sink dir can
+        # be deleted instead of accumulating across runs
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _stream_hll_hourly_oracle() -> str:
@@ -339,32 +357,46 @@ def ev_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(sf_dir, "events.parquet")
+    # scoped conf (see ev_stream_hll_hourly): set for the drain,
+    # restore after
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    q = streaming_cms(
-        stream,
-        state_dir=os.path.join(root, "state"),
-        checkpoint_dir=os.path.join(root, "ckpt"),
-    )
-    q.awaitTermination()
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = streaming_cms(
+            stream,
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     sketch = cms_sketch_from_state(spark, os.path.join(root, "state"))
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select("user_id").distinct()
     est = cms_estimate(sketch, keys, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
+    out = (
         est.join(exact, "user_id")
         .select(
             "user_id", "n_exact", F.col("cms_estimate").alias("cms_est")
         )
         .orderBy(F.desc("cms_est"), "user_id")
         .limit(20)
+        # materialize off the state parquet so the per-pid sink dir can
+        # be deleted instead of accumulating across runs
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _stream_cms_top_users_oracle() -> str:

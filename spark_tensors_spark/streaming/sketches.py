@@ -177,13 +177,30 @@ def compact_hll_state(
     df = spark.read.parquet(state_dir)
     if keep_from is not None:
         df = df.filter(F.col(group_col) >= keep_from)
-    folded = (
-        df.groupBy(group_col, "hll_reg")
-        .agg(F.max("max_rho").alias("max_rho"))
-        .toPandas()
+    folded = df.groupBy(group_col, "hll_reg").agg(
+        F.max("max_rho").alias("max_rho")
     )
     tmp = state_dir.rstrip("/") + ".compact.tmp"
+    old = state_dir.rstrip("/") + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
-    write_idempotent_batch(spark.createDataFrame(folded), 0, tmp)
-    shutil.rmtree(state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    # Distributed write straight into the tmp dir — the fold never
+    # rides through the driver.
+    write_idempotent_batch(folded, 0, tmp)
+    if not any(n.startswith("_batch_id=") for n in os.listdir(tmp)):
+        # keep_from evicted every window: a partitioned write of zero
+        # rows creates no partition files, so land an empty
+        # schema-bearing file inside the batch-0 partition dir (the
+        # read side then still infers the schema and returns zero
+        # windows instead of failing).
+        folded.write.mode("overwrite").parquet(
+            os.path.join(tmp, "_batch_id=0")
+        )
+    # Swap via rename-into-place: move the live state aside, move the
+    # compacted state in, delete the old state LAST.  A crash at any
+    # point leaves a complete copy of the state on disk (live, .old,
+    # or .tmp) — never the rmtree-then-move hole where everything is
+    # gone and the checkpointed stream will not replay drained batches.
+    shutil.move(state_dir, old)
     shutil.move(tmp, state_dir)
+    shutil.rmtree(old)

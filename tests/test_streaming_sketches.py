@@ -175,6 +175,26 @@ def test_compact_hll_state_evicts_and_preserves(spark, ev, tmp_path):
     assert spark.read.parquet(state).count() < rows_before
 
 
+def test_compact_hll_state_total_eviction(spark, ev, tmp_path):
+    """A horizon past every window evicts ALL state: the swap must
+    still leave a readable (empty, schema-bearing) state dir, and a
+    later drain must append to it normally."""
+    import datetime as dt
+
+    from spark_tensors_spark.streaming.sketches import compact_hll_state
+
+    state = str(tmp_path / "state")
+    merge_hll_batch(ev, 0, state, "user_id", ["hour_start"])
+    horizon = dt.datetime(2100, 1, 1)
+    compact_hll_state(spark, state, keep_from=horizon)
+    est = hll_estimate_from_state(spark, state, ["hour_start"])
+    assert est.count() == 0
+    # the compacted-empty dir accepts the next batch's partials
+    merge_hll_batch(ev, 1, state, "user_id", ["hour_start"])
+    est2 = _estimates(hll_estimate_from_state(spark, state, ["hour_start"]))
+    assert len(est2) > 0
+
+
 def test_cms_real_stream_matches_batch(spark, ev, tmp_path):
     """readStream (availableNow) through streaming_cms == the batch
     sketch — the stream≡batch contract behind the shared oracle."""

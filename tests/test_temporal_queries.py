@@ -75,15 +75,16 @@ def test_interval_join_left_keeps_all_left_rows(spark):
 
 
 def test_resample_ffill_matches_pandas(spark):
-    """Distributed resample+ffill == pandas resample('30s').max().ffill()
-    per key, including multi-bucket gaps."""
+    """Distributed resample+ffill == pandas resample('30s').last().ffill()
+    per key (last-by-timestamp, the documented semantics), including
+    multi-bucket gaps and a lower-than-previous late observation."""
     import pandas as pd
 
     from spark_tensors_spark.operators.temporal import resample_ffill
 
     rows = [
-        ("a", "2024-01-01 00:00:05", 1.0),
-        ("a", "2024-01-01 00:00:20", 2.0),   # same bucket: max wins
+        ("a", "2024-01-01 00:00:05", 9.0),
+        ("a", "2024-01-01 00:00:20", 2.0),   # same bucket: LATER (not max) wins
         ("a", "2024-01-01 00:02:10", 3.0),   # 3-bucket gap before this
         ("b", "2024-01-01 00:00:45", 10.0),
         ("b", "2024-01-01 00:01:40", 20.0),
@@ -100,14 +101,35 @@ def test_resample_ffill_matches_pandas(spark):
     expected = {}
     for k, g in pdf.groupby("k"):
         ser = (
-            g.set_index("ts")["value"].resample("30s").max().ffill()
+            g.set_index("ts")["value"].resample("30s").last().ffill()
         )
         for ts, v in ser.items():
             expected[(k, ts.isoformat())] = v
     assert got == expected
-    # the gap buckets really exist and carry the filled value
+    # the gap buckets really exist and carry the filled LAST value (2.0,
+    # even though 9.0 was the bucket max)
     assert got[("a", "2024-01-01T00:01:00")] == 2.0
     assert got[("a", "2024-01-01T00:01:30")] == 2.0
+
+
+def test_resample_ffill_equal_ts_tie_break(spark):
+    """Two observations with the SAME timestamp in one bucket: the max
+    value is the deterministic pick (struct (ts, value) ordering)."""
+    import pandas as pd
+
+    from spark_tensors_spark.operators.temporal import resample_ffill
+
+    pdf = pd.DataFrame(
+        [("a", "2024-01-01 00:00:10", 5.0),
+         ("a", "2024-01-01 00:00:10", 7.0)],
+        columns=["k", "ts", "value"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = resample_ffill(
+        spark.createDataFrame(pdf), ["k"], ts_col="ts",
+        value_col="value", step_seconds=30,
+    ).collect()
+    assert len(out) == 1 and out[0].v == 7.0
 
 
 def test_mmr_rerank_diversifies(spark):
