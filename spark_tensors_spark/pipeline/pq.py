@@ -239,6 +239,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. §IV): coarse-quantize the corpus
     into ``n_cells`` inverted lists, PQ-encode the RESIDUAL
@@ -262,14 +264,18 @@ def ivfpq_topk(
     # fuse into ONE corpus pass; the join-back an assignment table
     # would need (a full-data shuffle, recomputed per consumer when
     # unpersisted — measured 2× wall on this query) never happens.
-    _, centroids = ivf_index(
-        emb,
-        n_cells=n_cells,
-        seed=seed,
-        lloyd_iters=lloyd_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    # Fixed ``centroids``/``codebooks`` skip both training loops (the
+    # integer pseudo-geometry makes the whole IVFADC pipeline
+    # oracle-exact).
+    if centroids is None:
+        _, centroids = ivf_index(
+            emb,
+            n_cells=n_cells,
+            seed=seed,
+            lloyd_iters=lloyd_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     c_sq0 = (centroids * centroids).sum(axis=1)
 
     def assign_residualize(it):
@@ -297,15 +303,16 @@ def ivfpq_topk(
         )
         .persist()
     )
-    codebooks = pq_train(
-        residuals,
-        m=m,
-        n_codes=n_codes,
-        lloyd_iters=lloyd_iters,
-        seed=seed,
-        id_col="_id",
-        vec_col="res",
-    )
+    if codebooks is None:
+        codebooks = pq_train(
+            residuals,
+            m=m,
+            n_codes=n_codes,
+            lloyd_iters=lloyd_iters,
+            seed=seed,
+            id_col="_id",
+            vec_col="res",
+        )
 
     def encode_keep_cell(it):
         for pdf in it:
@@ -339,7 +346,9 @@ def ivfpq_topk(
                 - 2.0 * (qm @ centroids.T)
                 + c_sq[None, :]
             )
-            top = np.argsort(d2, axis=1)[:, :nprobe]
+            # stable: equal centroid distances probe the lower cell id
+            # first on any engine
+            top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(pdf["_qid"].to_numpy(), nprobe),

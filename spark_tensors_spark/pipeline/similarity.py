@@ -35,6 +35,39 @@ from spark_tensors_spark.functions.init import _hash_uniform
 MAX_DRIVER_QUERY_ROWS = 100_000
 
 
+# --------------------------------------------------------------- pseudo
+# Deterministic INTEGER geometry for oracle-exact ANN (the r4
+# kg_distmult doctrine): planes/centroids/codebooks whose entries are
+# small-integer affine-mod formulas a DuckDB oracle recomputes
+# symbolically.  Fed through the UNCHANGED float execution paths these
+# make every projection/L2²/ADC value an exact integer (integers of
+# this size are exact in float64 and associative), so the declared ANN
+# queries hash-match a SQL oracle while exercising the production
+# bucketing/probing/ADC plans.
+
+def pseudo_planes(n_planes: int, dim: int) -> np.ndarray:
+    """plane[p][j] = ((p·31 + j·17 + 7) mod 97) − 48 ∈ [−48, 48]."""
+    p = np.arange(n_planes)[:, None]
+    j = np.arange(dim)[None, :]
+    return ((p * 31 + j * 17 + 7) % 97 - 48).astype(np.float64)
+
+
+def pseudo_centroids(n_cells: int, dim: int) -> np.ndarray:
+    """cent[c][j] = ((c·37 + j·13 + 11) mod 161) − 80 ∈ [−80, 80]."""
+    c = np.arange(n_cells)[:, None]
+    j = np.arange(dim)[None, :]
+    return ((c * 37 + j * 13 + 11) % 161 - 80).astype(np.float64)
+
+
+def pseudo_codebooks(m: int, n_codes: int, dsub: int, mod: int = 161,
+                     shift: int = 80) -> np.ndarray:
+    """cb[s][c][j] = ((s·59 + c·31 + j·17 + 3) mod ``mod``) − ``shift``."""
+    s = np.arange(m)[:, None, None]
+    c = np.arange(n_codes)[None, :, None]
+    j = np.arange(dsub)[None, None, :]
+    return ((s * 59 + c * 31 + j * 17 + 3) % mod - shift).astype(np.float64)
+
+
 def _collect_queries_guarded(
     queries: DataFrame, query_id_col: str, query_vec_col: str
 ):
@@ -269,6 +302,7 @@ def ivf_index(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ):
     """IVF coarse quantizer: deterministic hash-sampled seed centroids +
     `lloyd_iters` distributed Lloyd iterations (assign = per-partition
@@ -277,19 +311,25 @@ def ivf_index(
 
     Returns (assignments DataFrame(id, cell), centroids ndarray).  The
     centroid table is O(n_cells × d) — driver/broadcast scale at any N.
+    Pass ``centroids`` to skip training and assign against a fixed
+    quantizer (e.g. the integer :func:`pseudo_centroids`).
     """
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"])
-    # deterministic seeds: the n_cells vectors with smallest xxhash(id)
-    seeds = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
-    )
+    if centroids is not None:
+        lloyd_iters = 0
+    else:
+        # deterministic seeds: the n_cells vectors with smallest
+        # xxhash(id)
+        seeds = (
+            emb.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
+        )
 
     def assign(cents: np.ndarray):
         c_sq = (cents * cents).sum(axis=1)
@@ -347,31 +387,52 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """ANN self-top-k via IVF: each vector probes its `nprobe` nearest
-    cells; exact cosine re-rank only within probed cells (one numpy
-    matmul per cell — same bucket-local shape as the LSH path).
-    Candidate space is Σ cell·nprobe ≪ N²."""
+    cells; exact re-rank only within probed cells (one numpy matmul per
+    cell — same bucket-local shape as the LSH path).  Candidate space is
+    Σ cell·nprobe ≪ N².
+
+    ``metric="cosine"`` (default) probes by centroid cosine and ranks
+    by cosine descending (column ``sim``).  ``metric="l2"`` probes by
+    the assignment metric itself (L2² to the centroid) and ranks by
+    Euclidean distance ascending (column ``dist``) — with
+    integer-valued vectors and :func:`pseudo_centroids` every distance
+    is exact, the oracle-exact configuration."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     assignments, centroids = ivf_index(
-        emb, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        emb, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
     )
     with_cell = emb.join(assignments, id_col)
 
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    c_sq = (centroids * centroids).sum(axis=1)
 
     def probes(it):
         for pdf in it:
             if pdf.empty:
                 continue
             m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            mn = m / np.maximum(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
-            )
-            sims = mn @ cn.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
-            n = len(pdf)
+            if metric == "cosine":
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                key = -(mn @ cn.T)
+            else:
+                key = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ centroids.T)
+                    + c_sq[None, :]
+                )
+            # stable argsort: equal keys resolve to the lower cell id on
+            # any engine
+            top = np.argsort(key, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {
                     "_id": np.repeat(pdf["_id"].to_numpy(), nprobe),
@@ -394,6 +455,7 @@ def ivf_topk(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         )
     )
+    score_col = "sim" if metric == "cosine" else "dist"
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         qm = pdf[pdf["is_q"]]
@@ -402,34 +464,54 @@ def ivf_topk(
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype="int64"),
                  "nn_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
+                 score_col: pd.Series(dtype="float64")}
             )
         Q = np.stack(qm["vec"].to_numpy()).astype(np.float64)
         C = np.stack(cm["vec"].to_numpy()).astype(np.float64)
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-        sims = np.round(Qn @ Cn.T, 6)
+        if metric == "cosine":
+            Qn = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+            )
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+            scores = np.round(Qn @ Cn.T, 6)
+        else:
+            d2 = np.maximum(
+                (Q * Q).sum(axis=1)[:, None]
+                - 2.0 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :],
+                0.0,
+            )
+            scores = np.round(np.sqrt(d2), 6)
         q_ids = qm["vid"].to_numpy()
         c_ids = cm["vid"].to_numpy()
         out_q, out_n, out_s = [], [], []
         for i in range(len(q_ids)):
             mask = c_ids != q_ids[i]
-            ids_m, row_m = c_ids[mask], sims[i][mask]
-            order = np.lexsort((ids_m, -row_m))[:k]
+            ids_m, row_m = c_ids[mask], scores[i][mask]
+            order = np.lexsort(
+                (ids_m, -row_m if metric == "cosine" else row_m)
+            )[:k]
             out_q.extend([q_ids[i]] * len(order))
             out_n.extend(ids_m[order].tolist())
             out_s.extend(row_m[order].tolist())
-        return pd.DataFrame({"query_id": out_q, "nn_id": out_n, "sim": out_s})
+        return pd.DataFrame(
+            {"query_id": out_q, "nn_id": out_n, score_col: out_s}
+        )
 
     scored = (
         cands.unionByName(qrys)
         .groupBy("cell")
-        .applyInPandas(cell_topk, "query_id long, nn_id long, sim double")
+        .applyInPandas(
+            cell_topk, f"query_id long, nn_id long, {score_col} double"
+        )
         .dropDuplicates(["query_id", "nn_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("nn_id")
+    order = (
+        F.col("sim").desc() if metric == "cosine" else F.col("dist").asc()
     )
+    w = Window.partitionBy("query_id").orderBy(order, F.col("nn_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
@@ -442,14 +524,20 @@ def lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Sign-of-projection bucket id per vector (random hyperplanes drawn
-    from the deterministic hash init — same buckets on any cluster)."""
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
-    planes = (
-        _hash_uniform(seed, np.arange(n_planes), dim) * 2 - 1
-    )  # (n_planes, dim)
+    from the deterministic hash init — same buckets on any cluster).
+    Pass ``planes`` (n_planes, dim) to use fixed hyperplanes (e.g. the
+    integer :func:`pseudo_planes` for oracle-exact bucketing)."""
+    if planes is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+        planes = (
+            _hash_uniform(seed, np.arange(n_planes), dim) * 2 - 1
+        )  # (n_planes, dim)
+    else:
+        n_planes = planes.shape[0]
 
     def project(batches):
         for pdf in batches:
@@ -475,6 +563,8 @@ def lsh_bucketed_topk(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """ANN self-top-k: bucket every vector, exact cosine within bucket.
 
@@ -485,9 +575,17 @@ def lsh_bucketed_topk(
     from the query's bucket (multiprobe LSH): recall rises from
     ~|bucket|/N to ~(1+n_planes)·|bucket|/N for a proportional cost
     increase, still far below N².
+
+    ``metric="dot"`` ranks by the raw (un-normalized) inner product —
+    with integer-valued vectors and :func:`pseudo_planes` this makes
+    every score an exact integer, the oracle-exact configuration.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}")
     b = lsh_buckets(emb, n_planes=n_planes, seed=seed, id_col=id_col,
-                    vec_col=vec_col)
+                    vec_col=vec_col, planes=planes)
+    if planes is not None:
+        n_planes = planes.shape[0]
     with_b = emb.join(b, id_col)
     probe_buckets = F.array(
         F.col("bucket"),
@@ -529,9 +627,14 @@ def lsh_bucketed_topk(
             )
         Q = np.stack(qm["vec"].to_numpy()).astype(np.float64)
         C = np.stack(cm["vec"].to_numpy()).astype(np.float64)
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-        sims = np.round(Qn @ Cn.T, 6)  # (nq, nc)
+        if metric == "cosine":
+            Q = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+            )
+            C = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+        sims = np.round(Q @ C.T, 6)  # (nq, nc); no-op on integer dots
         q_ids = qm["vid"].to_numpy()
         c_ids = cm["vid"].to_numpy()
         out_q, out_n, out_s = [], [], []

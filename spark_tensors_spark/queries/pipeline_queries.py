@@ -142,51 +142,90 @@ def emb_similarity_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>) — the cross-engine-exact int8
+    quantization of the embedding column (the SAME projection the green
+    emb_int8_quantize oracle gates).  All four declared ANN queries run
+    on these integer vectors with fixed integer geometry
+    (`similarity.pseudo_*`), which makes every bucket id, cell
+    assignment, and (ADC) distance an exact integer on both engines —
+    the r4 kg_distmult doctrine applied to ANN."""
+    from spark_tensors_spark.pipeline.quantize import scalar_quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    return scalar_quantize_int8(emb).select("vec_id", "codes")
+
+
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN self-top-k (coarse quantizer + probed-cell exact re-rank)
-    — rows-only: centroids come from the engine's own Lloyd iteration;
-    recall/exactness properties are pinned in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, k=5, n_cells=16, nprobe=2).orderBy(
-        "query_id", "rk"
+    through the PRODUCTION plan — mapInPandas probe, cell-keyed
+    applyInPandas re-rank, global window — on int8 codes with the fixed
+    integer pseudo-centroids, so the DuckDB oracle recomputes every
+    cell assignment and distance exactly.  The Lloyd-trained float path
+    keeps its recall/digest pins in tests/test_pq.py +
+    tests/test_trained_ann_goldens.py."""
+    codes = _int8_codes(spark, sf_dir)
+    cents = similarity.pseudo_centroids(16, 64)
+    return (
+        similarity.ivf_topk(
+            codes, k=5, n_cells=16, nprobe=2, vec_col="codes",
+            centroids=cents, metric="l2",
+        )
+        .select("query_id", "nn_id", "dist", "rk")
+        .orderBy("query_id", "rk")
     )
 
 
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k (m=8 subspaces × 16 codes = 32×
-    compression at d=64): codebooks trained by distributed Lloyd, corpus
-    scanned as codes, asymmetric distances via table gather — rows-only
-    (codebooks are engine-specific); recall + reconstruction-error
-    properties are pinned in tests/test_pq.py."""
+    """Product-quantization ADC top-k (m=8 subspaces × 16 codes):
+    corpus scanned as codes, asymmetric distances via table gather —
+    the production encode/gather/rank plan on int8 codes with the
+    fixed integer pseudo-codebooks (oracle recomputes the per-subspace
+    argmin encoding and the ADC sums exactly).  Lloyd-trained
+    codebooks keep their recall + reconstruction-error pins in
+    tests/test_pq.py."""
     from spark_tensors_spark.pipeline import pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq.pq_train(emb, m=8, n_codes=16, lloyd_iters=1)
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    codes = _int8_codes(spark, sf_dir)
+    cb = similarity.pseudo_codebooks(8, 16, 8)
+    queries = codes.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+        F.col("codes").alias("query_vec"),
     )
-    return pq.pq_topk(emb, queries, cb, k=5).orderBy("query_id", "rk")
+    return (
+        pq.pq_topk(codes, queries, cb, k=5, vec_col="codes")
+        .select("query_id", "nn_id", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
 
 
 def emb_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (IVFADC) composed ANN: inverted lists from the IVF coarse
+    """IVF-PQ (IVFADC) composed ANN: inverted lists from the coarse
     quantizer + residual product quantization + per-probed-cell ADC
     (`pq.ivfpq_topk`) — the scan reads nprobe/n_cells of the corpus at
-    m bytes/vector.  Rows-only (codebooks/centroids are engine-trained);
-    recall vs exact L2 is pinned in tests/test_pq.py and the result
-    digest in tests/test_rows_only_goldens.py."""
+    m bytes/vector.  Runs on int8 codes with fixed integer
+    pseudo-centroids/codebooks: residuals, encodings, and ADC distances
+    are all exact integers, so the full IVFADC pipeline is value-gated
+    by the DuckDB oracle.  The trained path keeps its recall pin in
+    tests/test_pq.py."""
     from spark_tensors_spark.pipeline import pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = ensure_scan_parallelism(emb)
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    codes = _int8_codes(spark, sf_dir)
+    cents = similarity.pseudo_centroids(8, 64)
+    cb = similarity.pseudo_codebooks(8, 16, 8, mod=201, shift=100)
+    queries = codes.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+        F.col("codes").alias("query_vec"),
     )
-    return pq.ivfpq_topk(
-        emb, queries, k=5, n_cells=8, nprobe=3, m=8, n_codes=16
-    ).orderBy("query_id", "rk")
+    return (
+        pq.ivfpq_topk(
+            codes, queries, k=5, n_cells=8, nprobe=3, m=8, n_codes=16,
+            vec_col="codes", centroids=cents, codebooks=cb,
+        )
+        .select("query_id", "nn_id", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
 
 
 def doc_trigram_jaccard_adjacent(
@@ -789,9 +828,24 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_topk(emb, k=5, n_planes=6).orderBy(
-        "query_id", "rk"
+    """Multiprobe LSH ANN self-top-k through the production plan
+    (mapInPandas projection, bucket-keyed applyInPandas re-rank,
+    global window) on int8 codes with fixed integer hyperplanes —
+    every projection sign and inner product is an exact integer, so
+    buckets, probes, and ranks hash-match the DuckDB oracle.  The
+    random-hyperplane float path keeps its digest pin in
+    tests/test_trained_ann_goldens.py."""
+    codes = _int8_codes(spark, sf_dir)
+    planes = similarity.pseudo_planes(6, 64)
+    return (
+        similarity.lsh_bucketed_topk(
+            codes, k=5, vec_col="codes", planes=planes, metric="dot"
+        )
+        .select(
+            "query_id", "nn_id",
+            F.col("sim").cast("long").alias("dot"), "rk",
+        )
+        .orderBy("query_id", "rk")
     )
 
 
@@ -830,14 +884,14 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
-    # rows-only from here down — past the driver's 50-query window by
-    # design (value-oracled entries take the checked slots)
-    "doc_simhash_candidates": doc_simhash_candidates,
-    "emb_pca_topvar": emb_pca_topvar,
+    # value-oracled since r5 (integer pseudo-geometry)
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
     "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
+    # rows-only (engine-specific signatures / eigensolve)
+    "doc_simhash_candidates": doc_simhash_candidates,
+    "emb_pca_topvar": emb_pca_topvar,
 }
 
 _SHINGLES = (
@@ -958,6 +1012,32 @@ _KEEP_BEST_SQL = (
             FROM comp c JOIN q ON q.doc_id = c.node
         ) WHERE rk = 1 ORDER BY group_id"""
 )
+
+# Shared CTE for the ANN oracles: the int8 code vectors (identical to
+# the green emb_int8_quantize projection) that the four ANN queries
+# search over.  Every downstream bucket/cell/ADC value is pure integer
+# arithmetic on these codes + the pseudo-geometry formulas
+# (similarity.pseudo_planes/centroids/codebooks), so DuckDB recomputes
+# the whole index + search symbolically.
+_ANN_CODES_CTE = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, vd,
+           list_max(list_transform(vd, x -> abs(x))) AS maxabs
+    FROM v
+),
+q AS (
+    SELECT vec_id,
+           list_transform(vd, x -> CASE WHEN maxabs = 0 THEN 0
+               ELSE CAST(greatest(-127, least(127,
+                    round(x * 127 / maxabs))) AS BIGINT) END) AS codes
+    FROM s
+)
+"""
 
 ORACLES = {
     "doc_source_hash_stats": """
@@ -1543,5 +1623,229 @@ ORACLES = {
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         ORDER BY id_a, id_b
+    """,
+    # multiprobe LSH on int8 codes, integer hyperplanes
+    # plane(p,j) = ((p·31 + j·17 + 7) % 97) − 48  (pseudo_planes(6, 64))
+    "emb_ann_lsh_topk": _ANN_CODES_CTE + """,
+        b AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(6), p ->
+                       CASE WHEN list_sum(list_transform(range(64), j ->
+                           codes[CAST(j AS INT) + 1]
+                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
+                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
+                   AS BIGINT) AS bucket
+            FROM q
+        ),
+        pr AS (
+            SELECT vec_id AS query_id, codes AS qcodes,
+                   UNNEST(list_prepend(bucket, list_transform(range(6),
+                       i -> xor(bucket,
+                                CAST(1 << CAST(i AS INT) AS BIGINT)))))
+                       AS pb
+            FROM b
+        ),
+        pairs AS (
+            SELECT pr.query_id, c.vec_id AS nn_id,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       pr.qcodes[CAST(j AS INT) + 1]
+                       * c.codes[CAST(j AS INT) + 1])) AS BIGINT) AS dot
+            FROM pr JOIN b c
+              ON c.bucket = pr.pb AND c.vec_id <> pr.query_id
+        ),
+        ranked AS (
+            SELECT query_id, nn_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, nn_id) AS rk
+            FROM pairs
+        )
+        SELECT query_id, nn_id, dot, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # IVF on int8 codes, integer centroids
+    # cent(c,j) = ((c·37 + j·13 + 11) % 161) − 80  (pseudo_centroids(16, 64))
+    "emb_ann_ivf_topk": _ANN_CODES_CTE + """,
+        celld AS (
+            SELECT vec_id, codes, CAST(cc.c AS BIGINT) AS cell,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))
+                     * (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))))
+                   AS BIGINT) AS d2
+            FROM q CROSS JOIN (SELECT UNNEST(range(16)) AS c) cc
+        ),
+        assigned AS (
+            SELECT vec_id, codes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld) WHERE rnk = 1
+        ),
+        probed AS (
+            SELECT vec_id AS query_id, codes AS qcodes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld) WHERE rnk <= 2
+        ),
+        pairs AS (
+            SELECT p.query_id, a.vec_id AS nn_id,
+                   ROUND(SQRT(CAST(list_sum(list_transform(range(64), j ->
+                       (p.qcodes[CAST(j AS INT) + 1]
+                        - a.codes[CAST(j AS INT) + 1])
+                     * (p.qcodes[CAST(j AS INT) + 1]
+                        - a.codes[CAST(j AS INT) + 1])))
+                   AS DOUBLE)), 6) AS dist
+            FROM probed p JOIN assigned a
+              ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, nn_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, nn_id) AS rk
+            FROM pairs
+        )
+        SELECT query_id, nn_id, dist, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # PQ-ADC on int8 codes, integer codebooks
+    # cb(s,c,j) = ((s·59 + c·31 + j·17 + 3) % 161) − 80
+    # (pseudo_codebooks(8, 16, 8)); queries = vec_id % 50 = 0
+    "emb_pq_topk": _ANN_CODES_CTE + """,
+        sc AS (
+            SELECT CAST(ss.s AS BIGINT) AS s, CAST(cc.c AS BIGINT) AS c
+            FROM (SELECT UNNEST(range(8)) AS s) ss,
+                 (SELECT UNNEST(range(16)) AS c) cc
+        ),
+        scd AS (
+            SELECT vec_id, s, c,
+                   CAST(list_sum(list_transform(range(8), j ->
+                       (codes[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 161 - 80))
+                     * (codes[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 161 - 80))))
+                   AS BIGINT) AS sd
+            FROM q CROSS JOIN sc
+        ),
+        enc AS (
+            SELECT vec_id, s, c AS code FROM (
+                SELECT vec_id, s, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                          ORDER BY sd, c) AS rnk
+                FROM scd) WHERE rnk = 1
+        ),
+        adc AS (
+            SELECT t.vec_id AS query_id, e.vec_id AS nn_id,
+                   CAST(SUM(t.sd) AS BIGINT) AS d2
+            FROM enc e JOIN scd t ON t.s = e.s AND t.c = e.code
+            WHERE t.vec_id % 50 = 0 AND e.vec_id <> t.vec_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, nn_id,
+                   ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(SQRT(CAST(d2 AS DOUBLE)), 6),
+                                               nn_id) AS rk
+            FROM adc
+        )
+        SELECT query_id, nn_id, adc_dist, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # IVF-PQ (IVFADC) on int8 codes: integer coarse centroids
+    # cent(c,j) = ((c·37 + j·13 + 11) % 161) − 80  (pseudo_centroids(8, 64)),
+    # residual PQ codebooks cb(s,c,j) = ((s·59 + c·31 + j·17 + 3) % 201) − 100
+    # (pseudo_codebooks(8, 16, 8, mod=201, shift=100)); queries vec_id % 50 = 0
+    "emb_ann_ivfpq_topk": _ANN_CODES_CTE + """,
+        celld AS (
+            SELECT vec_id, codes, CAST(cc.c AS BIGINT) AS cell,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))
+                     * (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))))
+                   AS BIGINT) AS d2
+            FROM q CROSS JOIN (SELECT UNNEST(range(8)) AS c) cc
+        ),
+        assigned AS (
+            SELECT vec_id, codes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld) WHERE rnk = 1
+        ),
+        res AS (
+            SELECT vec_id, cell,
+                   list_transform(range(64), j ->
+                       codes[CAST(j AS INT) + 1]
+                       - ((cell * 37 + j * 13 + 11) % 161 - 80)) AS r
+            FROM assigned
+        ),
+        sc AS (
+            SELECT CAST(ss.s AS BIGINT) AS s, CAST(cc.c AS BIGINT) AS c
+            FROM (SELECT UNNEST(range(8)) AS s) ss,
+                 (SELECT UNNEST(range(16)) AS c) cc
+        ),
+        rscd AS (
+            SELECT vec_id, s, c,
+                   CAST(list_sum(list_transform(range(8), j ->
+                       (r[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 201 - 100))
+                     * (r[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 201 - 100))))
+                   AS BIGINT) AS sd
+            FROM res CROSS JOIN sc
+        ),
+        enc AS (
+            SELECT vec_id, s, c AS code FROM (
+                SELECT vec_id, s, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                          ORDER BY sd, c) AS rnk
+                FROM rscd) WHERE rnk = 1
+        ),
+        probed AS (
+            SELECT vec_id AS query_id, codes AS qcodes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld WHERE vec_id % 50 = 0) WHERE rnk <= 3
+        ),
+        qres AS (
+            SELECT query_id, cell,
+                   list_transform(range(64), j ->
+                       qcodes[CAST(j AS INT) + 1]
+                       - ((cell * 37 + j * 13 + 11) % 161 - 80)) AS qr
+            FROM probed
+        ),
+        qsd AS (
+            SELECT query_id, cell, s, c,
+                   CAST(list_sum(list_transform(range(8), j ->
+                       (qr[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 201 - 100))
+                     * (qr[CAST(s * 8 + j AS INT) + 1]
+                        - ((s * 59 + c * 31 + j * 17 + 3) % 201 - 100))))
+                   AS BIGINT) AS sd
+            FROM qres CROSS JOIN sc
+        ),
+        adc AS (
+            SELECT t.query_id, e.vec_id AS nn_id,
+                   CAST(SUM(t.sd) AS BIGINT) AS d2
+            FROM enc e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN qsd t ON t.cell = a.cell AND t.s = e.s AND t.c = e.code
+            WHERE e.vec_id <> t.query_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, nn_id,
+                   ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(SQRT(CAST(d2 AS DOUBLE)), 6),
+                                               nn_id) AS rk
+            FROM adc
+        )
+        SELECT query_id, nn_id, adc_dist, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
     """,
 }

@@ -16,13 +16,12 @@ import hashlib
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import normalize
 
+# (The four ANN queries moved out in r5: they are value-oracled now —
+# integer pseudo-geometry — and the trained float paths are pinned in
+# tests/test_trained_ann_goldens.py with the same digests.)
 GOLDEN = {
     "doc_simhash_candidates": (2459, "63f884fdea4a18068c6754fa25916c08"),
-    "emb_ann_ivf_topk": (2500, "8d5cb4158af413ae1beef7da25459338"),
-    "emb_ann_lsh_topk": (2500, "6f701780bfc11c76a0e00151f7cec12f"),
     "emb_near_dup_bucketed": (50, "7975f90a6062e4cba607f588acfdcca2"),
-    "emb_pq_topk": (50, "70987e7dacbc506d9017593727485947"),
-    "emb_ann_ivfpq_topk": (50, "e732af31f4e92186275af64f46cc073f"),
     "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
 }
 

@@ -1,0 +1,86 @@
+"""GOLDEN digests for the Lloyd-TRAINED float ANN paths.
+
+Since r5 the four declared ANN queries run the oracle-exact integer
+pseudo-geometry configuration (hash-gated by the driver), so the
+engine-trained configurations — hash-seeded Lloyd centroids/codebooks,
+random-hyperplane LSH — are pinned here instead, with the exact same
+sf0.001 digests they carried as rows-only queries in r4.  Any drift in
+seeding, Lloyd updates, probe order, or tie-breaks shows up as a
+digest change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import normalize
+
+
+def _digest(df):
+    cols, rows = normalize(df.columns, [tuple(r) for r in df.collect()])
+    return len(rows), hashlib.md5(repr((cols, rows)).encode()).hexdigest()
+
+
+def test_trained_lsh_topk_digest(spark):
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = _digest(
+        similarity.lsh_bucketed_topk(emb, k=5, n_planes=6).orderBy(
+            "query_id", "rk"
+        )
+    )
+    assert got == (2500, "6f701780bfc11c76a0e00151f7cec12f")
+
+
+def test_trained_ivf_topk_digest(spark):
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = _digest(
+        similarity.ivf_topk(emb, k=5, n_cells=16, nprobe=2).orderBy(
+            "query_id", "rk"
+        )
+    )
+    assert got == (2500, "8d5cb4158af413ae1beef7da25459338")
+
+
+def test_trained_pq_topk_digest(spark):
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import pq
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq.pq_train(emb, m=8, n_codes=16, lloyd_iters=1)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = _digest(
+        pq.pq_topk(emb, queries, cb, k=5).orderBy("query_id", "rk")
+    )
+    assert got == (50, "70987e7dacbc506d9017593727485947")
+
+
+def test_trained_ivfpq_topk_digest(spark):
+    from spark_tensors_spark.io.readers import (
+        ensure_scan_parallelism,
+        load_table,
+    )
+    from spark_tensors_spark.pipeline import pq
+
+    emb = ensure_scan_parallelism(load_table(spark, SF_SMOKE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = _digest(
+        pq.ivfpq_topk(
+            emb, queries, k=5, n_cells=8, nprobe=3, m=8, n_codes=16
+        ).orderBy("query_id", "rk")
+    )
+    assert got == (50, "e732af31f4e92186275af64f46cc073f")
