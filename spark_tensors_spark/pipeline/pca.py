@@ -39,8 +39,15 @@ class PCAModel(NamedTuple):
     n_rows: int
 
 
-def _moments(emb: DataFrame, dims: int, vec_col: str):
-    """One distributed pass → (n, sum_vec (d,), gram (d,d)) floats."""
+def moment_table(emb: DataFrame, dims: int, vec_col: str) -> DataFrame:
+    """The distributed moment pass as a DataFrame: per Arrow batch ONE
+    fixed-size partial (count, per-dim sum, Gram upper triangle) packed
+    into (slot, val) rows, folded by one groupBy-sum.  Slot layout:
+    −1 = row count; 0 ≤ slot < d = Σ x_slot; slot ≥ d encodes the Gram
+    upper triangle at i·d+j+d.  This is the statistic `fit_pca`'s
+    driver solve consumes — and on integer-valued vectors every val is
+    an exact integer, which is how emb_pca_moments puts this pass under
+    the DuckDB value oracle."""
     d = int(dims)
 
     def part(batches):
@@ -61,20 +68,25 @@ def _moments(emb: DataFrame, dims: int, vec_col: str):
             idx = np.concatenate(
                 (
                     [-1],  # count slot
-                    np.arange(d),  # sum slots: j == -2 marker below
+                    np.arange(d),  # sum slots
                     iu[0] * d + iu[1] + d,  # gram slots, offset past sums
                 )
             )
             val = np.concatenate(([float(n)], s, g[iu]))
             yield pd.DataFrame({"slot": idx.astype("int64"), "val": val})
 
-    tot = (
+    return (
         emb.select(vec_col)
         .mapInPandas(part, "slot long, val double")
         .groupBy("slot")
         .agg(F.sum("val").alias("v"))
-        .collect()
     )
+
+
+def _moments(emb: DataFrame, dims: int, vec_col: str):
+    """One distributed pass → (n, sum_vec (d,), gram (d,d)) floats."""
+    d = int(dims)
+    tot = moment_table(emb, dims, vec_col).collect()
     vals = {r.slot: r.v for r in tot}
     n = int(round(vals[-1]))
     s = np.array([vals[i] for i in range(d)])

@@ -463,6 +463,42 @@ def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed moment pass behind `fit_pca` — count, per-dim
+    sums, Gram upper triangle via `pca.moment_table` (per-Arrow-batch
+    fixed-size partials, one slot-keyed fold) — run on int8 codes so
+    every statistic is an exact BIGINT the DuckDB oracle recomputes.
+    This value-gates the half of PCA that is SQL-expressible; the
+    driver eigensolve stays golden-pinned in emb_pca_topvar /
+    tests/test_pca.py."""
+    from spark_tensors_spark.pipeline.pca import moment_table
+
+    d = 64
+    codes = _int8_codes(spark, sf_dir)
+    mt = moment_table(codes, d, "codes")
+    slot = F.col("slot")
+    s2 = slot - F.lit(d)
+    return (
+        mt.select(
+            F.when(slot == -1, F.lit("n"))
+            .when(slot < d, F.lit("sum"))
+            .otherwise(F.lit("gram"))
+            .alias("stat"),
+            F.when(slot == -1, F.lit(-1))
+            .when(slot < d, slot)
+            .otherwise(F.floor(s2 / d))
+            .cast("int")
+            .alias("i"),
+            F.when(slot < d, F.lit(-1))
+            .otherwise(s2 % d)
+            .cast("int")
+            .alias("j"),
+            F.col("v").cast("long").alias("val"),
+        )
+        .orderBy("stat", "i", "j")
+    )
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction accounting (`pipeline/scrub.py`).  The synthetic
     corpus carries no PII, so the query first derives a deterministic
@@ -884,11 +920,12 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
-    # value-oracled since r5 (integer pseudo-geometry)
+    # value-oracled since r5 (integer pseudo-geometry / int8 codes)
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
     "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
+    "emb_pca_moments": emb_pca_moments,
     # rows-only (engine-specific signatures / eigensolve)
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_pca_topvar": emb_pca_topvar,
@@ -1623,6 +1660,34 @@ ORACLES = {
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         ORDER BY id_a, id_b
+    """,
+    # PCA moment pass on int8 codes: count / per-dim sums / Gram upper
+    # triangle — all exact BIGINTs
+    "emb_pca_moments": _ANN_CODES_CTE + """,
+        pos AS (SELECT CAST(UNNEST(range(64)) AS INT) AS p),
+        ij AS (
+            SELECT a.p AS i, b.p AS j FROM pos a JOIN pos b ON a.p <= b.p
+        ),
+        n_t AS (
+            SELECT 'n' AS stat, CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS val
+            FROM q
+        ),
+        sum_t AS (
+            SELECT 'sum' AS stat, pos.p AS i, CAST(-1 AS INT) AS j,
+                   CAST(SUM(codes[pos.p + 1]) AS BIGINT) AS val
+            FROM q CROSS JOIN pos GROUP BY pos.p
+        ),
+        gram_t AS (
+            SELECT 'gram' AS stat, ij.i, ij.j,
+                   CAST(SUM(codes[ij.i + 1] * codes[ij.j + 1]) AS BIGINT)
+                       AS val
+            FROM q CROSS JOIN ij GROUP BY ij.i, ij.j
+        )
+        SELECT stat, i, j, val FROM n_t
+        UNION ALL SELECT stat, i, j, val FROM sum_t
+        UNION ALL SELECT stat, i, j, val FROM gram_t
+        ORDER BY stat, i, j
     """,
     # multiprobe LSH on int8 codes, integer hyperplanes
     # plane(p,j) = ((p·31 + j·17 + 7) % 97) − 48  (pseudo_planes(6, 64))
