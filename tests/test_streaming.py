@@ -76,6 +76,79 @@ def test_stream_tumbling_equals_batch(spark, stream_source):
     assert got == batch
 
 
+def test_stream_session_window_equals_batch(spark, stream_source):
+    """session_window through a REAL readStream (one file per
+    micro-batch) == the batch sessionization — the one stateful window
+    where state MERGES across batches (a session open at a batch
+    boundary must absorb the next batch's rows)."""
+    from spark_tensors_spark.streaming.windows import session_window_agg
+
+    d, schema = stream_source
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = session_window_agg(stream, gap="5 minutes", watermark=None)
+    q = _run_stream(out, "session_mem")
+    # the merge case only exists if more than one micro-batch ran
+    assert len([p for p in q.recentProgress]) > 1
+    got = {
+        (r.w_start, r.w_end, r.user_id): (r.c, r.v)
+        for r in spark.sql("SELECT * FROM session_mem").collect()
+    }
+    batch = {
+        (r.w_start, r.w_end, r.user_id): (r.c, r.v)
+        for r in session_window_agg(
+            load_table(spark, SF, "events"), gap="5 minutes"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_session_merges_across_batches(spark, tmp_path):
+    """Deterministic cross-batch merge: one user's three events land in
+    THREE separate files (= three micro-batches); the final state is a
+    single merged session, not three."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spark_tensors_spark.streaming.windows import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "src")
+    for i, (ts, val) in enumerate(
+        [(t0, 1.0), (t0 + dt.timedelta(minutes=3), 2.0),
+         (t0 + dt.timedelta(minutes=6), 4.0)]
+    ):
+        pdf = pd.DataFrame({"user_id": [7], "ts": [ts], "value": [val]})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = session_window_agg(stream, gap="5 minutes", watermark=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_merge_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3  # one batch per file
+    rows = spark.sql("SELECT * FROM session_merge_mem").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.c, r.v) == (7, 3, 7.0)
+    assert r.w_start == t0
+    # session end = last event + gap
+    assert r.w_end == t0 + dt.timedelta(minutes=11)
+
+
 def test_stream_dedup_append(spark, stream_source):
     d, schema = stream_source
     stream = spark.readStream.schema(schema).parquet(d)
