@@ -173,15 +173,192 @@ def encode_wav_pcm16(
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a scanline."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(
+    img: np.ndarray, filter_fn=None
+) -> bytes:
+    """Pure-stdlib PNG encoder (zlib + numpy): 8-bit, non-interlaced,
+    grayscale (h, w), RGB (h, w, 3) or RGBA (h, w, 4).
+
+    ``filter_fn(row_index) -> 0..4`` selects the per-row filter type
+    (default 0 = None); the deterministic synthetic corpus varies it so
+    decoding exercises every unfilter branch (Sub/Up/Average/Paeth).
+    """
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = img.shape
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        h, w = img.shape[:2]
+        channels = img.shape[2]
+        color_type = 2 if channels == 3 else 6
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])  # depth 8, deflate, adaptive, none
+    )
+    raw = img.reshape(h, w * channels)
+    prior = np.zeros(w * channels, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        row = raw[y]
+        ft = int(filter_fn(y)) if filter_fn is not None else 0
+        left = np.concatenate(
+            (np.zeros(channels, dtype=np.uint8), row[:-channels])
+        ) if w * channels > channels else np.zeros_like(row)
+        upleft = np.concatenate(
+            (np.zeros(channels, dtype=np.uint8), prior[:-channels])
+        ) if w * channels > channels else np.zeros_like(prior)
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = row - left
+        elif ft == 2:  # Up
+            enc = row - prior
+        elif ft == 3:  # Average
+            enc = row - (
+                (left.astype(np.int32) + prior.astype(np.int32)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            enc = row - _paeth(left, prior, upleft)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prior = row
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (zlib inflate + numpy unfiltering):
+    8-bit non-interlaced grayscale/RGB/RGBA.  Returns (h, w) uint8 for
+    grayscale, (h, w, c) for color.  This is the real-codec proof for
+    the image branch of the multimodal path (the WAV parser's sibling):
+    chunk walk → inflate → per-row reverse of the five PNG filter
+    types — no PIL."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"unsupported color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: wrong decompressed size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            row = line
+        elif ft == 2:  # Up
+            row = line + prior
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            row = line
+            for x in range(stride):
+                left = int(row[x - channels]) if x >= channels else 0
+                if ft == 1:
+                    row[x] = (int(row[x]) + left) & 255
+                elif ft == 3:
+                    row[x] = (
+                        int(row[x]) + (left + int(prior[x])) // 2
+                    ) & 255
+                else:
+                    upleft = (
+                        int(prior[x - channels]) if x >= channels else 0
+                    )
+                    pred = int(
+                        _paeth(
+                            np.array([left], dtype=np.uint8),
+                            np.array([prior[x]], dtype=np.uint8),
+                            np.array([upleft], dtype=np.uint8),
+                        )[0]
+                    )
+                    row[x] = (int(row[x]) + pred) & 255
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = row
+        prior = row
+    if channels == 1:
+        return out
+    return out.reshape(h, w, channels)
+
+
 def decode_payload_real(payload: bytes, media_type: str) -> np.ndarray:
     """REAL codec dispatch.  Audio: full RIFF/WAVE PCM decode (pure
-    numpy, :func:`decode_wav_pcm`).  Image/video codecs (PNG/JPEG/mp4)
-    need PIL/ffmpeg, which this container does not ship — a deployment
-    swaps those branches in; everything downstream (schemas, batch
-    shapes, feature math) is codec-agnostic.
+    numpy, :func:`decode_wav_pcm`).  Image: pure-stdlib PNG decode
+    (:func:`decode_png`), returned flattened to match the 1-D intensity
+    contract of the feature stages.  Other image formats (JPEG) and
+    video (mp4) need PIL/ffmpeg, which this container does not ship — a
+    deployment swaps those branches in; everything downstream (schemas,
+    batch shapes, feature math) is codec-agnostic.
     """
     if media_type == "audio":
         return decode_wav_pcm(payload)[0]
+    if media_type == "image":
+        if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+            return decode_png(payload).reshape(-1)
+        raise NotImplementedError(
+            "only PNG images decodable without codec libraries; "
+            "install PIL for JPEG/WebP or use decode_payload_fake"
+        )
     raise NotImplementedError(
         f"no {media_type} codecs in this container; "
         "use decode_payload_fake (deterministic) or install codecs"
@@ -221,6 +398,37 @@ def synth_wav(docs: DataFrame) -> DataFrame:
                 i = np.arange(n, dtype=np.float64)
                 wave = amp * np.sin(2 * np.pi * freq * i / float(WAV_RATE))
                 payloads.append(encode_wav_pcm16(wave, WAV_RATE))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batch, "doc_id long, payload binary"
+    )
+
+
+def _png_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) derived from doc_id."""
+    return 8 + doc_id % 9, 8 + doc_id % 7
+
+
+def synth_png(docs: DataFrame) -> DataFrame:
+    """doc_id → real PNG payload (8-bit grayscale, pixel(y,x) =
+    (doc_id·7 + y·5 + x·3) mod 256, per-row filter type (doc_id+y) mod 5
+    so every unfilter branch is exercised).  Stands in for an ingestion
+    scan of .png blobs: downstream stages see genuine PNG binary."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _png_params(d)
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((d * 7 + y * 5 + x * 3) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_png(img, filter_fn=lambda r, d=d: (d + r) % 5)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

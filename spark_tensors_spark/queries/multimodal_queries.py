@@ -64,10 +64,21 @@ ORDER BY media_type
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake-decode → intensity stats + 4-bin histogram
-    (exposed as h0..h3 scalar columns for cross-engine hashing)."""
-    media = mm.attach_media(load_table(spark, sf_dir, "documents"))
-    feats = mm.image_features(media, n_bins=4)
+    """REAL-codec image path: synthesize genuine PNG payloads (8-bit
+    grayscale, per-row filter type cycling through all five PNG
+    filters), decode them with the pure-stdlib PNG decoder
+    (decode_payload_real → zlib inflate + numpy unfiltering), and emit
+    intensity stats + 4-bin histogram (h0..h3 scalar columns for
+    cross-engine hashing).  The oracle recomputes the decoded pixels
+    symbolically — pixel(y,x) = (doc_id·7 + y·5 + x·3) mod 256 — so the
+    whole binary encode/decode round trip is value-checked, the
+    mm_wav_energy doctrine applied to images."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    media = mm.synth_png(subset).withColumn("media_type", F.lit("image"))
+    feats = mm.image_features(
+        media, n_bins=4, decoder=mm.decode_payload_real
+    )
     return feats.select(
         "doc_id",
         "mean_intensity",
@@ -76,17 +87,29 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-MM_IMAGE_FEATURES_SQL = f"""
+# pixel(y,x) = (doc_id·7 + y·5 + x·3) % 256 over h=8+doc_id%7 rows ×
+# w=8+doc_id%9 cols — identical to multimodal.synth_png/_png_params.
+# The integer pixel sum is exact in double, so AVG association order is
+# irrelevant; ROUND is half-up on both engines (engine _round6).
+MM_IMAGE_FEATURES_SQL = """
+WITH px AS (
+    SELECT d.doc_id,
+           (d.doc_id * 7 + yy.y * 5 + xx.x * 3) % 256 AS p
+    FROM documents d,
+         UNNEST(range(8 + d.doc_id % 7)) AS yy(y),
+         UNNEST(range(8 + d.doc_id % 9)) AS xx(x)
+    WHERE d.doc_id % 3 = 0
+)
 SELECT doc_id,
-       ROUND(list_avg(codes), 6) AS mean_intensity,
-       CAST(list_max(codes) AS DOUBLE) AS max_intensity,
-       len(list_filter(codes, c -> c >= 0 AND c < 64)) AS h0,
-       len(list_filter(codes, c -> c >= 64 AND c < 128)) AS h1,
-       len(list_filter(codes, c -> c >= 128 AND c < 192)) AS h2,
-       len(list_filter(codes, c -> c >= 192 AND c < 256)) AS h3
-FROM (SELECT doc_id, {_CODES_SQL} AS codes
-      FROM documents WHERE doc_id % 3 = 0)
-ORDER BY doc_id
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS mean_intensity,
+       CAST(MAX(p) AS DOUBLE) AS max_intensity,
+       CAST(SUM(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+       CAST(SUM(CASE WHEN p >= 64 AND p < 128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS h1,
+       CAST(SUM(CASE WHEN p >= 128 AND p < 192 THEN 1 ELSE 0 END)
+            AS BIGINT) AS h2,
+       CAST(SUM(CASE WHEN p >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -43,9 +43,54 @@ def test_attach_media_schema_and_partition(media):
     assert 32 <= row.height < 32 + mm.HEIGHT_MOD
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_stubs_and_dispatch():
+    # non-PNG image bytes and video stay stubbed; PNG dispatches to the
+    # real decoder
     with pytest.raises(NotImplementedError):
         mm.decode_payload_real(b"\x00\x01", "image")
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload_real(b"\x00\x01", "video")
+    import numpy as np
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = mm.decode_payload_real(mm.encode_png(img), "image")
+    assert out.tolist() == list(range(12))  # flattened per the contract
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    """encode→decode is the identity for every PNG filter type and all
+    three supported color types, including 1-pixel-wide edge cases."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for shape in [(7, 5), (1, 1), (3, 1), (16, 16, 3), (5, 9, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            got = mm.decode_png(mm.encode_png(img, filter_fn=lambda r, ft=ft: ft))
+            assert got.shape == img.shape and (got == img).all(), (shape, ft)
+
+
+def test_png_decoder_rejects_garbage():
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png at all")
+
+
+def test_png_golden_bytes_decode():
+    """A fixed PNG byte string (produced once by encode_png and pinned)
+    decodes to the known pixel grid — guards the byte format itself
+    (magic, chunk layout, CRC placement, zlib stream), not just the
+    round trip."""
+    import numpy as np
+
+    golden = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000030000000208000000"
+        "00b81f39c60000001049444154789c636060646264666404000028000a"
+        "2fbe40450000000049454e44ae426082"
+    )
+    # regenerate: encode_png([[0,1,2],[3,4,5]], filter_fn=r%5)
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert mm.encode_png(img, filter_fn=lambda r: r % 5) == golden
+    assert (mm.decode_png(golden) == img).all()
 
 
 def test_fake_decoder_deterministic():
