@@ -35,17 +35,38 @@ DEFAULT_BUCKETS = 32
 # Ceiling on the driver-side boundary sample collected by assign_ids.
 MAX_BOUNDARY_SAMPLE = 100_000
 
+# Per-bucket id capacity in bucketed mode: id = bucket·2^40 + local
+# rank.  2^40 ≈ 1.1e12 values per bucket; with ≤ 2^22 buckets ids stay
+# inside a signed 63-bit long.
+ID_BUCKET_BITS = 40
+
 
 def assign_ids(
     uris: DataFrame,
     uri_col: str = "uri",
     num_partitions: int | None = None,
     sample_mod: int = 101,
+    mode: str = "range",
 ) -> DataFrame:
-    """Distinct values of ``uri_col`` → DataFrame(uri, id) with dense ids
-    0..N-1 ordered by uri, equal to ``row_number() over (order by uri)-1``
-    but computed without a global single-partition sort.
+    """Distinct values of ``uri_col`` → DataFrame(uri, id), one unique
+    deterministic id per value.
+
+    ``mode="range"`` (default): dense ids 0..N-1 ordered by uri, equal
+    to ``row_number() over (order by uri) - 1`` but computed without a
+    global single-partition sort (range-bucketed windows over a
+    driver-sampled boundary set — see module docstring).
+
+    ``mode="bucketed"``: the SURVEY §7.3 100 TB path — two-level
+    hash-bucketed ids ``xxhash(uri) mod P · 2^40 + rank-within-bucket``.
+    No driver collect AT ALL (no boundary sample, no count pass): one
+    shuffle on the hash bucket, one partitioned window.  Ids are sparse
+    and not order-preserving, but bijective and STABLE (a pure function
+    of the value set), which is all encode/decode round-trips require.
     """
+    if mode == "bucketed":
+        return _assign_ids_bucketed(uris, uri_col, num_partitions)
+    if mode != "range":
+        raise ValueError(f"unknown mode {mode!r}")
     p = num_partitions or DEFAULT_BUCKETS
     # persisted: the distinct set feeds three actions (boundary-sample
     # probe, bucket counts, final id assignment) — without it the
@@ -108,8 +129,42 @@ def assign_ids(
     )
 
 
+def _assign_ids_bucketed(
+    uris: DataFrame,
+    uri_col: str = "uri",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-level hash-bucketed ids (see :func:`assign_ids`
+    ``mode="bucketed"``).  Fully distributed: bucket = pmod(xxhash64
+    (uri), P) is a scan-side projection, the rank is a window
+    partitioned by bucket — no driver state, no sample, no count.  At
+    1000 executors every stage is embarrassingly parallel and the skew
+    bound is the largest hash bucket (≈ N/P by uniformity), not the
+    largest key."""
+    p = num_partitions or DEFAULT_BUCKETS
+    if p > (1 << 22):
+        raise ValueError(f"too many buckets for 63-bit ids: {p}")
+    distinct = uris.select(F.col(uri_col).alias("uri")).distinct()
+    w = Window.partitionBy("_b").orderBy("uri")
+    return (
+        distinct.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col("uri")), F.lit(p)).cast("long")
+        )
+        .select(
+            "uri",
+            (
+                F.col("_b") * F.lit(1 << ID_BUCKET_BITS)
+                + F.row_number().over(w)
+                - 1
+            ).cast("long").alias("id"),
+        )
+    )
+
+
 def build_dictionaries(
-    triples: DataFrame, num_partitions: int | None = None
+    triples: DataFrame,
+    num_partitions: int | None = None,
+    mode: str = "range",
 ) -> tuple[DataFrame, DataFrame]:
     """(entity_dict, relation_dict) from DataFrame(s, p, o).
 
@@ -129,10 +184,10 @@ def build_dictionaries(
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         fut_e = ex.submit(
-            assign_ids, entities, num_partitions=num_partitions
+            assign_ids, entities, num_partitions=num_partitions, mode=mode
         )
         fut_r = ex.submit(
-            assign_ids, relations, num_partitions=num_partitions
+            assign_ids, relations, num_partitions=num_partitions, mode=mode
         )
         return fut_e.result(), fut_r.result()
 

@@ -458,8 +458,30 @@ def kg_complex_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_q14_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode the whole KG through the SURVEY §7.3 100 TB
+    dictionary path: two-level hash-bucketed ids
+    (`dictionary.assign_ids(mode='bucketed')` — xxhash bucket · 2^40 +
+    in-bucket rank; ZERO driver collects, no boundary sample, no count
+    pass).  Ids differ from the dense range-mode ids by design; what
+    the oracle checks is the ROUND TRIP — decode(encode(T)) ≡ T exactly
+    (an id collision would fan rows out through the decode joins, a
+    dropped URI would lose rows, instability between the two dictionary
+    references would mis-join)."""
+    from spark_tensors_spark.kg.dictionary import decode_triples
+
+    # no persist: everything runs in ONE action, raw is a cheap 4-table
+    # union projection, and a per-call persist would leak across the
+    # session (this query is its only consumer, unlike _encoded's memo)
+    raw = triples_raw(spark, sf_dir)
+    ent, rel = build_dictionaries(raw, mode="bucketed")
+    dec = decode_triples(encode_triples(raw, ent, rel), ent, rel)
+    return dec.orderBy("s", "p", "o")
+
+
 QUERIES = {
     "kg_two_hop_paths": kg_two_hop_paths,
+    "kg_q14_bucketed_roundtrip": kg_q14_bucketed_roundtrip,
     "kg_salted_degree": kg_salted_degree,
     "kg_distmult_scores": kg_distmult_scores,
     "kg_complex_scores": kg_complex_scores,
@@ -537,6 +559,10 @@ ranked AS (
 """
 
 ORACLES = {
+    # the bucketed-id round trip must reproduce the raw triples exactly
+    # (ids themselves are engine-internal and never surface)
+    "kg_q14_bucketed_roundtrip": TRIPLES_CTE
+    + """SELECT s, p, o FROM triples_raw ORDER BY s, p, o""",
     "kg_two_hop_paths": TRIPLES_CTE
     + """SELECT h2.o_id AS nation_id,
                 COUNT(*) AS n_paths,
