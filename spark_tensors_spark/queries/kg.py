@@ -458,6 +458,133 @@ def kg_complex_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- the
+# clustered generalization fixture (SURVEY §7.1 M3): 12 clusters × 10
+# entities, relation 0 = "same cluster" — every ordered intra-cluster
+# pair, deterministically split into train/test by (s·7 + o·13) % 10 = 1
+# (exactly one held-out object per subject: o ≡ s+7 mod 10).
+# Unlike the TPC-H KG (object side functional: one true object per
+# (s,p)), each subject here has ~9 true objects, so OBJECT-side
+# filtered evaluation genuinely changes ranks — the missing half of the
+# Bordes protocol.  Pure codegen (range + explode, no joins), and small
+# integer formulas a DuckDB oracle restates exactly.
+FIX_CLUSTERS = 12
+FIX_SIZE = 10
+FIX_ENT = FIX_CLUSTERS * FIX_SIZE
+
+
+def _fixture_triples(spark: SparkSession) -> DataFrame:
+    """All ordered intra-cluster pairs (s, 0, o), s ≠ o."""
+    return (
+        spark.range(FIX_ENT)
+        .select(F.col("id").alias("s_id"))
+        .select(
+            "s_id",
+            F.lit(0).cast("long").alias("p_id"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(FIX_SIZE - 1).cast("long"),
+                )
+            ).alias("k"),
+        )
+        .select(
+            "s_id",
+            "p_id",
+            (F.expr(f"s_id div {FIX_SIZE}") * FIX_SIZE + F.col("k"))
+            .cast("long")
+            .alias("o_id"),
+        )
+        .filter(F.col("o_id") != F.col("s_id"))
+    )
+
+
+def _fixture_test(tri: DataFrame) -> DataFrame:
+    return tri.filter(
+        (F.col("s_id") * 7 + F.col("o_id") * 13) % 10 == 1
+    )
+
+
+def _object_filtered_ranked(spark: SparkSession) -> DataFrame:
+    """Score every entity as candidate object for each held-out triple
+    (pseudo-score: +1000 same-cluster bonus − integer hash noise),
+    remove known-true competitors via the REAL filtered-protocol
+    machinery (`kg/eval.filter_known_candidates`), rank with
+    `kg/eval.rank_candidates` — ties by candidate id."""
+    from spark_tensors_spark.kg.eval import (
+        filter_known_candidates,
+        rank_candidates,
+    )
+
+    tri = _fixture_triples(spark)
+    test = _fixture_test(tri)
+    cands = test.select(
+        "s_id",
+        "p_id",
+        F.col("o_id").alias("true_o"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(FIX_ENT - 1).cast("long")
+            )
+        ).alias("o_id"),
+    )
+    scored = cands.withColumn(
+        "score",
+        F.when(
+            F.expr(f"s_id div {FIX_SIZE}") == F.expr(f"o_id div {FIX_SIZE}"),
+            F.lit(1000),
+        ).otherwise(F.lit(0))
+        - F.pmod(F.col("s_id") * 31 + F.col("o_id") * 17, F.lit(97)),
+    )
+    filtered = filter_known_candidates(
+        scored, tri.select("s_id", "p_id", "o_id")
+    )
+    # several test triples share (s_id, p_id) — each test row ranks its
+    # own candidate list, so true_o joins the partition key
+    return rank_candidates(
+        filtered, group_cols=("s_id", "p_id", "true_o")
+    )
+
+
+def kg_q19_object_filtered_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OBJECT-side filtered-protocol ranks on the clustered fixture —
+    the half of the Bordes setting the TPC-H KG cannot exercise (its
+    object side is functional).  Filtering removes each subject's ~8
+    known-true cluster peers from the candidate list, so the held-out
+    object's rank drops from ~cluster position to near-1 — the oracle
+    recomputes every score, exclusion, and tie-broken rank exactly."""
+    return (
+        _object_filtered_ranked(spark)
+        .filter(F.col("o_id") == F.col("true_o"))
+        .select("s_id", "p_id", "o_id", F.col("r").cast("long").alias("r"))
+        .orderBy("s_id", "o_id")
+    )
+
+
+def kg_q19_object_filtered_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W2/W3 metrics over the object-side filtered ranks (decimal-
+    snapped reciprocal ranks — the kg_q19_metrics doctrine)."""
+    ranked = _object_filtered_ranked(spark).filter(
+        F.col("o_id") == F.col("true_o")
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((1.0 / F.col("r")).cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.avg(F.when(F.col("r") <= 10, 1.0).otherwise(0.0)), 6
+        ).alias("hits10"),
+        F.round(F.avg(F.col("r")), 6).alias("mean_rank"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def kg_q14_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode → decode the whole KG through the SURVEY §7.3 100 TB
     dictionary path: two-level hash-bucketed ids
@@ -495,6 +622,8 @@ QUERIES = {
     "kg_q19_metrics": kg_q19_metrics,
     "kg_q19_filtered_ranks": kg_q19_filtered_ranks,
     "kg_q19_filtered_metrics": kg_q19_filtered_metrics,
+    "kg_q19_object_filtered_ranks": kg_q19_object_filtered_ranks,
+    "kg_q19_object_filtered_metrics": kg_q19_object_filtered_metrics,
     "kg_tensor_blocks": kg_tensor_blocks,
 }
 
@@ -558,11 +687,54 @@ ranked AS (
 )
 """
 
+_OBJECT_FILTERED_RANKED_SQL = f"""
+WITH ent AS (SELECT CAST(UNNEST(range({FIX_ENT})) AS BIGINT) AS e),
+tri AS (
+    SELECT s.e AS s_id, CAST(0 AS BIGINT) AS p_id,
+           (s.e // {FIX_SIZE}) * {FIX_SIZE} + k.k AS o_id
+    FROM ent s, UNNEST(range({FIX_SIZE})) AS k(k)
+    WHERE (s.e // {FIX_SIZE}) * {FIX_SIZE} + k.k <> s.e
+),
+test AS (SELECT * FROM tri WHERE (s_id * 7 + o_id * 13) % 10 = 1),
+scored AS (
+    SELECT t.s_id, t.p_id, t.o_id AS true_o, c.e AS cand,
+           CASE WHEN t.s_id // {FIX_SIZE} = c.e // {FIX_SIZE}
+                THEN 1000 ELSE 0 END
+           - (t.s_id * 31 + c.e * 17) % 97 AS score
+    FROM test t, ent c
+),
+filtered AS (
+    SELECT sc.* FROM scored sc
+    WHERE sc.cand = sc.true_o OR NOT EXISTS (
+        SELECT 1 FROM tri kn
+        WHERE kn.s_id = sc.s_id AND kn.p_id = sc.p_id
+          AND kn.o_id = sc.cand)
+),
+ranked AS (
+    SELECT s_id, p_id, true_o, cand,
+           RANK() OVER (PARTITION BY s_id, p_id, true_o
+                        ORDER BY score DESC, cand) AS r
+    FROM filtered
+)
+"""
+
 ORACLES = {
     # the bucketed-id round trip must reproduce the raw triples exactly
     # (ids themselves are engine-internal and never surface)
     "kg_q14_bucketed_roundtrip": TRIPLES_CTE
     + """SELECT s, p, o FROM triples_raw ORDER BY s, p, o""",
+    "kg_q19_object_filtered_ranks": _OBJECT_FILTERED_RANKED_SQL
+    + """SELECT s_id, p_id, true_o AS o_id, CAST(r AS BIGINT) AS r
+         FROM ranked WHERE cand = true_o ORDER BY s_id, o_id""",
+    "kg_q19_object_filtered_metrics": _OBJECT_FILTERED_RANKED_SQL
+    + """SELECT ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / r
+                                   AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*), 6) AS mrr,
+                ROUND(AVG(CASE WHEN r <= 10 THEN 1.0 ELSE 0 END), 6)
+                    AS hits10,
+                ROUND(AVG(r), 6) AS mean_rank,
+                COUNT(*) AS n
+         FROM ranked WHERE cand = true_o""",
     "kg_two_hop_paths": TRIPLES_CTE
     + """SELECT h2.o_id AS nation_id,
                 COUNT(*) AS n_paths,

@@ -15,6 +15,9 @@ GOLDEN = {
     "kge_transe_train_metrics": (0.103647, 53.2, 20, 0.05, 0.1, 0.25),
     "kge_rescal_train_metrics": (0.005834, 349.2, 10, 0.0, 0.0, 0.0),
     "kge_hole_train_metrics": (0.002689, 623.2, 10, 0.0, 0.0, 0.0),
+    # HELD-OUT filtered eval on the clustered fixture (SURVEY §7.1 M3):
+    # every test edge was never trained on, yet ranks ~2/112
+    "kge_generalization_metrics": (0.5, 2.0, 120, 0.0, 1.0, 1.0),
 }
 
 
@@ -26,3 +29,13 @@ def test_kge_training_smokes_golden(spark):
         ]
         rows = [tuple(r) for r in df.collect()]
         assert rows == [want], (name, rows)
+
+
+def test_generalization_beats_random_10x(spark):
+    """The M3 exit criterion itself, independent of the exact golden:
+    held-out filtered Hits@10 ≥ 10× the random baseline (10 of 112
+    candidates after filtering ⇒ random ≈ 0.0893)."""
+    df = mlops.QUERIES["kge_generalization_metrics"](spark, SF_SMOKE)
+    m = df.collect()[0]
+    assert m["hits10"] >= 10 * (10.0 / 112.0), m
+    assert m["n"] == 120
