@@ -142,6 +142,52 @@ def test_ntriples_literals_match_rdflib():
         assert str(o) == lex == v
 
 
+# Expected (subject-localname → (object lexical value, suffix)) for the
+# vendored W3C-grammar vector file, derived BY HAND from the RDF 1.1
+# N-Triples spec (not from this repo's parser) — the standing
+# cross-check for containers without rdflib (the rdflib test below
+# still runs wherever it is installed).
+W3C_VECTORS = {
+    "s2": ("plain", ""),
+    "s3": ("tab\there", ""),
+    "s4": ('quote:" backslash:\\ cr:\r lf:\n ff:\f bs:\b', ""),
+    "s5": ("uchar:A wide:\U0001F600", ""),
+    "s6": ("lang", "@en"),
+    "s7": ("lang-region", "@en-US"),
+    "s8": ("42", "^^<http://www.w3.org/2001/XMLSchema#integer>"),
+    "s9": ("euro € and mixed é", ""),
+    "s11": ("sep:\u2028 nel:\x85 end", ""),
+}
+
+
+def test_ntriples_w3c_vector_sweep(spark):
+    """Vendored W3C-grammar vectors (tests/data/ntriples_w3c_vectors.nt)
+    through the REAL scan path: read_ntriples over the file, then
+    unescape_ntriples_literal on every literal — every ECHAR, both UCHAR
+    widths, langtags, datatype suffixes, raw U+2028/U+0085 (the r4
+    DOTALL silent-drop class), comments and URI-only filtering."""
+    import os
+
+    from spark_tensors_spark.io.readers import unescape_ntriples_literal
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "ntriples_w3c_vectors.nt")
+    rows = read_ntriples(spark, path, uri_only=False).collect()
+    by_s = {r.s.rsplit("/", 1)[-1]: r.o for r in rows}
+    # 11 triples total; comments/blank lines ignored
+    assert len(rows) == 11 and len(by_s) == 11
+    # URI objects unwrapped verbatim (incl. percent-encoding and query)
+    assert by_s["s1"] == "http://example/o1"
+    assert by_s["s10"] == "http://example/o%20enc?q=1&r=2#frag"
+    for name, (want_lex, want_suf) in W3C_VECTORS.items():
+        lex, suf = unescape_ntriples_literal(by_s[name])
+        assert (lex, suf) == (want_lex, want_suf), name
+    # uri_only=True keeps exactly the two all-URI triples
+    uris = {r.s.rsplit("/", 1)[-1]
+            for r in read_ntriples(spark, path, uri_only=True).collect()}
+    assert uris == {"s1", "s10"}
+
+
 def test_tsv_triples_named_schema(spark, tmp_path):
     p = tmp_path / "t.tsv"
     p.write_text("e1\tr1\te2\ne2\tr1\te3\n")
