@@ -69,6 +69,77 @@ def decontaminate(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring of every document against a fixed
+    query-term set — the classic lexical ranking function (Robertson &
+    Zaragoza 2009), with the Lucene idf form
+    ``ln((N − df + ½)/(df + ½) + 1)``.
+
+    Scale shape: the token explode filters to the query terms AT THE
+    SCAN (the corpus-sized token stream never shuffles un-filtered);
+    df / N / Σdl are three tiny broadcast aggregates; scoring is one
+    codegen projection; the global top-k is TakeOrderedAndProject.
+    Cross-engine doctrine: each per-term contribution is snapped to
+    DECIMAL(18,12) before the sum, so aggregation order cannot flip the
+    6th decimal.  Returns (id, n_terms, bm25) top-``k`` by (bm25 desc,
+    id).
+    """
+    toks = tokens_col(text_col)
+    tok = docs.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dl = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sums = dl.agg(F.sum("dl").alias("sum_dl"))
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + (F.lit(b) * F.col("dl"))
+                / (F.col("sum_dl") / F.col("n_docs"))
+            )
+        )
+    ).cast("decimal(18,12)")
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(sums))
+        .withColumn("contrib", contrib)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 10,

@@ -786,6 +786,22 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tfidf_top_terms(docs, k=10).orderBy("source", "rk")
 
 
+BM25_TERMS = ("hash", "join", "scan")
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term query (`corpus.bm25_topk`):
+    scan-side term filter, three broadcast statistics, one codegen
+    scoring projection, TakeOrderedAndProject — every per-term
+    contribution DECIMAL(18,12)-snapped so the oracle matches exactly
+    (identical expression tree, identical double literals)."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    return C.bm25_topk(docs, BM25_TERMS, k=20)
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per-source mean/max repeated
     3-gram fraction and the count of repetitive docs — all computed
@@ -910,6 +926,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_bm25_topk": doc_bm25_topk,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
@@ -1660,6 +1677,49 @@ ORACLES = {
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         ORDER BY id_a, id_b
+    """,
+    # BM25: identical expression tree and double literals on both
+    # engines; per-term contributions DECIMAL(18,12)-snapped pre-sum
+    "doc_bm25_topk": f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_TOKENS}) AS term FROM documents
+        ),
+        tokq AS (
+            SELECT doc_id, term FROM tok
+            WHERE term IN ('hash', 'join', 'scan')
+        ),
+        dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sums AS (SELECT SUM(dl) AS sum_dl FROM dl),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tokq GROUP BY doc_id, term
+        ),
+        dft AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tokq GROUP BY term
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(
+                       ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                          / (d.df + CAST(0.5 AS DOUBLE))
+                          + CAST(1 AS DOUBLE))
+                       * (t.tf * CAST(2.2 AS DOUBLE))
+                       / (t.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * l.dl)
+                               / (m.sum_dl / s.n_docs)))
+                   AS DECIMAL(18,12)) AS contrib
+            FROM tf t
+            JOIN dl l USING (doc_id)
+            JOIN dft d ON d.term = t.term
+            CROSS JOIN stats s CROSS JOIN sums m
+        )
+        SELECT doc_id, COUNT(*) AS n_terms,
+               ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     # PCA moment pass on int8 codes: count / per-dim sums / Gram upper
     # triangle — all exact BIGINTs

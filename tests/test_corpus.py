@@ -115,3 +115,47 @@ def test_duplicated_spans_crafted(spark):
     # yields overlapping grams; count occurrences of the exact gram
     assert rows[shared].n_occ >= 4
     assert all(r.n_docs > 1 for r in rows.values())
+
+
+def test_bm25_hand_computation_and_ranking(spark):
+    """BM25 on a crafted 4-doc corpus equals the hand formula (Lucene
+    idf, k1=1.2, b=0.75) and ranks the term-dense short doc first."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spark_tensors_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join join join"),                    # dense, short
+            (1, "join scan filler filler filler filler filler filler"),
+            (2, "filler filler filler filler"),       # no query terms
+            (3, "scan"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           corpus.bm25_topk(docs, ("join", "scan"), k=10).collect()}
+    assert 2 not in out                      # no matching terms, no row
+    assert set(out) == {0, 1, 3}
+    assert out[0].n_terms == 1 and out[1].n_terms == 2
+
+    def bm25(pairs, dl, n=4, avgdl=(3 + 8 + 4 + 1) / 4, k1=1.2, b=0.75):
+        s = 0.0
+        for tf, df in pairs:
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+            )
+            s += float(__import__("decimal").Decimal(repr(contrib))
+                       .quantize(__import__("decimal").Decimal("1E-12")))
+        return round(s, 6)
+
+    # doc 0: tf(join)=3, df(join)=2, dl=3; doc 3: tf(scan)=1, df=2, dl=1
+    assert abs(out[0].bm25 - bm25([(3, 2)], 3)) < 2e-6
+    assert abs(out[3].bm25 - bm25([(1, 2)], 1)) < 2e-6
+    assert abs(out[1].bm25 - bm25([(1, 2), (1, 2)], 8)) < 2e-6
+    # ranking: short dense doc first
+    ranked = sorted(out.values(), key=lambda r: (-r.bm25, r.doc_id))
+    assert ranked[0].doc_id in (0, 3)
