@@ -81,6 +81,38 @@ def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION (Broder): est = fraction of agreeing
+    signature components — the statistical use of the signatures the
+    LSH queries only band.  Adjacent doc-id pairs keep the pair list
+    N-sized; n_match ∈ 0..8 and est = n_match/8 are exact (dyadic), so
+    the oracle matches bit-for-bit.  One self-join on doc_id+1 over the
+    memoized signature table."""
+    sigs = _sigs(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)],
+    )
+    n_match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(8)
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            (n_match / F.lit(8.0)).alias("mh_jaccard_est"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 def doc_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-in-bucket-size dedup decision (scales past the degenerate
     buckets that the pair form must cap)."""
@@ -937,6 +969,7 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
+    "doc_minhash_jaccard_est": doc_minhash_jaccard_est,
     # value-oracled since r5 (integer pseudo-geometry / int8 codes)
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
@@ -1677,6 +1710,21 @@ ORACLES = {
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         ORDER BY id_a, id_b
+    """,
+    "doc_minhash_jaccard_est": _SIGS_CTE + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST("""
+    + " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    + """ AS BIGINT) AS n_match,
+               CAST("""
+    + " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    + """ AS DOUBLE) / 8 AS mh_jaccard_est
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a
     """,
     # BM25: identical expression tree and double literals on both
     # engines; per-term contributions DECIMAL(18,12)-snapped pre-sum
