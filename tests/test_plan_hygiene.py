@@ -25,6 +25,8 @@ from tests.conftest import SF_SMOKE
 BNLJ_ALLOWED = {
     # 1-row corpus-size scalar cross-joined into the TF-IDF scoring
     "doc_tfidf_top_terms",
+    # two 1-row statistics (N, Σdl) cross-joined into the BM25 scoring
+    "doc_bm25_topk",
     # declared all-pairs baseline, oracle-bounded to vec_id < 300; the
     # scale path is emb_near_dup_bucketed
     "emb_near_dup_pairs",
