@@ -93,18 +93,30 @@ def bm25_topk(
     id).
     """
     toks = tokens_col(text_col)
-    tok = docs.select(
-        F.col(id_col), F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(list(query_terms)))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    qset = list(query_terms)
+    # filter INSIDE the token array before exploding: the explode emits
+    # only query-term hits, not the whole corpus token stream
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*qset)).alias("_qt"),
+    )
+    tok = base.select(id_col, "dl", F.explode("_qt").alias("term"))
+    # dl rides through the grouping key (functional in id) — no join
+    # back to a length table
+    tf = tok.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     df_t = (
-        tok.distinct()
+        tok.select(id_col, "term")
+        .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    dl = docs.select(F.col(id_col), F.size(toks).alias("dl"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    sums = dl.agg(F.sum("dl").alias("sum_dl"))
+    # N and Σdl in ONE tiny broadcast frame
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
     contrib = (
         F.log(
             (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -123,10 +135,8 @@ def bm25_topk(
         )
     ).cast("decimal(18,12)")
     scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(sums))
         .withColumn("contrib", contrib)
     )
     return (
