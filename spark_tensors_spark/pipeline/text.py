@@ -144,6 +144,51 @@ def fingerprint64_col(text: Column | str = "text") -> Column:
     return F.conv(F.substring(F.md5(text), 1, 8), 16, 10).cast("long")
 
 
+def compression_signal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Gopher/RefinedWeb
+    filter class): templated or repetitive text compresses far below
+    natural prose, so ``ratio = len(zlib(text)) / len(text)`` separates
+    boilerplate from content.  One Arrow-batched ``mapInPandas`` pass —
+    the document bytes never shuffle; only (id, n_chars, n_zlib, ratio)
+    leaves the stage.  zlib output is deterministic for a fixed level,
+    so results are golden-pinnable (engine-specific, like SimHash).
+    """
+    import zlib
+
+    import pandas as pd
+
+    def batch(it):
+        for pdf in it:
+            texts = pdf[text_col].astype(str)
+            n_raw = texts.str.len().astype("int64")
+            n_z = pd.Series(
+                [len(zlib.compress(t.encode("utf-8"), level))
+                 for t in texts],
+                index=pdf.index,
+                dtype="int64",
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": n_raw,
+                    "n_zlib": n_z,
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        batch, f"{id_col} long, n_chars long, n_zlib long"
+    )
+    ratio = F.when(
+        F.col("n_chars") > 0, F.col("n_zlib") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("ratio", F.round(ratio, 6))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-projection document statistics table."""
     return df.select(

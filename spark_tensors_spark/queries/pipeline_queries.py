@@ -818,6 +818,39 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tfidf_top_terms(docs, k=10).orderBy("source", "rk")
 
 
+def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source zlib compression-ratio rollup
+    (`text.compression_signal` — the Gopher/RefinedWeb boilerplate
+    filter): avg ratio (DECIMAL-snapped), extremes, and the count of
+    high-compressibility docs (ratio < 0.3, the boilerplate band).
+    Rows-only: zlib byte counts are library-specific — golden-pinned in
+    tests/test_rows_only_goldens.py with monotonicity properties in
+    tests/test_text.py."""
+    from spark_tensors_spark.pipeline.text import compression_signal
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    sig = compression_signal(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        sig.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.sum((F.col("ratio") < 0.3).cast("long")).alias("n_boiler"),
+        )
+        .orderBy("source")
+    )
+
+
 BM25_TERMS = ("hash", "join", "scan")
 
 
@@ -976,9 +1009,10 @@ QUERIES = {
     "emb_pq_topk": emb_pq_topk,
     "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
     "emb_pca_moments": emb_pca_moments,
-    # rows-only (engine-specific signatures / eigensolve)
+    # rows-only (engine-specific signatures / eigensolve / zlib)
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_pca_topvar": emb_pca_topvar,
+    "doc_compression_stats": doc_compression_stats,
 }
 
 _SHINGLES = (

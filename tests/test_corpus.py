@@ -159,3 +159,25 @@ def test_bm25_hand_computation_and_ranking(spark):
     # ranking: short dense doc first
     ranked = sorted(out.values(), key=lambda r: (-r.bm25, r.doc_id))
     assert ranked[0].doc_id in (0, 3)
+
+
+def test_compression_signal_separates_boilerplate(spark):
+    """Repetitive text compresses well below prose; ratios are sane and
+    the empty doc is safe."""
+    from spark_tensors_spark.pipeline.text import compression_signal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 200),                       # highly repetitive
+            (1, "The quarterly report outlines a diverse range of "
+                "operational findings, strategic considerations, and "
+                "unanticipated market shifts across regions." * 2),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_signal(docs).collect()}
+    assert out[2].n_chars == 0 and out[2].ratio == 0.0
+    assert 0 < out[0].ratio < out[1].ratio <= 1.2
+    assert out[0].ratio < 0.3  # boilerplate band
+    assert out[0].n_zlib < out[1].n_zlib

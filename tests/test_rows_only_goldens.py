@@ -23,6 +23,9 @@ GOLDEN = {
     "doc_simhash_candidates": (2459, "63f884fdea4a18068c6754fa25916c08"),
     "emb_near_dup_bucketed": (50, "7975f90a6062e4cba607f588acfdcca2"),
     "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
+    # zlib byte counts are library-specific (hence no SQL oracle) but
+    # deterministic for a fixed level within this container
+    "doc_compression_stats": (20, "b5831312034f72bfc7c833cb1ab55955"),
 }
 
 
