@@ -149,6 +149,7 @@ def compression_signal(
     text_col: str = "text",
     id_col: str = "doc_id",
     level: int = 6,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """zlib compression-ratio quality signal (the Gopher/RefinedWeb
     filter class): templated or repetitive text compresses far below
@@ -157,6 +158,9 @@ def compression_signal(
     the document bytes never shuffle; only (id, n_chars, n_zlib, ratio)
     leaves the stage.  zlib output is deterministic for a fixed level,
     so results are golden-pinnable (engine-specific, like SimHash).
+    ``carry_cols`` ride through the stage (e.g. the grouping key), so
+    downstream rollups need no corpus-scale join back to the source
+    table.
     """
     import zlib
 
@@ -172,16 +176,16 @@ def compression_signal(
                 index=pdf.index,
                 dtype="int64",
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_chars": n_raw,
-                    "n_zlib": n_z,
-                }
-            )
+            out_cols = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out_cols[c] = pdf[c]
+            out_cols["n_chars"] = n_raw
+            out_cols["n_zlib"] = n_z
+            yield pd.DataFrame(out_cols)
 
-    out = df.select(id_col, text_col).mapInPandas(
-        batch, f"{id_col} long, n_chars long, n_zlib long"
+    carry_schema = "".join(f"{c} string, " for c in carry_cols)
+    out = df.select(id_col, *carry_cols, text_col).mapInPandas(
+        batch, f"{id_col} long, {carry_schema}n_chars long, n_zlib long"
     )
     ratio = F.when(
         F.col("n_chars") > 0, F.col("n_zlib") / F.col("n_chars")

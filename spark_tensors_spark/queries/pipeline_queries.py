@@ -260,6 +260,48 @@ def emb_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path against exact brute force — the ANN
+    quality-evaluation harness AS a query, both sides on int8 codes
+    with the integer pseudo-centroids so the oracle recomputes exact
+    AND approximate top-k symbolically and checks the intersection
+    count per query.  One extra equi-join over two top-k tables; the
+    query subset (vec_id % 25 = 0) keeps the exact side's candidate
+    expansion bounded."""
+    codes = _int8_codes(spark, sf_dir)
+    cents = similarity.pseudo_centroids(16, 64)
+    queries = codes.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("query_vec"),
+    )
+    exact = similarity.l2_topk(
+        codes, queries, k=5, vec_col="codes"
+    ).select("query_id", "nn_id")
+    approx = (
+        similarity.ivf_topk(
+            codes, k=5, n_cells=16, nprobe=2, vec_col="codes",
+            centroids=cents, metric="l2",
+        )
+        .filter(F.col("query_id") % 25 == 0)
+        .select("query_id", "nn_id")
+    )
+    matched = approx.join(exact, ["query_id", "nn_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_match"))
+    return (
+        queries.select("query_id")
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            (F.coalesce("n_match", F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def doc_trigram_jaccard_adjacent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -830,11 +872,10 @@ def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs = ensure_scan_parallelism(docs)
-    sig = compression_signal(docs)
-    src = docs.select("doc_id", "source")
+    # source rides through the Arrow stage — no corpus-scale join back
+    sig = compression_signal(docs, carry_cols=("source",))
     return (
-        sig.join(src, "doc_id")
-        .groupBy("source")
+        sig.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
@@ -1009,6 +1050,7 @@ QUERIES = {
     "emb_pq_topk": emb_pq_topk,
     "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
     "emb_pca_moments": emb_pca_moments,
+    "emb_ann_ivf_recall": emb_ann_ivf_recall,
     # rows-only (engine-specific signatures / eigensolve / zlib)
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_pca_topvar": emb_pca_topvar,
@@ -1915,6 +1957,82 @@ ORACLES = {
         )
         SELECT query_id, nn_id, dist, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # IVF recall@5 vs exact brute force, both symbolic (queries
+    # vec_id % 25 = 0)
+    "emb_ann_ivf_recall": _ANN_CODES_CTE + """,
+        celld AS (
+            SELECT vec_id, codes, CAST(cc.c AS BIGINT) AS cell,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))
+                     * (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))))
+                   AS BIGINT) AS d2
+            FROM q CROSS JOIN (SELECT UNNEST(range(16)) AS c) cc
+        ),
+        assigned AS (
+            SELECT vec_id, codes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld) WHERE rnk = 1
+        ),
+        probed AS (
+            SELECT vec_id AS query_id, codes AS qcodes, cell FROM (
+                SELECT vec_id, codes, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld WHERE vec_id % 25 = 0) WHERE rnk <= 2
+        ),
+        apairs AS (
+            SELECT p.query_id, a.vec_id AS nn_id,
+                   ROUND(SQRT(CAST(list_sum(list_transform(range(64), j ->
+                       (p.qcodes[CAST(j AS INT) + 1]
+                        - a.codes[CAST(j AS INT) + 1])
+                     * (p.qcodes[CAST(j AS INT) + 1]
+                        - a.codes[CAST(j AS INT) + 1])))
+                   AS DOUBLE)), 6) AS dist
+            FROM probed p JOIN assigned a
+              ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        approx AS (
+            SELECT query_id, nn_id FROM (
+                SELECT query_id, nn_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dist, nn_id) AS rk
+                FROM apairs) WHERE rk <= 5
+        ),
+        epairs AS (
+            SELECT q1.vec_id AS query_id, c.vec_id AS nn_id,
+                   ROUND(SQRT(CAST(list_sum(list_transform(range(64), j ->
+                       (q1.codes[CAST(j AS INT) + 1]
+                        - c.codes[CAST(j AS INT) + 1])
+                     * (q1.codes[CAST(j AS INT) + 1]
+                        - c.codes[CAST(j AS INT) + 1])))
+                   AS DOUBLE)), 6) AS dist
+            FROM q q1 JOIN q c ON c.vec_id <> q1.vec_id
+            WHERE q1.vec_id % 25 = 0
+        ),
+        exact AS (
+            SELECT query_id, nn_id FROM (
+                SELECT query_id, nn_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dist, nn_id) AS rk
+                FROM epairs) WHERE rk <= 5
+        ),
+        matched AS (
+            SELECT a.query_id, COUNT(*) AS n_match
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.nn_id = a.nn_id
+            GROUP BY a.query_id
+        )
+        SELECT qq.vec_id AS query_id,
+               CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+               COALESCE(m.n_match, 0) / CAST(5 AS DOUBLE) AS recall_at_5
+        FROM (SELECT vec_id FROM q WHERE vec_id % 25 = 0) qq
+        LEFT JOIN matched m ON m.query_id = qq.vec_id
+        ORDER BY query_id
     """,
     # PQ-ADC on int8 codes, integer codebooks
     # cb(s,c,j) = ((s·59 + c·31 + j·17 + 3) % 161) − 80
