@@ -407,7 +407,93 @@ def _stream_cms_top_users_oracle() -> str:
     return _cms_top_users_oracle()
 
 
+def emb_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance as a REAL readStream pass
+    (`streaming/ann.py`): embeddings stream → int8 quantization (a
+    stateless projection, streaming-safe) → per-batch nearest-centroid
+    assignment appended under batch-id partitions (replay-idempotent).
+    Integer pseudo-centroids make every assignment and d2 exact, so the
+    accumulated index state shares the batch assignment's DuckDB
+    oracle: per-cell counts, id extrema, and the exact Σd2."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.pipeline.quantize import scalar_quantize_int8
+    from spark_tensors_spark.pipeline.similarity import pseudo_centroids
+    from spark_tensors_spark.streaming.ann import streaming_ivf_assign
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_ivf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    codes = scalar_quantize_int8(stream).select("vec_id", "codes")
+    q = streaming_ivf_assign(
+        codes,
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        centroids=pseudo_centroids(16, 64),
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(os.path.join(root, "state"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vid").alias("min_id"),
+            F.max("vid").alias("max_id"),
+            F.sum("d2").cast("long").alias("d2_sum"),
+        )
+        .orderBy("cell")
+        # materialize off the state parquet so the per-pid sink dir can
+        # be deleted instead of accumulating across runs
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _stream_ivf_assign_oracle() -> str:
+    from spark_tensors_spark.queries.pipeline_queries import _ANN_CODES_CTE
+
+    return _ANN_CODES_CTE + """,
+        celld AS (
+            SELECT vec_id, CAST(cc.c AS BIGINT) AS cell,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))
+                     * (codes[CAST(j AS INT) + 1]
+                        - ((cc.c * 37 + j * 13 + 11) % 161 - 80))))
+                   AS BIGINT) AS d2
+            FROM q CROSS JOIN (SELECT UNNEST(range(16)) AS c) cc
+        ),
+        assigned AS (
+            SELECT vec_id, cell, d2 FROM (
+                SELECT vec_id, cell, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM celld) WHERE rnk = 1
+        )
+        SELECT cell, COUNT(*) AS n,
+               MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+               CAST(SUM(d2) AS BIGINT) AS d2_sum
+        FROM assigned GROUP BY cell ORDER BY cell
+    """
+
+
 QUERIES = {
+    "emb_stream_ivf_assign": emb_stream_ivf_assign,
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
     "ev_stream_cms_top_users": ev_stream_cms_top_users,
     "doc_stream_dedup": doc_stream_dedup,
@@ -422,6 +508,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),
     "ev_stream_cms_top_users": _stream_cms_top_users_oracle(),
     "doc_stream_dedup": _doc_stream_dedup_oracle(),

@@ -445,3 +445,65 @@ def test_last_n_events_stream_equals_batch(spark, stream_source):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_ivf_assign_multi_batch_and_replay(spark, tmp_path):
+    """Incremental IVF assignment (streaming/ann.py): three files =
+    three micro-batches accumulate one index state identical to the
+    batch assignment; replaying a batch id overwrites, never
+    duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline.similarity import pseudo_centroids
+    from spark_tensors_spark.streaming.ann import (
+        assign_cells_batch,
+        assignments_from_state,
+        streaming_ivf_assign,
+    )
+
+    rng = np.random.default_rng(3)
+    cents = pseudo_centroids(4, 8)
+    src = str(tmp_path / "src")
+    all_rows = []
+    for part in range(3):
+        ids = list(range(part * 10, part * 10 + 10))
+        codes = [rng.integers(-127, 128, size=8).tolist() for _ in ids]
+        all_rows += list(zip(ids, codes))
+        pdf = pd.DataFrame({"vec_id": ids, "codes": codes})
+        spark.createDataFrame(
+            pdf, "vec_id long, codes array<long>"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = streaming_ivf_assign(
+        stream, state_dir=state, checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids=cents,
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3
+    got = sorted(map(tuple, assignments_from_state(spark, state).collect()))
+    # batch reference: argmin L2² per vector, ties to lower cell
+    want = []
+    for vid, c in all_rows:
+        v = np.array(c, dtype=np.float64)
+        d2 = ((v[None, :] - cents) ** 2).sum(axis=1)
+        cell = int(d2.argmin())
+        want.append((vid, cell, int(d2[cell])))
+    assert got == sorted(want)
+    # replay batch 0's content under its id: state unchanged
+    replay = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in all_rows[:10]],
+             "codes": [r[1] for r in all_rows[:10]]}
+        ),
+        "vec_id long, codes array<long>",
+    )
+    assign_cells_batch(replay, 0, state, cents)
+    again = sorted(map(tuple, assignments_from_state(spark, state).collect()))
+    assert again == got
