@@ -123,6 +123,62 @@ def merge_pair(words: DataFrame, a: str, b: str) -> DataFrame:
     return words.select(folded.alias("symbols"), "c")
 
 
+def apply_merges(
+    symbols: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Pure-Python reference of the merge fold: apply the ordered merge
+    list to one word's symbol sequence (greedy left-to-right
+    non-overlapping — exactly `merge_pair`'s accumulator semantics)."""
+    for a, b in merges:
+        out: list[str] = []
+        i, n = 0, len(symbols)
+        while i < n:
+            if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+) -> DataFrame:
+    """TOKENIZE with a trained merge list — the apply side of BPE.
+
+    Scale design: encoding runs over the DISTINCT-WORD table (Zipf:
+    vocabulary ≪ corpus), one Arrow batch pass with the merge list in
+    the task closure; the corpus then joins word → tokens (broadcast at
+    real vocabulary/corpus ratios), so per-token work is paid once per
+    word, not once per occurrence.  Returns (word, tokens, n_tokens).
+    """
+    import pandas as pd
+
+    def batch(it):
+        for pdf in it:
+            toks = [
+                apply_merges(list(w), merges)
+                for w in pdf[word_col].astype(str)
+            ]
+            yield pd.DataFrame(
+                {
+                    word_col: pdf[word_col],
+                    "tokens": toks,
+                    "n_tokens": pd.Series(
+                        [len(t) for t in toks], dtype="int64"
+                    ),
+                }
+            )
+
+    return words.select(word_col).mapInPandas(
+        batch, f"{word_col} string, tokens array<string>, n_tokens long"
+    )
+
+
 def fit_bpe(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str]]:

@@ -860,6 +860,40 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tfidf_top_terms(docs, k=10).orderBy("source", "rk")
 
 
+def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE (`bpe.encode_words`): fit 8 merges on the
+    corpus, tokenize the distinct-word vocabulary with them, and roll
+    up the post-BPE token-length distribution weighted by word
+    frequency.  Rows-only (iterative fit + Python encode) — but pinned
+    two ways: encode(initial table) must equal the fit loop's final
+    iterated table (tests/test_bpe.py), and the result digest is
+    golden-pinned."""
+    from spark_tensors_spark.pipeline import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    merges = bpe.fit_bpe(docs, n_merges=8)
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc = bpe.encode_words(words, merges)
+    return (
+        enc.join(words, "w")
+        .groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("n_tokens")
+    )
+
+
 def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source zlib compression-ratio rollup
     (`text.compression_signal` — the Gopher/RefinedWeb boilerplate
@@ -1055,6 +1089,7 @@ QUERIES = {
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_pca_topvar": emb_pca_topvar,
     "doc_compression_stats": doc_compression_stats,
+    "doc_bpe_encode_stats": doc_bpe_encode_stats,
 }
 
 _SHINGLES = (

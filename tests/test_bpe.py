@@ -79,3 +79,44 @@ def test_word_symbol_table_counts(spark):
         for r in bpe.word_symbol_table(docs).collect()
     }
     assert rows == {("a", "b"): 3, ("b",): 2}
+
+
+def test_encode_words_matches_iterated_merges(spark):
+    """The APPLY path (`encode_words` with the learned merge list) must
+    reproduce EXACTLY the word table the fit loop built by iterating
+    `merge_pair` — two different code paths (Arrow Python vs codegen
+    fold), one answer."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide low",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe.fit_bpe(docs, n_merges=6)
+    assert merges  # the corpus has mergeable pairs
+
+    # iterate merge_pair (the fit loop's own machinery)
+    words = bpe.word_symbol_table(docs)
+    for a, b in merges:
+        words = bpe.merge_pair(words, a, b)
+    iterated = {
+        "".join(r.symbols): tuple(r.symbols) for r in words.collect()
+    }
+
+    vocab = spark.createDataFrame(
+        [(w,) for w in iterated], "w string"
+    )
+    encoded = {
+        r.w: tuple(r.tokens)
+        for r in bpe.encode_words(vocab, merges).collect()
+    }
+    assert encoded == iterated
+
+
+def test_apply_merges_order_matters():
+    """Merges apply in LEARNED order (later merges can consume earlier
+    merge outputs)."""
+    assert bpe.apply_merges(list("abc"), [("a", "b"), ("ab", "c")]) == ["abc"]
+    assert bpe.apply_merges(list("abc"), [("ab", "c"), ("a", "b")]) == ["ab", "c"]
+    # greedy left-to-right non-overlap
+    assert bpe.apply_merges(list("aaa"), [("a", "a")]) == ["aa", "a"]

@@ -26,6 +26,8 @@ GOLDEN = {
     # zlib byte counts are library-specific (hence no SQL oracle) but
     # deterministic for a fixed level within this container
     "doc_compression_stats": (20, "b5831312034f72bfc7c833cb1ab55955"),
+    # iterative fit + Python encode; cross-path parity in test_bpe.py
+    "doc_bpe_encode_stats": (6, "c0ba6b450fa67de8cffddf8959b56419"),
 }
 
 
