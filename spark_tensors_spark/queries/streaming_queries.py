@@ -102,11 +102,18 @@ def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ev_hourly_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     sinks.write_idempotent_batch(agg, 0, path)
-    return (
+    out = (
         sinks.read_sink(spark, path)
         .select("w_start", "w_end", "event_type", "c", "v")
         .orderBy("w_start", "event_type")
+        # materialize off the sink files so the per-pid dir can be
+        # deleted instead of accumulating across runs
+        .localCheckpoint()
     )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 def ev_last3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +171,7 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     admitted = spark.read.parquet(os.path.join(root, "out"))
-    return (
+    out = (
         admitted.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_admitted"),
@@ -172,7 +179,12 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("source")
+        # materialize off the sink files so the per-pid root can be
+        # deleted instead of accumulating across runs
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _doc_stream_dedup_oracle() -> str:
