@@ -177,6 +177,58 @@ def bucketed_interval_join(
     return matched.unionByName(unmatched).drop("_lid")
 
 
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    alpha: float = 0.5,
+    window: int = 20,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the standard
+    time-series smoother, as a ``window``-term truncated recursion
+    ``acc' = (1−α)·acc + α·x`` left-folded over the last ``window``
+    observations (truncation error ≤ (1−α)^window of the oldest mass;
+    2⁻²⁰ at the defaults).
+
+    Scale shape: ONE ordered window (collect_list over a bounded rows
+    frame — state per row is ``window`` doubles) + a codegen fold; no
+    self-joins, no Python.  With α = ½ every step is an exact
+    power-of-two scaling, so the fold performs one deterministic IEEE
+    rounding per element in a fixed order — bit-identical on any
+    engine that folds left (the DuckDB oracle uses list_reduce over
+    the same frame).  Returns the input keys + ts (+ tiebreak) with an
+    ``ewma`` column.  The output is deliberately UNROUNDED: the fold
+    doubles are bit-identical cross-engine, while ROUND(x, 6) is not —
+    α = ½ fold values are dyadic rationals that land exactly on 6-dp
+    half-boundaries, where Spark's exact-decimal HALF_UP and DuckDB's
+    float-path ROUND split by 1 ulp (observed at sf0.01).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        lst,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    out_cols = [*key_cols, ts_col]
+    if order_tiebreak:
+        out_cols.append(order_tiebreak)
+    return df.select(*out_cols, F.col(value_col)).withColumn(
+        "ewma", folded
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     key_cols: list[str],

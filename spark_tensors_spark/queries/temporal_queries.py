@@ -468,7 +468,40 @@ def _zorder_stats_oracle() -> str:
     """
 
 
+def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (`operators/temporal.ewma`): one
+    ordered bounded-rows window + a codegen left fold; α = ½ makes
+    every fold step an exact power-of-two scaling, so the oracle's
+    list_reduce reproduces the doubles bit-for-bit (output unrounded —
+    see the operator docstring for why ROUND would break ties)."""
+    from spark_tensors_spark.operators.temporal import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(
+        ev, ["user_id"], ts_col="ts", value_col="value",
+        order_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "ewma").orderBy("event_id")
+
+
+EV_EWMA_VALUE_SQL = """
+WITH l AS (
+    SELECT event_id, user_id,
+           list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
+    FROM events
+)
+SELECT event_id, user_id,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), lv),
+             (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+                       + x * CAST(0.5 AS DOUBLE)) AS ewma
+FROM l ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "ev_ewma_value": ev_ewma_value,
     "ev_zorder_stats": ev_zorder_stats,
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
@@ -481,6 +514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_zorder_stats": _zorder_stats_oracle(),
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,

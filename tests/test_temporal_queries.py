@@ -176,3 +176,48 @@ def test_mmr_rerank_diversifies(spark):
         scored, emb, n=3, lambda_=0.5
     ).collect()}
     assert again == ranks
+
+
+def test_ewma_hand_computed(spark):
+    """Zero-initialized truncated EWMA (α=½): acc' = acc/2 + x/2 in
+    event order, windowed to the last 20 observations."""
+    import datetime as dt
+
+    from spark_tensors_spark.operators.temporal import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0, 4.0),
+        (2, 10, t0 + dt.timedelta(minutes=1), 8.0),
+        (3, 10, t0 + dt.timedelta(minutes=2), 2.0),
+        (4, 11, t0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r.ewma for r in
+           ewma(df, ["user_id"], order_tiebreak="event_id").collect()}
+    assert out[1] == 2.0                 # 0/2 + 4/2
+    assert out[2] == 5.0                 # 2/2 + 8/2
+    assert out[3] == 3.5                 # 5/2 + 2/2
+    assert out[4] == 3.0                 # independent key
+
+
+def test_ewma_window_truncation(spark):
+    """Only the last `window` observations contribute: with window=2
+    the third event forgets the first entirely."""
+    import datetime as dt
+
+    from spark_tensors_spark.operators.temporal import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate([100.0, 8.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r.ewma for r in
+           ewma(df, ["user_id"], order_tiebreak="event_id",
+                window=2).collect()}
+    # event 2 folds [8, 4] only: (0/2+8/2)/2 + 4/2 = 4.0
+    assert out[2] == 4.0
