@@ -500,8 +500,62 @@ FROM l ORDER BY event_id
 """
 
 
+def ev_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the events table
+    (`operators/profile.py`): null/distinct counts + typed min/max per
+    column in a single scan-side aggregate (multiple DISTINCTs plan as
+    one Expand; the shuffle carries per-column partial states)."""
+    from spark_tensors_spark.operators.profile import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile(
+        ev, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).orderBy("col")
+
+
+EV_PROFILE_COLUMNS_SQL = """
+SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_num,
+       CAST(MAX(event_id) AS DOUBLE) AS max_num,
+       '' AS min_str, '' AS max_str
+FROM events
+UNION ALL
+SELECT 'ts', COUNT(*),
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT ts),
+       CAST(epoch_us(MIN(ts)) AS DOUBLE), CAST(epoch_us(MAX(ts)) AS DOUBLE),
+       '', ''
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+       '', ''
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT event_type),
+       CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+       MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT value),
+       MIN(value), MAX(value), '', ''
+FROM events
+ORDER BY col
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
+    "ev_profile_columns": ev_profile_columns,
     "ev_zorder_stats": ev_zorder_stats,
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
@@ -515,6 +569,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
+    "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
     "ev_zorder_stats": _zorder_stats_oracle(),
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,
