@@ -177,6 +177,44 @@ def bucketed_interval_join(
     return matched.unionByName(unmatched).drop("_lid")
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign each row a per-key SESSION INDEX under the idle-gap rule
+    (a session closes after ``gap_seconds`` without activity) — the
+    row-level counterpart of `streaming/windows.session_window_agg`
+    (which aggregates; this LABELS, e.g. for per-session feature
+    joins downstream).
+
+    One ordered window, two passes fused by Catalyst: new-session flag
+    = gap to the previous row exceeds the threshold; session index =
+    running sum of flags (1-based).  Pure integer/timestamp codegen —
+    exact on any engine.  Adds ``session_idx`` (long).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        "session_idx", F.sum(new_sess).over(run).cast("long")
+    )
+
+
 def ewma(
     df: DataFrame,
     key_cols: list[str],

@@ -553,9 +553,67 @@ ORDER BY col
 """
 
 
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session labeling (`operators/temporal.sessionize`,
+    5-minute gap) rolled up per (user, session): length, span, value
+    sum — the per-session feature table a training pipeline joins
+    back to events.  Session boundaries agree with ev_session_5m's
+    session_window by construction (same gap rule; pinned in
+    tests/test_temporal_queries.py)."""
+    from spark_tensors_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = sessionize(
+        ev, ["user_id"], gap_seconds=300, order_tiebreak="event_id"
+    )
+    return (
+        lab.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("span_us"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v_sum"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+EV_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                     > 300 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
+FROM labeled
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_sessionize": ev_sessionize,
     "ev_zorder_stats": ev_zorder_stats,
     "ev_asof_last_click": ev_asof_last_click,
     "ev_range_click_stats": ev_range_click_stats,
@@ -570,6 +628,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_zorder_stats": _zorder_stats_oracle(),
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
     "ev_range_click_stats": EV_RANGE_CLICK_STATS_SQL,

@@ -221,3 +221,26 @@ def test_ewma_window_truncation(spark):
                 window=2).collect()}
     # event 2 folds [8, 4] only: (0/2+8/2)/2 + 4/2 = 4.0
     assert out[2] == 4.0
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """The row-level labeler and Spark's session_window draw the SAME
+    session boundaries: per user, session count and per-session event
+    counts match."""
+    from spark_tensors_spark.operators.temporal import sessionize
+    from spark_tensors_spark.streaming.windows import session_window_agg
+    from spark_tensors_spark.io.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    lab = (
+        sessionize(ev, ["user_id"], gap_seconds=300,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_idx")
+        .count()
+    )
+    mine = sorted(
+        (r.user_id, r["count"]) for r in lab.collect()
+    )
+    sw = session_window_agg(ev, gap="5 minutes")
+    theirs = sorted((r.user_id, r.c) for r in sw.collect())
+    assert mine == theirs
