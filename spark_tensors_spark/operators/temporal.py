@@ -194,6 +194,14 @@ def sessionize(
     = gap to the previous row exceeds the threshold; session index =
     running sum of flags (1-based).  Pure integer/timestamp codegen —
     exact on any engine.  Adds ``session_idx`` (long).
+
+    Boundary semantics (INCLUSIVE gap, strict ``>``): an event at
+    EXACTLY ``gap_seconds`` after the previous one stays in the SAME
+    session.  This matches Spark's ``session_window``, whose merge is
+    inclusive at the session end (an event at ``prev_ts + gap`` is
+    absorbed and extends the window) — verified empirically and pinned
+    by an exact-gap case in
+    tests/test_temporal_queries.py::test_sessionize_exact_gap_boundary.
     """
     from pyspark.sql.window import Window
 

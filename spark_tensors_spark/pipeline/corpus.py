@@ -92,8 +92,13 @@ def bm25_topk(
     6th decimal.  Returns (id, n_terms, bm25) top-``k`` by (bm25 desc,
     id).
     """
-    toks = tokens_col(text_col)
     qset = list(query_terms)
+    if not qset:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    # NULL text would yield F.size() = -1 under non-ANSI mode,
+    # silently corrupting dl and the Σdl corpus statistic — treat a
+    # NULL document as empty instead
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     # filter INSIDE the token array before exploding: the explode emits
     # only query-term hits, not the whole corpus token stream
     base = docs.select(

@@ -183,7 +183,12 @@ def compression_signal(
             out_cols["n_zlib"] = n_z
             yield pd.DataFrame(out_cols)
 
-    carry_schema = "".join(f"{c} string, " for c in carry_cols)
+    # carry columns keep their source types (a numeric group key would
+    # fail or coerce at Arrow conversion if hardcoded as string)
+    carry_schema = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, "
+        for c in carry_cols
+    )
     out = df.select(id_col, *carry_cols, text_col).mapInPandas(
         batch, f"{id_col} long, {carry_schema}n_chars long, n_zlib long"
     )

@@ -57,11 +57,24 @@ def assign_cells_batch(
                 + c_sq[None, :]
             )
             cell = d2.argmin(axis=1)  # ties → lower cell id
+            d2_sel = d2[np.arange(len(cell)), cell]
+            # the long output schema assumes integer geometry (integer
+            # vectors + integer centroids, e.g. pseudo_centroids on
+            # int8 codes): guard instead of silently truncating a
+            # fractional distance from float vectors
+            if not np.array_equal(d2_sel, np.rint(d2_sel)):
+                raise ValueError(
+                    "assign_cells_batch: non-integer squared distance "
+                    "— the long d2 schema requires integer-valued "
+                    "vectors and centroids (see pseudo_centroids); "
+                    "quantize the stream (scalar_quantize_int8) or "
+                    "extend the sink schema to double"
+                )
             yield pd.DataFrame(
                 {
                     "vid": pdf[id_col],
                     "cell": cell.astype(np.int64),
-                    "d2": d2[np.arange(len(cell)), cell].astype(np.int64),
+                    "d2": d2_sel.astype(np.int64),
                 }
             )
 

@@ -181,3 +181,40 @@ def test_compression_signal_separates_boilerplate(spark):
     assert 0 < out[0].ratio < out[1].ratio <= 1.2
     assert out[0].ratio < 0.3  # boilerplate band
     assert out[0].n_zlib < out[1].n_zlib
+
+
+def test_compression_signal_numeric_carry_col(spark):
+    """carry_cols keep their SOURCE types (a bigint group key used to
+    be hardcoded as string in the Arrow output schema)."""
+    from spark_tensors_spark.pipeline.text import compression_signal
+
+    docs = spark.createDataFrame(
+        [(0, 7, "alpha beta gamma"), (1, 9, "x " * 50)],
+        "doc_id long, grp long, text string",
+    )
+    out = compression_signal(docs, carry_cols=("grp",))
+    assert dict(out.dtypes)["grp"] == "bigint"
+    got = {r.doc_id: r.grp for r in out.collect()}
+    assert got == {0: 7, 1: 9}
+
+
+def test_bm25_guards(spark):
+    """Empty query_terms raises a clear error; NULL text is treated as
+    an empty doc (no -1 dl corrupting Σdl) and never scores."""
+    import pytest
+
+    from spark_tensors_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "join scan"), (1, None), (2, "join")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus.bm25_topk(docs, ())
+    out = {r.doc_id: r for r in
+           corpus.bm25_topk(docs, ("join",), k=10).collect()}
+    assert set(out) == {0, 2}
+    # avgdl uses dl=0 (not -1) for the NULL doc: N=3, Σdl = 2+0+1 = 3,
+    # so the two scoring docs see avgdl=1.0; with dl=2 doc 0 scores
+    # strictly below doc 2 (same tf/df, longer doc)
+    assert out[2].bm25 > out[0].bm25

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -244,3 +245,41 @@ def test_sessionize_agrees_with_session_window(spark):
     sw = session_window_agg(ev, gap="5 minutes")
     theirs = sorted((r.user_id, r.c) for r in sw.collect())
     assert mine == theirs
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """An event at EXACTLY gap_seconds after the previous one stays in
+    the SAME session (inclusive gap) — and Spark's session_window does
+    the same (its merge is inclusive at the session end: an event at
+    prev_ts + gap is absorbed and extends the window).  The corpus
+    parity test above is data-dependent (no exact-gap spacing in the
+    synthetic events); this pins the boundary on both engines, plus
+    the first spacing past the gap (+1µs → new session)."""
+    import datetime as dt
+    from spark_tensors_spark.operators.temporal import sessionize
+    from spark_tensors_spark.streaming.windows import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 1, 1],
+            # 0s, +300s exactly (same session), +300s exactly again
+            # (same session), then +300.000001s (NEW session)
+            "ts": [
+                t0,
+                t0 + dt.timedelta(seconds=300),
+                t0 + dt.timedelta(seconds=600),
+                t0 + dt.timedelta(seconds=900, microseconds=1),
+            ],
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    lab = sessionize(df, ["user_id"], gap_seconds=300,
+                     order_tiebreak="event_id")
+    idx = {r.event_id: r.session_idx for r in lab.collect()}
+    assert idx == {0: 1, 1: 1, 2: 1, 3: 2}
+    # session_window agrees: 2 sessions, sized 3 and 1
+    sw = session_window_agg(df, gap="5 minutes")
+    assert sorted(r.c for r in sw.collect()) == [1, 3]
