@@ -269,15 +269,39 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
 
 
+# Polynomial rolling hash over character codes, h' = (131·h + code) mod
+# (a prime < 2^55): every intermediate stays < 2^62 (no BIGINT overflow
+# in either engine), every signature bit ≥ 55 is provably 0, and a SQL
+# oracle recomputes it symbolically (list_reduce over
+# ascii(substr(...)) codes) — the SimHash analogue of the ANN
+# pseudo-geometry formulas (similarity.pseudo_planes).
+PSEUDO_TOKEN_HASH_SQL = (
+    "aggregate(split(t, ''), CAST(0 AS BIGINT), "
+    "(acc, c) -> (acc * 131 + ascii(c)) % 36028797018963913)"
+)
+
+
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash_sql: str = "xxhash64(t)",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
-    Token hashing runs JVM-side (`xxhash64` inside a higher-order
-    `transform` — codegen, no Python string handling); only the
-    bit-voting touches Python, fully vectorized over the Arrow batch.
-    A per-token Python FNV loop was ~10× slower at 300-char docs.
+    Token hashing runs JVM-side (an SQL expression over the token `t`
+    inside a higher-order `transform` — codegen, no Python string
+    handling); only the bit-voting touches Python, fully vectorized
+    over the Arrow batch.  A per-token Python FNV loop was ~10× slower
+    at 300-char docs.
+
+    ``token_hash_sql`` swaps the token hash (default `xxhash64`).  The
+    declared query uses :data:`PSEUDO_TOKEN_HASH_SQL` — a polynomial
+    rolling hash over character codes, integer-exact in any engine —
+    so the UNCHANGED bit-vote + banding machinery below becomes
+    DuckDB-oracleable (the r5 ANN pseudo-geometry doctrine); the
+    xxhash64 production path keeps its exact digest pin in
+    tests/test_trained_ann_goldens.py.
 
     Returns (doc_id, simhash long).  Near-dup candidates are rows whose
     signatures agree on any 16-bit chunk (see :func:`simhash_candidates`).
@@ -286,7 +310,7 @@ def simhash64(
         id_col,
         F.expr(
             f"transform(filter(split({text_col}, ' '), t -> t <> ''), "
-            f"t -> xxhash64(t))"
+            f"t -> {token_hash_sql})"
         ).alias("th"),
     )
 
@@ -364,18 +388,30 @@ def embedding_near_dups_bucketed(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
+    round_decimals: int | None = 6,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     → exact cosine only within a bucket (candidate space Σ bucket², not
     N²).  Recall < 1 by construction (multiprobe raises it — see
     ``similarity.lsh_bucketed_topk``); exact duplicates always share a
     bucket, so true dups are never missed.
+
+    ``planes`` fixes the hyperplanes (e.g. the integer
+    ``similarity.pseudo_planes`` on int8 codes — every bucket bit and
+    dot product becomes integer-exact, which is how the declared query
+    is DuckDB-oracled).  ``round_decimals=None`` ships the cosine
+    UNROUNDED: when both engines compute the identical expression tree
+    ``dot / sqrt(dot_aa · dot_bb)`` on exact-integer inputs the doubles
+    are bit-identical, and the round-trip through ROUND() is the only
+    step that can diverge (dyadic-tie doctrine, ROUND_NOTES r5).
     """
     from spark_tensors_spark.functions.columns import cosine_col
     from spark_tensors_spark.pipeline.similarity import lsh_buckets
 
     b = lsh_buckets(
-        emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+        emb, n_planes=n_planes, seed=seed, id_col=id_col,
+        vec_col=vec_col, planes=planes,
     )
     with_b = emb.join(b, id_col)
     left = with_b.select(
@@ -388,14 +424,13 @@ def embedding_near_dups_bucketed(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
+    cos = cosine_col("va", "vb")
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_col("va", "vb"), 6).alias("cos"),
-        )
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") > threshold)
         .distinct()
     )

@@ -993,11 +993,21 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SIMHASH_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         docs = ensure_scan_parallelism(docs)
-        _SIMHASH_CACHE[key] = dedup.simhash64(docs).persist()
+        _SIMHASH_CACHE[key] = dedup.simhash64(
+            docs, token_hash_sql=dedup.PSEUDO_TOKEN_HASH_SQL
+        ).persist()
     return _SIMHASH_CACHE[key]
 
 
 def doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates through the PRODUCTION plan (JVM
+    token hashing, Arrow bit-vote, 16-bit band self-join with the
+    oversized-bucket cap) — on the polynomial pseudo-token hash
+    (`dedup.PSEUDO_TOKEN_HASH_SQL`), so every signature bit is
+    integer-exact and the DuckDB oracle recomputes the 64-bit majority
+    vote + all 4 chunks symbolically (the r5 ANN pseudo-geometry
+    doctrine applied to SimHash).  The xxhash64 production hash keeps
+    its exact sf0.001 digest pin in tests/test_trained_ann_goldens.py."""
     sim = _simhashes(spark, sf_dir)
     return dedup.simhash_candidates(sim).orderBy("doc_a", "doc_b")
 
@@ -1008,12 +1018,19 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     N²).  The synthetic embeddings have no true near-dups (max cos
     ≈ 0.49), so the declared form reports the top-50 in-bucket
     candidate pairs by cosine — always non-empty, same machinery.
-    Rows-only under the driver (bucket assignment is engine-specific);
-    cosine values are re-verified against numpy in
-    tests/test_pipeline_queries.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Runs on int8 codes with the fixed integer `pseudo_planes`, so
+    bucket bits and all three dot products are exact integers and the
+    UNROUNDED cosine `dot/√(na²·nb²)` is bit-identical cross-engine
+    (hash-gated by the driver since r6); the random-hyperplane float
+    path keeps its digest pin in tests/test_trained_ann_goldens.py and
+    its subset-of-brute-force property in tests/test_pipeline_queries."""
+    codes = _int8_codes(spark, sf_dir)
+    planes = similarity.pseudo_planes(8, 64)
     return (
-        dedup.embedding_near_dups_bucketed(emb, threshold=-1.0, n_planes=8)
+        dedup.embedding_near_dups_bucketed(
+            codes, threshold=-1.0, planes=planes,
+            id_col="vec_id", vec_col="codes", round_decimals=None,
+        )
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(50)
     )
@@ -1076,17 +1093,17 @@ QUERIES = {
     "doc_dup_spans": doc_dup_spans,
     "doc_mixture_sample": doc_mixture_sample,
     "emb_hard_negatives": emb_hard_negatives,
-    "emb_near_dup_bucketed": emb_near_dup_bucketed,
     "doc_minhash_jaccard_est": doc_minhash_jaccard_est,
-    # value-oracled since r5 (integer pseudo-geometry / int8 codes)
+    # value-oracled since r5/r6 (integer pseudo-geometry / int8 codes)
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "emb_ann_ivf_topk": emb_ann_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
     "emb_ann_ivfpq_topk": emb_ann_ivfpq_topk,
     "emb_pca_moments": emb_pca_moments,
     "emb_ann_ivf_recall": emb_ann_ivf_recall,
-    # rows-only (engine-specific signatures / eigensolve / zlib)
+    "emb_near_dup_bucketed": emb_near_dup_bucketed,
     "doc_simhash_candidates": doc_simhash_candidates,
+    # rows-only (eigensolve / zlib)
     "emb_pca_topvar": emb_pca_topvar,
     "doc_compression_stats": doc_compression_stats,
     "doc_bpe_encode_stats": doc_bpe_encode_stats,
@@ -1992,6 +2009,80 @@ ORACLES = {
         )
         SELECT query_id, nn_id, dist, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # bucketed near-dup on int8 codes + pseudo_planes(8, 64): bucket
+    # bits and the three dot products are exact integers; the cosine is
+    # shipped UNROUNDED (identical expression tree dot/sqrt(na2*nb2) on
+    # exact-integer inputs → bit-identical doubles; the driver's
+    # normalize rounds both sides identically)
+    "emb_near_dup_bucketed": _ANN_CODES_CTE + """,
+        b AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(8), p ->
+                       CASE WHEN list_sum(list_transform(range(64), j ->
+                           codes[CAST(j AS INT) + 1]
+                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
+                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
+                   AS BIGINT) AS bucket,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       codes[CAST(j AS INT) + 1]
+                       * codes[CAST(j AS INT) + 1])) AS BIGINT) AS n2
+            FROM q
+        ),
+        pairs AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       l.codes[CAST(j AS INT) + 1]
+                       * r.codes[CAST(j AS INT) + 1])) AS DOUBLE)
+                   / SQRT(CAST(l.n2 * r.n2 AS DOUBLE)) AS cos
+            FROM b l JOIN b r
+              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b, cos FROM pairs
+        WHERE cos > CAST(-1.0 AS DOUBLE)
+        ORDER BY cos DESC, id_a, id_b LIMIT 50
+    """,
+    # SimHash candidates on the polynomial pseudo-token hash: the
+    # 64-bit majority vote is integer-exact (hash < 2^55 so bits >= 55
+    # are provably 0 — range(55) reproduces the full signature), then
+    # the same 4x16-bit banding + <=64 bucket cap as the Spark plan
+    "doc_simhash_candidates": """
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform(
+                     list_filter(string_split(text, ' '), t -> t <> ''),
+                     t -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              [CAST(ascii(substr(t, CAST(i AS INT), 1))
+                                    AS BIGINT)
+                               FOR i IN range(1, length(t) + 1)]),
+                            (a, c) -> (a * 131 + c)
+                                      % 36028797018963913)) AS th
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(range(55), b ->
+                       CASE WHEN coalesce(list_sum(list_transform(th,
+                              h -> CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                        THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                            ELSE 0 END)), 0) AS BIGINT) AS simhash
+            FROM th
+        ),
+        banded_all AS (
+            SELECT doc_id, CAST(bb.band AS BIGINT) AS band,
+                   (simhash >> CAST(16 * bb.band AS INT)) & 65535 AS sig
+            FROM sig CROSS JOIN (SELECT UNNEST(range(4)) AS band) bb
+        ),
+        banded AS (
+            SELECT * FROM banded_all
+            QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ORDER BY doc_a, doc_b
     """,
     # IVF recall@5 vs exact brute force, both symbolic (queries
     # vec_id % 25 = 0)

@@ -107,28 +107,29 @@ def test_bucketed_near_dups_subset_of_brute_force(spark):
 
 def test_declared_bucketed_near_dup_values_exact(spark):
     """The DECLARED emb_near_dup_bucketed query (top-50 in-bucket
-    candidates, n_planes=8, real embeddings table): non-empty, sorted
-    by cosine desc, and every reported cosine equals the numpy value
-    for that id pair to 6 dp — the rows-only driver check plus this
-    property is the correctness story for the scale path."""
+    candidates, int8 codes + pseudo_planes(8, 64), unrounded cosine):
+    non-empty, sorted by cosine desc, and every reported cosine is
+    BIT-IDENTICAL to the numpy value dot/sqrt(na2*nb2) on the codes —
+    the driver hash-gates the same values against the DuckDB oracle."""
     import numpy as np
 
+    from spark_tensors_spark.pipeline.quantize import scalar_quantize_int8
     from spark_tensors_spark.queries import pipeline_queries as pq
 
     rows = pq.emb_near_dup_bucketed(spark, SF).collect()
     assert 0 < len(rows) <= 50
     cos_vals = [r.cos for r in rows]
     assert cos_vals == sorted(cos_vals, reverse=True)
-    vecs = {
-        r.vec_id: np.array(r.embedding, dtype=float)
-        for r in load_table(spark, SF, "embeddings").collect()
+    codes = {
+        r.vec_id: np.array(r.codes, dtype=np.float64)
+        for r in scalar_quantize_int8(
+            load_table(spark, SF, "embeddings")
+        ).collect()
     }
     for r in rows:
-        va, vb = vecs[r.id_a], vecs[r.id_b]
-        exact = float(
-            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
-        )
-        assert abs(r.cos - round(exact, 6)) < 1e-9
+        va, vb = codes[r.id_a], codes[r.id_b]
+        exact = float(va @ vb) / np.sqrt(float(va @ va) * float(vb @ vb))
+        assert r.cos == exact  # bit-identical, not approximately
         assert r.id_a < r.id_b
 
 

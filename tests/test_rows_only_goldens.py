@@ -19,9 +19,11 @@ from tests.oracle_harness import normalize
 # (The four ANN queries moved out in r5: they are value-oracled now —
 # integer pseudo-geometry — and the trained float paths are pinned in
 # tests/test_trained_ann_goldens.py with the same digests.)
+# (doc_simhash_candidates + emb_near_dup_bucketed moved out in r6:
+# value-oracled via pseudo-token hashes / int8 codes + pseudo_planes;
+# their engine-hash production paths keep the same digests in
+# tests/test_trained_ann_goldens.py.)
 GOLDEN = {
-    "doc_simhash_candidates": (2459, "63f884fdea4a18068c6754fa25916c08"),
-    "emb_near_dup_bucketed": (50, "7975f90a6062e4cba607f588acfdcca2"),
     "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
     # zlib byte counts are library-specific (hence no SQL oracle) but
     # deterministic for a fixed level within this container

@@ -84,3 +84,37 @@ def test_trained_ivfpq_topk_digest(spark):
         ).orderBy("query_id", "rk")
     )
     assert got == (50, "e732af31f4e92186275af64f46cc073f")
+
+
+def test_production_xxhash_simhash_digest(spark):
+    """The xxhash64 SimHash production path (the declared query runs
+    the polynomial pseudo-token hash since r6, oracled) — pinned with
+    the exact digest it carried as the rows-only declared query
+    through r5."""
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = _digest(
+        dedup.simhash_candidates(dedup.simhash64(docs)).orderBy(
+            "doc_a", "doc_b"
+        )
+    )
+    assert got == (2459, "63f884fdea4a18068c6754fa25916c08")
+
+
+def test_production_float_near_dup_bucketed_digest(spark):
+    """The random-hyperplane float near-dup path on the raw embedding
+    table (the declared query runs int8 codes + pseudo_planes since
+    r6, oracled) — pinned with the exact digest it carried as the
+    rows-only declared query through r5."""
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline import dedup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = _digest(
+        dedup.embedding_near_dups_bucketed(emb, threshold=-1.0, n_planes=8)
+        .orderBy(F.desc("cos"), "id_a", "id_b")
+        .limit(50)
+    )
+    assert got == (50, "7975f90a6062e4cba607f588acfdcca2")
