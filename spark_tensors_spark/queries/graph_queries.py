@@ -395,8 +395,97 @@ LIMIT 100
 """
 
 
+PPR_SEEDS = 8  # power of 2: 1/|S| stays dyadic → the terminating-
+#                decimal rounding argument of kg_pagerank carries over
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the encoded KG edge list, teleporting
+    to the 8 smallest source entities (`operators/graph.py:368`).  Same
+    unrolled-power-iteration oracle as kg_pagerank — the teleport
+    vector is just one more CTE — and the same 8-dp fine-rounding
+    doctrine (see kg_pagerank's docstring); |S| = 8 keeps the base term
+    (1−d)/|S| a terminating decimal."""
+    from spark_tensors_spark.operators.graph import personalized_pagerank
+
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    edges = enc.select("s_id", "o_id")
+    seeds = (
+        edges.select(F.col("s_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_SEEDS)
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, "s_id", "o_id", seed_col="node",
+        iterations=PR_ITERATIONS, damping=PR_DAMPING,
+    )
+    n = ranks.count()
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.round(F.col("rank") * n, 8).alias("rank_scaled"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _ppr_oracle() -> str:
+    n_expr = "(SELECT COUNT(*) FROM nodes)"
+    d = f"CAST({PR_DAMPING!r} AS DOUBLE)"
+    # the Spark operator computes (1-d)/n_seeds DRIVER-side in Python;
+    # repr() reproduces that exact double (division by 8 is exact)
+    base = f"CAST({(1.0 - PR_DAMPING) / PPR_SEEDS!r} AS DOUBLE)"
+    tele = f"CASE WHEN n.is_seed = 1 THEN {base} ELSE CAST(0.0 AS DOUBLE) END"
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERATIONS + 1):
+        its.append(
+            f"""r{i} AS (
+    SELECT n.node, n.is_seed,
+           {tele}
+           + {d} * COALESCE(SUM(p.rank / od.outdeg), 0) AS rank
+    FROM nodes n
+    LEFT JOIN edges e ON e.o_id = n.node
+    LEFT JOIN {prev} p ON p.node = e.s_id
+    LEFT JOIN outdeg od ON od.node = e.s_id
+    GROUP BY n.node, n.is_seed
+)"""
+        )
+        prev = f"r{i}"
+    iters_sql = ",\n".join(its)
+    return f"""{TRIPLES_CTE},
+edges AS (SELECT DISTINCT s_id, o_id FROM triples_encoded),
+seeds AS (
+    SELECT DISTINCT s_id AS node FROM edges ORDER BY node LIMIT {PPR_SEEDS}
+),
+nodes AS (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+    FROM (SELECT s_id AS node FROM edges
+          UNION SELECT o_id FROM edges) n
+    LEFT JOIN seeds s ON s.node = n.node
+),
+outdeg AS (
+    SELECT s_id AS node, COUNT(*) AS outdeg FROM edges GROUP BY s_id
+),
+r0 AS (
+    SELECT node, is_seed,
+           CASE WHEN is_seed = 1 THEN {base}
+                ELSE CAST(0.0 AS DOUBLE) END AS rank
+    FROM nodes
+),
+{iters_sql}
+SELECT node AS node_id,
+       ROUND(rank * {n_expr}, 8) AS rank_scaled
+FROM {prev}
+ORDER BY node_id
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
+    "graph_ppr": graph_ppr,
     "graph_triangles": copurchase_triangles,
     "graph_communities": copurchase_communities,
     "graph_link_prediction": copurchase_link_prediction,
@@ -406,6 +495,7 @@ QUERIES = {
 
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
+    "graph_ppr": _ppr_oracle(),
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
     "graph_communities": _communities_oracle(),
     "graph_link_prediction": LINK_PREDICTION_SQL,

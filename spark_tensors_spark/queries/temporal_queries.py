@@ -610,9 +610,63 @@ ORDER BY user_id, session_idx
 """
 
 
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling + forward fill
+    (`operators/temporal.resample_ffill`): hourly grid per sampled user
+    (user_id % 25 = 0 keeps the grid bounded: span/step rows per key),
+    last-observation-per-bucket via max_by on (ts, value), gaps filled
+    by a last(ignoreNulls) running window.  Values are CARRIED, never
+    aggregated, so the oracle is exact without any float doctrine; the
+    DuckDB side mirrors the bucket floor-division, the (ts, value)
+    lexicographic tie-break (row_number) and last_value IGNORE NULLS."""
+    from spark_tensors_spark.operators.temporal import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    return resample_ffill(ev, ["user_id"], step_seconds=3600).orderBy(
+        "user_id", "bucket_ts"
+    )
+
+
+EV_RESAMPLE_FFILL_SQL = """
+WITH obs AS (
+    SELECT user_id,
+           (epoch_us(ts) // 1000000) // 3600 * 3600 AS b,
+           ts, value
+    FROM events WHERE user_id % 25 = 0
+),
+per_bucket AS (
+    SELECT user_id, b, value AS v FROM (
+        SELECT user_id, b, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM obs) WHERE rn = 1
+),
+span AS (
+    SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, UNNEST(range(lo, hi + 3600, 3600)) AS b FROM span
+),
+filled AS (
+    SELECT g.user_id, g.b,
+           last_value(p.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+    FROM grid g LEFT JOIN per_bucket p
+      ON p.user_id = g.user_id AND p.b = g.b
+)
+SELECT user_id,
+       make_timestamp(CAST(b * 1000000 AS BIGINT)) AS bucket_ts, v
+FROM filled ORDER BY user_id, bucket_ts
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_resample_ffill": ev_resample_ffill,
     "ev_sessionize": ev_sessionize,
     "ev_zorder_stats": ev_zorder_stats,
     "ev_asof_last_click": ev_asof_last_click,
@@ -628,6 +682,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_zorder_stats": _zorder_stats_oracle(),
     "ev_asof_last_click": EV_ASOF_LAST_CLICK_SQL,
