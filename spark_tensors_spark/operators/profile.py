@@ -6,12 +6,15 @@ timestamp columns in a numeric slot, strings in a string slot — never
 a cross-engine float→string format round trip).  Output is one row per
 column, so the profile of a 100 TB table is #columns rows.
 
-Scale shape: a single global aggregate; the multiple DISTINCT
-aggregates plan as one Expand + partial aggregation (map-side
-combined), so the shuffle carries per-column partial states, not rows.
-For tables where exact distinct is too hot, the HLL sketch
-(`functions/sketches.py`) is the drop-in replacement — this operator
-deliberately stays exact so the DuckDB oracle can state it.
+Scale shape: a single global aggregate.  With ``exact=True`` the
+multiple DISTINCT aggregates plan as one Expand — ONE INPUT REPLICA
+PER DISTINCT AGGREGATE, so a 20-column table scans 20× the rows
+before the partial aggregation.  The default (``exact=False``) uses
+``approx_count_distinct`` (HLL++, rsd 0.01): no Expand, fully
+mergeable partial states, the same one-pass plan at any column count
+— the shuffle carries per-column sketch states, not rows.  The
+declared/oracled query opts into ``exact=True`` (DuckDB can state
+exact distinct); at 100 TB use the default (see SCALE.md).
 """
 
 from __future__ import annotations
@@ -26,23 +29,22 @@ _NUMERIC = (
 )
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """DataFrame(col, n_rows, n_nulls, n_distinct, min_num, max_num,
-    min_str, max_str) — one row per profiled column, one input scan.
-
-    Numeric columns land min/max in ``min_num``/``max_num`` (DOUBLE);
-    timestamps as epoch microseconds in the same slots (format-free);
-    strings in ``min_str``/``max_str``.  Unsupported types profile
-    nulls/distinct only.
-    """
-    cols = columns or df.columns
+def _profile_agg(df: DataFrame, cols: list[str], exact: bool) -> DataFrame:
+    """The single scan-side wide aggregate behind :func:`profile`
+    (pre-checkpoint, so plan tests can pin the Expand / no-Expand
+    shape)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         dt = df.schema[c].dataType
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        distinct_agg = (
+            F.countDistinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), rsd=0.01)
+        )
+        aggs.append(distinct_agg.alias(f"{c}__distinct"))
         if isinstance(dt, _NUMERIC):
             num = F.col(c).cast("double")
             aggs.append(F.min(num).alias(f"{c}__min_num"))
@@ -54,10 +56,33 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         elif isinstance(dt, T.StringType):
             aggs.append(F.min(F.col(c)).alias(f"{c}__min_str"))
             aggs.append(F.max(F.col(c)).alias(f"{c}__max_str"))
+    return df.agg(*aggs)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """DataFrame(col, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str) — one row per profiled column, one input scan.
+
+    Numeric columns land min/max in ``min_num``/``max_num`` (DOUBLE);
+    timestamps as epoch microseconds in the same slots (format-free);
+    strings in ``min_str``/``max_str``.  Unsupported types profile
+    nulls/distinct only.
+
+    ``exact`` switches ``n_distinct`` between exact ``countDistinct``
+    (plans an Expand: one input replica per distinct aggregate — pay
+    it only when a column's exact cardinality matters) and the default
+    ``approx_count_distinct`` (no Expand; plan-pinned in
+    tests/test_profile.py).
+    """
+    cols = columns or df.columns
     # materialize the 1-row aggregate ONCE — the melt below reads it
     # #cols times, and an unpersisted agg would rerun the full scan per
     # union branch
-    one = df.agg(*aggs).localCheckpoint()
+    one = _profile_agg(df, cols, exact).localCheckpoint()
     # melt the single wide row into one row per column (a #cols-element
     # scan over a 1-row frame — free)
     parts = []

@@ -179,19 +179,102 @@ def encode_words(
     )
 
 
+def top_pairs(pairs: DataFrame, k: int) -> list[tuple[str, str, int]]:
+    """Top-``k`` pairs by (count desc, pair asc) — one bounded collect
+    (TakeOrderedAndProject)."""
+    rows = pairs.orderBy(
+        F.col("cnt").desc(), F.col("a"), F.col("b")
+    ).limit(k).collect()
+    return [(r["a"], r["b"], int(r["cnt"])) for r in rows]
+
+
+def _sequential_safe_prefix(
+    cands: list[tuple[str, str, int]], truncated: bool
+) -> list[tuple[str, str]]:
+    """Accept a prefix of the (count desc, pair asc)-ordered candidates
+    that is PROVABLY identical, merge-for-merge, to what the strictly
+    sequential fit would pick — so batching rounds never changes the
+    learned tokenizer.
+
+    Invariants used:
+    - a pair DISJOINT from every accepted pair keeps its exact count
+      (its adjacencies cannot be consumed by those merges);
+    - a CONFLICTING pair's count can only DECREASE;
+    - a NEW pair created by merging (a, b) — (x, ab) / (ab, y) /
+      (ab, ab) — is bounded by the count of a conflicting OLD pair
+      ((x, a) / (b, y) / (b, a)), so its count is ≤ the largest
+      conflicting candidate skipped so far (``ceiling``), or ≤ the
+      truncation count if that old pair fell below the collected top-K
+      (``floor``).
+
+    Hence: accept the first candidate unconditionally (no merges
+    precede it — it IS the sequential argmax); afterwards accept a
+    disjoint candidate only while its count is STRICTLY above both
+    bounds (strictness also kills count-ties, where the (a, b) lex
+    tie-break could favor an unseen new pair).  Stop at the first
+    disjoint candidate that fails — everything below it fails too.
+    """
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    ceiling = -1  # max count among skipped conflicting candidates
+    floor = cands[-1][2] if (cands and truncated) else -1
+    for idx, (a, b, c) in enumerate(cands):
+        if idx == 0:
+            accepted.append((a, b))
+            used.update((a, b))
+            continue
+        if a in used or b in used:
+            ceiling = max(ceiling, c)
+            continue
+        if c <= max(ceiling, floor):
+            break
+        accepted.append((a, b))
+        used.update((a, b))
+    return accepted
+
+
 def fit_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    merges_per_round: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
-    ordered merge list.  Driver state per round: one (a, b, count)
-    row."""
+    ordered merge list.
+
+    ``merges_per_round=1`` is the plain sequential loop (one
+    pair-count aggregate + one 1-row collect per merge).  That is one
+    Spark job pair PER MERGE — fine for a handful of merges, a cliff
+    for a real 32k-merge tokenizer fit (32k aggregates over the
+    distinct-word table).  ``merges_per_round=K`` amortizes WITHOUT
+    changing the result: each round runs ONE pair-count aggregate,
+    collects the top-K candidates (bounded,
+    ``TakeOrderedAndProject``), and accepts the
+    ``_sequential_safe_prefix`` — a prefix provably identical to the
+    sequential fit's next picks (see its docstring for the invariant
+    argument; parity is also pinned merge-for-merge in
+    tests/test_bpe.py).  All accepted merges apply as chained codegen
+    folds under a single checkpoint, so the per-merge driver
+    round-trip amortizes by the acceptance length (corpus-dependent;
+    Zipf pair-count decay keeps it well above 1).
+    """
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     words = word_symbol_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = top_pair(pair_counts(words))
-        if best is None or best[2] < 1:
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        cands = [
+            c for c in top_pairs(pair_counts(words), want) if c[2] >= 1
+        ]
+        accepted = _sequential_safe_prefix(
+            cands, truncated=len(cands) == want and want > 1
+        )
+        accepted = accepted[: n_merges - len(merges)]
+        if not accepted:
             break
-        a, b, _cnt = best
-        merges.append((a, b))
-        words = merge_pair(words, a, b).localCheckpoint()
+        for a, b in accepted:
+            words = merge_pair(words, a, b)
+        words = words.localCheckpoint()
+        merges.extend(accepted)
     return merges

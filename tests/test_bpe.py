@@ -56,6 +56,53 @@ def test_fit_bpe_matches_reference(spark):
     assert got == want, (got, want)
 
 
+def test_fit_bpe_batched_rounds_parity(spark):
+    """The scale path (merges_per_round=K: ONE pair-count aggregate +
+    one bounded collect per round instead of per merge) produces the
+    SAME merge list, merge-for-merge, as the exact sequential fit on
+    this corpus — the disjoint-symbol-support acceptance rule keeps
+    every accepted merge's count invariant within a round."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    seq = bpe.fit_bpe(docs, n_merges=8)
+    for k in (3, 8):
+        batched = bpe.fit_bpe(docs, n_merges=8, merges_per_round=k)
+        assert batched == seq, (k, batched, seq)
+
+
+def test_sequential_safe_prefix_rule():
+    """The acceptance rule: first candidate always; conflicting
+    candidates raise the ceiling (a new pair they bound could reach
+    their count); a disjoint candidate at or below the ceiling/floor
+    STOPS the round (sequential might pick the new pair first)."""
+    cands = [
+        ("a", "b", 10),   # accepted (first = sequential argmax)
+        ("b", "c", 9),    # conflict: ceiling -> 9
+        ("d", "e", 8),    # disjoint but 8 <= 9 -> stop
+        ("f", "g", 6),
+    ]
+    assert bpe._sequential_safe_prefix(cands, truncated=False) == [
+        ("a", "b")
+    ]
+    cands2 = [
+        ("a", "b", 10),   # accepted
+        ("d", "e", 8),    # disjoint, 8 > ceiling(-1)/floor(-1): accept
+        ("b", "c", 7),    # conflict: ceiling -> 7
+        ("f", "g", 7),    # disjoint but 7 <= 7 -> stop
+    ]
+    assert bpe._sequential_safe_prefix(cands2, truncated=False) == [
+        ("a", "b"), ("d", "e")
+    ]
+    # truncation floor: unseen pairs may tie the last collected count
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("d", "e", 8), ("f", "g", 8)], truncated=True
+    ) == [("a", "b")]
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("d", "e", 9), ("f", "g", 8)], truncated=True
+    ) == [("a", "b"), ("d", "e")]
+
+
 def test_merge_pair_greedy_left_nonoverlapping(spark):
     """'aaa' with pair (a,a) merges LEFT-greedily to [aa, a] — the
     overlap rule every real BPE implements."""
