@@ -119,13 +119,72 @@ def tns_cp_als_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "sweep long, fit double")
 
 
+def tns_als_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-sweep's NORMAL-EQUATION table for the mode-A
+    update: the upper triangles of Gᴮ = BᵀB and Gᶜ = CᵀC (each via the
+    single R(R+1)/2-column aggregate `JoinMergeCPALS._gram` uses —
+    here `gram_upper_table`) and their Hadamard product G = Gᴮ∘Gᶜ, the
+    LHS the solve inverts.  On the INTEGER pseudo-factors every sum is
+    exact (< 2⁵³) and BIGINT-castable, so DuckDB recomputes the whole
+    table symbolically (emb_gram_int8 doctrine); only the ridge+pinv
+    solve stays golden (tns_cp_als_fit)."""
+    from spark_tensors_spark.train.parafac import gram_upper_table
+
+    _raw, ent, rel, _enc = _encoded(spark, sf_dir)
+    fb = _int_factor(ent.select(F.col("id").alias("j")), "j", 31, 17, 97)
+    fc = _int_factor(rel.select(F.col("id").alias("k")), "k", 37, 23, 89)
+    gb = gram_upper_table(fb, RANK).select(
+        "a", "b", F.col("g").cast("long").alias("g_b")
+    )
+    gc = gram_upper_table(fc, RANK).select(
+        "a", "b", F.col("g").cast("long").alias("g_c")
+    )
+    return (
+        gb.join(gc, ["a", "b"])
+        .select(
+            "a", "b", "g_b", "g_c",
+            (F.col("g_b") * F.col("g_c")).alias("g"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+TNS_ALS_NORMAL_EQ_SQL = (
+    TRIPLES_CTE
+    + f""",
+ranks AS (SELECT unnest(range({RANK})) AS a),
+rpairs AS (
+    SELECT r1.a AS a, r2.a AS b FROM ranks r1 JOIN ranks r2 ON r2.a >= r1.a
+),
+gb AS (
+    SELECT p.a, p.b,
+           CAST(SUM(((e.id * 31 + p.a * 17) % 97)
+                  * ((e.id * 31 + p.b * 17) % 97)) AS BIGINT) AS g_b
+    FROM entity_dict e CROSS JOIN rpairs p GROUP BY p.a, p.b
+),
+gc AS (
+    SELECT p.a, p.b,
+           CAST(SUM(((r.id * 37 + p.a * 23) % 89)
+                  * ((r.id * 37 + p.b * 23) % 89)) AS BIGINT) AS g_c
+    FROM relation_dict r CROSS JOIN rpairs p GROUP BY p.a, p.b
+)
+SELECT gb.a, gb.b, gb.g_b, gc.g_c,
+       CAST(gb.g_b * gc.g_c AS BIGINT) AS g
+FROM gb JOIN gc ON gb.a = gc.a AND gb.b = gc.b
+ORDER BY gb.a, gb.b
+"""
+)
+
+
 QUERIES = {
     "tns_mttkrp": tns_mttkrp,
     "tns_mttkrp_shuffle": tns_mttkrp_shuffle,
+    "tns_als_normal_eq": tns_als_normal_eq,
     "tns_cp_als_fit": tns_cp_als_fit,
 }
 
 ORACLES = {
     "tns_mttkrp": TNS_MTTKRP_SQL,
     "tns_mttkrp_shuffle": TNS_MTTKRP_SQL,
+    "tns_als_normal_eq": TNS_ALS_NORMAL_EQ_SQL,
 }

@@ -322,6 +322,30 @@ class CPALS:
         return self
 
 
+def gram_upper_table(df: DataFrame, rank: int) -> DataFrame:
+    """(a, b, g): the R(R+1)/2 upper-triangle entries of Σ_rows
+    vec·vecᵀ — the SAME single wide aggregate
+    :meth:`JoinMergeCPALS._gram` collects (driver state = R×R floats),
+    exposed as a DataFrame so the declared normal-equation query
+    (`tns_als_normal_eq`) can gate it under the DuckDB oracle.  One
+    scan-side hash aggregate; the melt is a `stack` projection over
+    the single result row."""
+    pairs = [(a, b) for a in range(rank) for b in range(a, rank)]
+    aggs = [
+        F.sum(F.get("vec", a) * F.get("vec", b)).alias(f"g_{a}_{b}")
+        for a, b in pairs
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"{a}, {b}, g_{a}_{b}" for a, b in pairs)
+    return one.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (a, b, g)")
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("g"),
+    )
+
+
 def _uniform_factor_df(
     spark: SparkSession, n: int, rank: int, seed: int, id_name: str
 ) -> DataFrame:

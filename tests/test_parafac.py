@@ -183,3 +183,33 @@ def test_cpals_checkpoint_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(back.B, m.B)
     np.testing.assert_allclose(back.C, m.C)
     assert back.fit_history == m.fit_history
+
+
+def test_gram_upper_table_matches_trainer_gram(spark):
+    """The DataFrame gram table (the declared tns_als_normal_eq path)
+    and JoinMergeCPALS._gram agree entry-for-entry on the same factor
+    frame."""
+    import pandas as pd
+
+    from spark_tensors_spark.train.parafac import (
+        JoinMergeCPALS,
+        gram_upper_table,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.integers(-5, 6, size=(40, 3)).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"i": range(40), "vec": [list(r) for r in mat]}
+        )
+    )
+    got = {
+        (r.a, r.b): r.g for r in gram_upper_table(df, 3).collect()
+    }
+    want = mat.T @ mat
+    for a in range(3):
+        for b in range(a, 3):
+            assert got[(a, b)] == want[a, b]
+    # and the trainer's collected gram sees the same matrix
+    t = JoinMergeCPALS(spark, n_i=1, n_j=1, n_k=1, rank=3, seed=0)
+    np.testing.assert_allclose(t._gram(df), want)
