@@ -675,6 +675,7 @@ def mmr_rerank(
     lambda_: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein 1998) over a top-k candidate table: greedily pick the
@@ -688,6 +689,12 @@ def mmr_rerank(
     each group is ≤ k rows, so the greedy O(n·k) loop is per-group
     local work.  Ties break by nn_id.  Returns (query_id, nn_id,
     mmr_rank 1..n).
+
+    ``normalize=False`` uses raw dot products as the redundancy term
+    (instead of cosine) — with integer vectors and integer sims every
+    selection score is an exact expression over integers, which is how
+    the declared `emb_mmr_rerank` query is DuckDB-oracled; keep the
+    default for float embeddings.
     """
     cand = scored.join(
         emb.select(
@@ -701,8 +708,13 @@ def mmr_rerank(
         vecs = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
         )
-        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        vn = vecs / norms
+        if normalize:
+            norms = np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
+            vn = vecs / norms
+        else:
+            vn = vecs
         sims = pdf["sim"].to_numpy()
         ids = pdf["nn_id"].to_numpy()
         chosen: list[int] = []

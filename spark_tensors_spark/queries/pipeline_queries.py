@@ -509,6 +509,54 @@ def _mixture_sample_oracle() -> str:
     """
 
 
+def emb_whiten_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA WHITENING under the driver gate: fit_pca (distributed
+    moment pass + driver eigh) → `pca.whiten_pca` (one matmul per
+    Arrow batch) → the whitened output's own second-moment table
+    (reusing `pca.moment_table` at dims=8).  The whitened covariance
+    must be ≈ I (diag λ/(λ+eps), off-diag 0); 4-dp half-up rounding
+    snaps every entry to an exact grid point (diag → 1.0, off-diag →
+    0.0 ± engine-noise ≪ the boundary).  The DuckDB oracle states that
+    INVARIANT (the exact identity table) — the provable output of ANY
+    correct whitening at these eigenvalue scales, independent of the
+    eigenbasis, which itself is not SQL-expressible; a wrong
+    eigh/moment/matmul anywhere in the chain breaks it.  Also
+    golden-pinned (tests/test_rows_only_goldens.py) and
+    property-tested vs direct numpy whitening in tests/test_pca.py."""
+    import decimal
+
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
+    model = pca.fit_pca(emb, dims=64, k=8)
+    white = pca.whiten_pca(emb, model)
+    vals = {
+        r.slot: r.v
+        for r in pca.moment_table(white, dims=8, vec_col="white").collect()
+    }
+    n = int(round(vals[-1]))
+    mw = [vals[i] / n for i in range(8)]
+
+    def _round4(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1E-4"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = []
+    for a in range(8):
+        for b in range(a, 8):
+            g = vals[a * 8 + b + 8]
+            cov = (g - n * mw[a] * mw[b]) / (n - 1)
+            rows.append((a, b, _round4(cov)))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "cov"])
+    return spark.createDataFrame(pdf, "a long, b long, cov double")
+
+
 def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum of the embedding table (`pipeline/pca.py`): one
     distributed moment pass (per-batch BLAS partials, fixed-size
@@ -1036,6 +1084,32 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification through the
+    PRODUCTION plan (candidate×vector equi-join + one applyInPandas
+    greedy per ≤k-row query group, `similarity.mmr_rerank`), fed by
+    the LSH top-10 on int8 codes with pseudo_planes — `normalize=False`
+    keeps the redundancy term a raw integer dot, so every selection
+    score is λ·sim − (1−λ)·red over exact integers (bit-identical
+    doubles) and the DuckDB oracle replays the n=5 greedy selection as
+    five unrolled argmax CTEs.  Output is integer-only (query_id,
+    nn_id, mmr_rank)."""
+    codes = _int8_codes(spark, sf_dir)
+    planes = similarity.pseudo_planes(6, 64)
+    scored = (
+        similarity.lsh_bucketed_topk(
+            codes, k=10, vec_col="codes", planes=planes, metric="dot"
+        )
+        .filter(F.col("query_id") % 5 == 0)
+        .select("query_id", "nn_id", "sim")
+    )
+    out = similarity.mmr_rerank(
+        scored, codes, n=5, lambda_=0.7,
+        vec_col="codes", normalize=False,
+    )
+    return out.orderBy("query_id", "mmr_rank")
+
+
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe LSH ANN self-top-k through the production plan
     (mapInPandas projection, bucket-keyed applyInPandas re-rank,
@@ -1103,6 +1177,9 @@ QUERIES = {
     "emb_ann_ivf_recall": emb_ann_ivf_recall,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
     "doc_simhash_candidates": doc_simhash_candidates,
+    "emb_mmr_rerank": emb_mmr_rerank,
+    # invariant-oracled (cov(white) = I; eigenbasis not SQL-expressible)
+    "emb_whiten_moments": emb_whiten_moments,
     # rows-only (eigensolve / zlib)
     "emb_pca_topvar": emb_pca_topvar,
     "doc_compression_stats": doc_compression_stats,
@@ -2084,6 +2161,11 @@ ORACLES = {
           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
         ORDER BY doc_a, doc_b
     """,
+    # MMR diversification: replay the LSH top-10 (int8 codes, 6 pseudo
+    # planes, dot metric, queries vec_id % 5 = 0), then unroll the n=5
+    # greedy selection — score = 0.7·sim − (1−0.7)·max-dot-to-selected
+    # over exact integers, ties by nn_id
+    "emb_mmr_rerank": None,  # assembled below (unrolled steps)
     # IVF recall@5 vs exact brute force, both symbolic (queries
     # vec_id % 25 = 0)
     "emb_ann_ivf_recall": _ANN_CODES_CTE + """,
@@ -2300,3 +2382,121 @@ ORACLES = {
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
     """,
 }
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (n=5) over the symbolic LSH top-10: step s
+    picks, per query, the remaining candidate maximizing
+    λ·sim − (1−λ)·max(dot to selected) with an nn_id tie-break — the
+    exact numpy lexsort in `similarity.mmr_rerank` (integer sims/dots,
+    bit-identical score doubles)."""
+    lam = repr(0.7)
+    one_minus = repr(1.0 - 0.7)
+    dot64 = (
+        "CAST(list_sum(list_transform(range(64), j -> "
+        "qx.codes[CAST(j AS INT) + 1] * qy.codes[CAST(j AS INT) + 1]"
+        ")) AS DOUBLE)"
+    )
+    steps = []
+    for s in range(2, 6):
+        p = s - 1
+        steps.append(f""",
+        sel{s} AS (
+            SELECT query_id, nn_id FROM (
+                SELECT c.query_id, c.nn_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.query_id
+                           ORDER BY (CAST({lam} AS DOUBLE) * c.sim
+                                     - CAST({one_minus} AS DOUBLE)
+                                       * red.r) DESC,
+                                    c.nn_id) AS rn
+                FROM cand c
+                JOIN (SELECT d.query_id, d.x AS nn_id, MAX(d.dp) AS r
+                      FROM dpair d
+                      JOIN selected{p} sl
+                        ON sl.query_id = d.query_id AND sl.nn_id = d.y
+                      GROUP BY d.query_id, d.x) red
+                  ON red.query_id = c.query_id AND red.nn_id = c.nn_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM selected{p} s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.nn_id = c.nn_id)
+            ) WHERE rn = 1
+        ),
+        selected{s} AS (
+            SELECT * FROM selected{p}
+            UNION ALL SELECT * FROM sel{s}
+        )""")
+    return _ANN_CODES_CTE + """,
+        b AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(6), p ->
+                       CASE WHEN list_sum(list_transform(range(64), j ->
+                           codes[CAST(j AS INT) + 1]
+                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
+                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
+                   AS BIGINT) AS bucket
+            FROM q
+        ),
+        pr AS (
+            SELECT vec_id AS query_id, codes AS qcodes,
+                   UNNEST(list_prepend(bucket, list_transform(range(6),
+                       i -> xor(bucket,
+                                CAST(1 << CAST(i AS INT) AS BIGINT)))))
+                       AS pb
+            FROM b WHERE vec_id % 5 = 0
+        ),
+        lpairs AS (
+            SELECT pr.query_id, c.vec_id AS nn_id,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       pr.qcodes[CAST(j AS INT) + 1]
+                       * c.codes[CAST(j AS INT) + 1])) AS BIGINT) AS dot
+            FROM pr JOIN b c
+              ON c.bucket = pr.pb AND c.vec_id <> pr.query_id
+        ),
+        cand AS (
+            SELECT query_id, nn_id, CAST(dot AS DOUBLE) AS sim FROM (
+                SELECT query_id, nn_id, dot,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, nn_id) AS rk
+                FROM lpairs) WHERE rk <= 10
+        ),
+        dpair AS (
+            SELECT c1.query_id, c1.nn_id AS x, c2.nn_id AS y,
+                   """ + dot64 + """ AS dp
+            FROM cand c1
+            JOIN cand c2 ON c1.query_id = c2.query_id
+            JOIN q qx ON qx.vec_id = c1.nn_id
+            JOIN q qy ON qy.vec_id = c2.nn_id
+        ),
+        sel1 AS (
+            SELECT query_id, nn_id FROM (
+                SELECT query_id, nn_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, nn_id) AS rn
+                FROM cand) WHERE rn = 1
+        ),
+        selected1 AS (SELECT * FROM sel1)""" + "".join(steps) + """
+        SELECT query_id, nn_id, CAST(s AS BIGINT) AS mmr_rank FROM (
+            SELECT query_id, nn_id, 1 AS s FROM sel1
+            UNION ALL SELECT query_id, nn_id, 2 FROM sel2
+            UNION ALL SELECT query_id, nn_id, 3 FROM sel3
+            UNION ALL SELECT query_id, nn_id, 4 FROM sel4
+            UNION ALL SELECT query_id, nn_id, 5 FROM sel5
+        ) ORDER BY query_id, mmr_rank
+    """
+
+
+ORACLES["emb_mmr_rerank"] = _mmr_oracle()
+
+
+# the whitening invariant: cov(whitened) == I at 4 dp (see
+# emb_whiten_moments docstring for why a constant table is the honest
+# oracle here)
+ORACLES["emb_whiten_moments"] = """
+WITH ranks AS (SELECT unnest(range(8)) AS a)
+SELECT r1.a AS a, r2.a AS b,
+       CASE WHEN r1.a = r2.a THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS cov
+FROM ranks r1 JOIN ranks r2 ON r2.a >= r1.a
+ORDER BY a, b
+"""

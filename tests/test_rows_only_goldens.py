@@ -25,6 +25,9 @@ from tests.oracle_harness import normalize
 # tests/test_trained_ann_goldens.py.)
 GOLDEN = {
     "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
+    # oracled too (the cov = I invariant); the digest additionally pins
+    # the exact 36-row grid across container/library versions
+    "emb_whiten_moments": (36, "5f12fb15e8edd713d56f7664a9d06683"),
     # zlib byte counts are library-specific (hence no SQL oracle) but
     # deterministic for a fixed level within this container
     "doc_compression_stats": (20, "b5831312034f72bfc7c833cb1ab55955"),
