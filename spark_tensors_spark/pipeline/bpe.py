@@ -143,6 +143,50 @@ def apply_merges(
     return symbols
 
 
+def merge_substring_index(
+    merges: list[tuple[str, str]]
+) -> dict[str, list[int]]:
+    """a+b → [merge ranks], for :func:`apply_merges_indexed`.  Distinct
+    merges can share a concatenation (("ab","c") and ("a","bc")) —
+    both ranks are kept."""
+    idx: dict[str, list[int]] = {}
+    for i, (a, b) in enumerate(merges):
+        idx.setdefault(a + b, []).append(i)
+    return idx
+
+
+def apply_merges_indexed(
+    symbols: list[str],
+    merges: list[tuple[str, str]],
+    index: dict[str, list[int]],
+) -> list[str]:
+    """EXACTLY :func:`apply_merges` (the ordered fold), skipping
+    provable no-ops: every symbol is a contiguous substring of the
+    word (merges only concatenate adjacent spans), so a merge (a, b)
+    can only fire if ``a+b`` is a substring — enumerate the word's
+    O(len²) substrings once, look up which merge concatenations occur,
+    and fold ONLY those ranks in order.  Per-word cost drops from
+    O(total_merges · len) to O(len² + hits · len): at a 32k-merge
+    vocabulary and ~8-char words that is the ~100× constant cut
+    (SCALE.md #11).  Skipping a non-firing merge is the identity, so
+    parity with the fold is exact (pinned in tests/test_bpe.py,
+    including shared-concatenation collisions)."""
+    word = "".join(symbols)
+    n = len(word)
+    ranks: set[int] = set()
+    seen: set[str] = set()
+    for i in range(n):
+        for j in range(i + 2, n + 1):  # a+b is at least 2 chars
+            sub = word[i:j]
+            if sub in seen:
+                continue
+            seen.add(sub)
+            hit = index.get(sub)
+            if hit:
+                ranks.update(hit)
+    return apply_merges(symbols, [merges[r] for r in sorted(ranks)])
+
+
 def encode_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
@@ -158,10 +202,12 @@ def encode_words(
     """
     import pandas as pd
 
+    index = merge_substring_index(merges)
+
     def batch(it):
         for pdf in it:
             toks = [
-                apply_merges(list(w), merges)
+                apply_merges_indexed(list(w), merges, index)
                 for w in pdf[word_col].astype(str)
             ]
             yield pd.DataFrame(

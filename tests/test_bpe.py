@@ -167,3 +167,52 @@ def test_apply_merges_order_matters():
     assert bpe.apply_merges(list("abc"), [("ab", "c"), ("a", "b")]) == ["ab", "c"]
     # greedy left-to-right non-overlap
     assert bpe.apply_merges(list("aaa"), [("a", "a")]) == ["aa", "a"]
+
+
+def test_apply_merges_indexed_exact_parity():
+    """The substring-indexed apply is EXACTLY the ordered fold on
+    randomized merge tables — including merges that only fire because
+    an earlier merge created their symbols, shared-concatenation
+    collisions, and merges that never fire."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcd"
+    # include a collision: ("ab","c") and ("a","bc") share concat "abc"
+    fixed = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc"),
+             ("c", "d"), ("ab", "cd"), ("d", "a")]
+    for trial in range(200):
+        merges = list(fixed)
+        rng.shuffle(merges)
+        extra = [
+            (
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 2))),
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 2))),
+            )
+            for _ in range(rng.randint(0, 5))
+        ]
+        merges += extra
+        index = bpe.merge_substring_index(merges)
+        word = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 10)))
+        want = bpe.apply_merges(list(word), merges)
+        got = bpe.apply_merges_indexed(list(word), merges, index)
+        assert got == want, (word, merges, got, want)
+
+
+def test_encode_words_uses_indexed_path(spark):
+    """encode_words (now routed through apply_merges_indexed) still
+    matches the plain fold on real fitted merges."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = bpe.fit_bpe(docs, n_merges=8)
+    words = spark.createDataFrame(
+        [("lowest",), ("banana",), ("unseen",), ("w",)], "w string"
+    )
+    got = {r.w: list(r.tokens) for r in
+           bpe.encode_words(words, merges).collect()}
+    for w in got:
+        assert got[w] == bpe.apply_merges(list(w), merges), w
