@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -565,8 +565,14 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
     metric: str = "cosine",
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """ANN self-top-k: bucket every vector, exact cosine within bucket.
+
+    ``query_filter`` restricts the QUERY side only (candidates stay the
+    full corpus): the probe explode and per-bucket score rows shrink by
+    the filter's selectivity while results for the kept queries are
+    identical — push it down here instead of filtering the output.
 
     The join key is the bucket id, so comparisons (and the shuffle) scale
     with Σ bucket² rather than N² — the IVF/LSH scale path.
@@ -609,7 +615,10 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
     )
-    qrys = with_b.select(
+    q_src = (
+        with_b.filter(query_filter) if query_filter is not None else with_b
+    )
+    qrys = q_src.select(
         F.explode(probe_buckets).alias("bucket"),
         F.lit(True).alias("is_q"),
         F.col(id_col).alias("vid"),

@@ -1096,13 +1096,10 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn_id, mmr_rank)."""
     codes = _int8_codes(spark, sf_dir)
     planes = similarity.pseudo_planes(6, 64)
-    scored = (
-        similarity.lsh_bucketed_topk(
-            codes, k=10, vec_col="codes", planes=planes, metric="dot"
-        )
-        .filter(F.col("query_id") % 5 == 0)
-        .select("query_id", "nn_id", "sim")
-    )
+    scored = similarity.lsh_bucketed_topk(
+        codes, k=10, vec_col="codes", planes=planes, metric="dot",
+        query_filter=F.col("vec_id") % 5 == 0,
+    ).select("query_id", "nn_id", "sim")
     out = similarity.mmr_rerank(
         scored, codes, n=5, lambda_=0.7,
         vec_col="codes", normalize=False,
