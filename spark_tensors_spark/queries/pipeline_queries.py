@@ -912,10 +912,13 @@ def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY side of BPE (`bpe.encode_words`): fit 8 merges on the
     corpus, tokenize the distinct-word vocabulary with them, and roll
     up the post-BPE token-length distribution weighted by word
-    frequency.  Rows-only (iterative fit + Python encode) — but pinned
-    two ways: encode(initial table) must equal the fit loop's final
-    iterated table (tests/test_bpe.py), and the result digest is
-    golden-pinned."""
+    frequency.  HASH-GREEN since r6: the DuckDB oracle replays the
+    ENTIRE fit + apply symbolically — 8 unrolled rounds of pair-count
+    aggregate → (cnt desc, a, b) argmax → greedy left-to-right merge
+    via string `replace` on a '|'-wrapped symbol representation (see
+    `_bpe_encode_stats_oracle`).  Also pinned by cross-path parity
+    (encode(initial) ≡ iterated merge_pair table, tests/test_bpe.py)
+    and the r5 golden digest."""
     from spark_tensors_spark.pipeline import bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1177,10 +1180,12 @@ QUERIES = {
     "emb_mmr_rerank": emb_mmr_rerank,
     # invariant-oracled (cov(white) = I; eigenbasis not SQL-expressible)
     "emb_whiten_moments": emb_whiten_moments,
+    # oracled since r6: full symbolic fit+apply replay (see
+    # _bpe_encode_stats_oracle)
+    "doc_bpe_encode_stats": doc_bpe_encode_stats,
     # rows-only (eigensolve / zlib)
     "emb_pca_topvar": emb_pca_topvar,
     "doc_compression_stats": doc_compression_stats,
-    "doc_bpe_encode_stats": doc_bpe_encode_stats,
 }
 
 _SHINGLES = (
@@ -2497,3 +2502,63 @@ SELECT r1.a AS a, r2.a AS b,
 FROM ranks r1 JOIN ranks r2 ON r2.a >= r1.a
 ORDER BY a, b
 """
+
+
+def _bpe_encode_stats_oracle(n_merges: int = 8) -> str:
+    """FULL symbolic replay of the BPE fit + apply: each round is one
+    pair-count aggregate + a 1-row argmax + a string `replace` on the
+    '|s1||s2|'-wrapped symbol representation — `replace`'s leftmost
+    non-overlapping scan (continuing AFTER each replacement, never
+    rescanning output) is EXACTLY `merge_pair`'s greedy left-to-right
+    fold, and the wrapped form cannot match across symbol boundaries
+    ('|' never occurs in the corpus, asserted impossible to collide by
+    the tokenizer's split-on-space).  MATERIALIZED CTEs stop the
+    round-chain from inlining exponentially."""
+    rounds = []
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        rounds.append(f""",
+pc{k} AS MATERIALIZED (
+    SELECT (pr).a AS a, (pr).b AS b, SUM(c) AS cnt FROM (
+        SELECT c, UNNEST([{{'a': syms[CAST(i AS INT)],
+                            'b': syms[CAST(i AS INT) + 1]}}
+                          FOR i IN range(1, len(syms))]) AS pr
+        FROM (SELECT c, string_split(substr(r, 2, length(r) - 2), '||')
+                     AS syms
+              FROM w{p})) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT a, b FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1),
+w{k} AS MATERIALIZED (
+    SELECT w, c,
+           replace(r,
+                   '|' || (SELECT a FROM m{k}) || '||'
+                       || (SELECT b FROM m{k}) || '|',
+                   '|' || (SELECT a FROM m{k})
+                       || (SELECT b FROM m{k}) || '|') AS r
+    FROM w{p}
+)""")
+    return ("""
+WITH words AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS w
+        FROM documents) GROUP BY w
+),
+w0 AS MATERIALIZED (
+    SELECT w, c,
+           '|' || array_to_string([substr(w, CAST(i AS INT), 1)
+                                   FOR i IN range(1, length(w) + 1)],
+                                  '||') || '|' AS r
+    FROM words
+)""" + "".join(rounds) + f"""
+SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences
+FROM (SELECT c,
+             CAST(len(string_split(substr(r, 2, length(r) - 2), '||'))
+                  AS BIGINT) AS n_tokens
+      FROM w{n_merges})
+GROUP BY n_tokens ORDER BY n_tokens
+""")
+
+
+ORACLES["doc_bpe_encode_stats"] = _bpe_encode_stats_oracle()

@@ -31,7 +31,8 @@ GOLDEN = {
     # zlib byte counts are library-specific (hence no SQL oracle) but
     # deterministic for a fixed level within this container
     "doc_compression_stats": (20, "b5831312034f72bfc7c833cb1ab55955"),
-    # iterative fit + Python encode; cross-path parity in test_bpe.py
+    # oracled since r6 (full symbolic fit+apply replay); the digest
+    # stays as an extra pin on the Python encode path
     "doc_bpe_encode_stats": (6, "c0ba6b450fa67de8cffddf8959b56419"),
 }
 
