@@ -242,40 +242,58 @@ def _sequential_safe_prefix(
     sequential fit would pick — so batching rounds never changes the
     learned tokenizer.
 
-    Invariants used:
-    - a pair DISJOINT from every accepted pair keeps its exact count
-      (its adjacencies cannot be consumed by those merges);
-    - a CONFLICTING pair's count can only DECREASE;
-    - a NEW pair created by merging (a, b) — (x, ab) / (ab, y) /
-      (ab, ab) — is bounded by the count of a conflicting OLD pair
-      ((x, a) / (b, y) / (b, a)), so its count is ≤ the largest
-      conflicting candidate skipped so far (``ceiling``), or ≤ the
-      truncation count if that old pair fell below the collected top-K
-      (``floor``).
+    Conflict definition: a pair touches an accepted pair's symbols OR
+    its concatenated string (merging (a, b) creates the symbol ``a+b``;
+    a pre-existing pair mentioning that same string can GAIN
+    occurrences, so symbol-disjointness alone is not count-invariance
+    — round-6 review counterexample in tests/test_bpe.py).
+
+    Invariants (with that definition):
+    - a truly disjoint pair's count is exactly INVARIANT (its
+      adjacencies are neither consumed nor created by the merges);
+    - any pair the sequential fit could prefer instead must conflict,
+      and its count after the accepted merges is bounded by
+      old(q) + old(creator) ≤ 2·C, where C is the max CURRENT count
+      over every conflicting candidate — in the full list (``ceiling``,
+      recomputed against the accepted set each step: an equal-count
+      conflicting pair can sort BELOW a disjoint one, so a running
+      maximum over "seen so far" is unsound) or below the truncation
+      cut (≤ ``floor``).
 
     Hence: accept the first candidate unconditionally (no merges
-    precede it — it IS the sequential argmax); afterwards accept a
-    disjoint candidate only while its count is STRICTLY above both
-    bounds (strictness also kills count-ties, where the (a, b) lex
-    tie-break could favor an unseen new pair).  Stop at the first
-    disjoint candidate that fails — everything below it fails too.
+    precede it — it IS the sequential argmax); afterwards accept the
+    next disjoint candidate only while its count is STRICTLY above
+    2·max(ceiling, floor) (strictness also kills count-ties, where the
+    (a, b) lex tie-break could favor a created pair).  Stop at the
+    first disjoint candidate that fails — everything below fails too.
+    Conservative by design: fewer accepts per round, never a different
+    tokenizer.
     """
-    accepted: list[tuple[str, str]] = []
-    used: set[str] = set()
-    ceiling = -1  # max count among skipped conflicting candidates
-    floor = cands[-1][2] if (cands and truncated) else -1
-    for idx, (a, b, c) in enumerate(cands):
-        if idx == 0:
-            accepted.append((a, b))
-            used.update((a, b))
-            continue
+    if not cands:
+        return []
+    a0, b0, _c0 = cands[0]
+    accepted = [(a0, b0)]
+    used = {a0, b0, a0 + b0}
+    floor = cands[-1][2] if truncated else 0
+    for a, b, c in cands[1:]:
         if a in used or b in used:
-            ceiling = max(ceiling, c)
             continue
-        if c <= max(ceiling, floor):
+        # max count over candidates conflicting with the accepted set —
+        # excluding the accepted pairs themselves (they are consumed,
+        # not alternatives the sequential fit could still pick)
+        ceiling = max(
+            (
+                cq
+                for aq, bq, cq in cands
+                if (aq in used or bq in used)
+                and (aq, bq) not in accepted
+            ),
+            default=0,
+        )
+        if c <= 2 * max(ceiling, floor):
             break
         accepted.append((a, b))
-        used.update((a, b))
+        used.update((a, b, a + b))
     return accepted
 
 

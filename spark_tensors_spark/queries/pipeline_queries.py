@@ -1333,6 +1333,35 @@ q AS (
 )
 """
 
+
+def _plane_bucket_expr(n_planes: int) -> str:
+    """The symbolic sign-of-projection bucket id over `codes` with
+    `similarity.pseudo_planes(n_planes, 64)` — ONE source of truth for
+    every LSH oracle (plane formula must stay bit-identical to
+    `pseudo_planes`: ((p·31 + j·17 + 7) mod 97) − 48)."""
+    return (
+        f"CAST(list_sum(list_transform(range({n_planes}), p ->\n"
+        "                       CASE WHEN list_sum(list_transform("
+        "range(64), j ->\n"
+        "                           codes[CAST(j AS INT) + 1]\n"
+        "                           * ((p * 31 + j * 17 + 7) % 97 - 48)"
+        ")) > 0\n"
+        "                       THEN (1 << CAST(p AS INT)) ELSE 0 END))\n"
+        "                   AS BIGINT)"
+    )
+
+
+def _probe_list_expr(n_planes: int) -> str:
+    """Multiprobe bucket list: the bucket plus its n_planes Hamming-1
+    neighbours — mirrors `lsh_bucketed_topk`'s probe expansion."""
+    return (
+        f"UNNEST(list_prepend(bucket, list_transform(range({n_planes}),\n"
+        "                       i -> xor(bucket,\n"
+        "                                CAST(1 << CAST(i AS INT) "
+        "AS BIGINT)))))"
+    )
+
+
 ORACLES = {
     "doc_source_hash_stats": """
         SELECT source, COUNT(*) AS n_docs,
@@ -2006,22 +2035,15 @@ ORACLES = {
     """,
     # multiprobe LSH on int8 codes, integer hyperplanes
     # plane(p,j) = ((p·31 + j·17 + 7) % 97) − 48  (pseudo_planes(6, 64))
-    "emb_ann_lsh_topk": _ANN_CODES_CTE + """,
+    "emb_ann_lsh_topk": _ANN_CODES_CTE + f""",
         b AS (
             SELECT vec_id, codes,
-                   CAST(list_sum(list_transform(range(6), p ->
-                       CASE WHEN list_sum(list_transform(range(64), j ->
-                           codes[CAST(j AS INT) + 1]
-                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
-                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
-                   AS BIGINT) AS bucket
+                   {_plane_bucket_expr(6)} AS bucket
             FROM q
         ),
         pr AS (
             SELECT vec_id AS query_id, codes AS qcodes,
-                   UNNEST(list_prepend(bucket, list_transform(range(6),
-                       i -> xor(bucket,
-                                CAST(1 << CAST(i AS INT) AS BIGINT)))))
+                   {_probe_list_expr(6)}
                        AS pb
             FROM b
         ),
@@ -2094,15 +2116,10 @@ ORACLES = {
     # shipped UNROUNDED (identical expression tree dot/sqrt(na2*nb2) on
     # exact-integer inputs → bit-identical doubles; the driver's
     # normalize rounds both sides identically)
-    "emb_near_dup_bucketed": _ANN_CODES_CTE + """,
+    "emb_near_dup_bucketed": _ANN_CODES_CTE + f""",
         b AS (
             SELECT vec_id, codes,
-                   CAST(list_sum(list_transform(range(8), p ->
-                       CASE WHEN list_sum(list_transform(range(64), j ->
-                           codes[CAST(j AS INT) + 1]
-                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
-                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
-                   AS BIGINT) AS bucket,
+                   {_plane_bucket_expr(8)} AS bucket,
                    CAST(list_sum(list_transform(range(64), j ->
                        codes[CAST(j AS INT) + 1]
                        * codes[CAST(j AS INT) + 1])) AS BIGINT) AS n2
@@ -2428,22 +2445,15 @@ def _mmr_oracle() -> str:
             SELECT * FROM selected{p}
             UNION ALL SELECT * FROM sel{s}
         )""")
-    return _ANN_CODES_CTE + """,
+    return _ANN_CODES_CTE + f""",
         b AS (
             SELECT vec_id, codes,
-                   CAST(list_sum(list_transform(range(6), p ->
-                       CASE WHEN list_sum(list_transform(range(64), j ->
-                           codes[CAST(j AS INT) + 1]
-                           * ((p * 31 + j * 17 + 7) % 97 - 48))) > 0
-                       THEN (1 << CAST(p AS INT)) ELSE 0 END))
-                   AS BIGINT) AS bucket
+                   {_plane_bucket_expr(6)} AS bucket
             FROM q
         ),
         pr AS (
             SELECT vec_id AS query_id, codes AS qcodes,
-                   UNNEST(list_prepend(bucket, list_transform(range(6),
-                       i -> xor(bucket,
-                                CAST(1 << CAST(i AS INT) AS BIGINT)))))
+                   {_probe_list_expr(6)}
                        AS pb
             FROM b WHERE vec_id % 5 = 0
         ),
@@ -2510,9 +2520,14 @@ def _bpe_encode_stats_oracle(n_merges: int = 8) -> str:
     '|s1||s2|'-wrapped symbol representation — `replace`'s leftmost
     non-overlapping scan (continuing AFTER each replacement, never
     rescanning output) is EXACTLY `merge_pair`'s greedy left-to-right
-    fold, and the wrapped form cannot match across symbol boundaries
-    ('|' never occurs in the corpus, asserted impossible to collide by
-    the tokenizer's split-on-space).  MATERIALIZED CTEs stop the
+    fold.  PRECONDITION: the wrapped form cannot match across symbol
+    boundaries only because '|' never occurs in the corpus text — that
+    is a property of the FIXTURES (tokens may contain any non-space
+    char in general), verified for all three scales by
+    tests/test_bpe.py::test_fixture_corpus_is_pipe_free; a corpus
+    containing '|' would silently diverge.  A round whose pair table
+    is empty leaves the representation unchanged (the CASE/EXISTS
+    guard), matching fit_bpe's early stop.  MATERIALIZED CTEs stop the
     round-chain from inlining exponentially."""
     rounds = []
     for k in range(1, n_merges + 1):
@@ -2530,11 +2545,13 @@ pc{k} AS MATERIALIZED (
 m{k} AS MATERIALIZED (SELECT a, b FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1),
 w{k} AS MATERIALIZED (
     SELECT w, c,
-           replace(r,
-                   '|' || (SELECT a FROM m{k}) || '||'
-                       || (SELECT b FROM m{k}) || '|',
-                   '|' || (SELECT a FROM m{k})
-                       || (SELECT b FROM m{k}) || '|') AS r
+           CASE WHEN EXISTS (SELECT 1 FROM m{k})
+                THEN replace(r,
+                             '|' || (SELECT a FROM m{k}) || '||'
+                                 || (SELECT b FROM m{k}) || '|',
+                             '|' || (SELECT a FROM m{k})
+                                 || (SELECT b FROM m{k}) || '|')
+                ELSE r END AS r
     FROM w{p}
 )""")
     return ("""

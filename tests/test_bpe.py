@@ -59,9 +59,9 @@ def test_fit_bpe_matches_reference(spark):
 def test_fit_bpe_batched_rounds_parity(spark):
     """The scale path (merges_per_round=K: ONE pair-count aggregate +
     one bounded collect per round instead of per merge) produces the
-    SAME merge list, merge-for-merge, as the exact sequential fit on
-    this corpus — the disjoint-symbol-support acceptance rule keeps
-    every accepted merge's count invariant within a round."""
+    SAME merge list, merge-for-merge, as the exact sequential fit —
+    the 2x-ceiling acceptance rule (see _sequential_safe_prefix) only
+    batches merges it can prove the sequential fit would pick next."""
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
@@ -72,35 +72,80 @@ def test_fit_bpe_batched_rounds_parity(spark):
 
 
 def test_sequential_safe_prefix_rule():
-    """The acceptance rule: first candidate always; conflicting
-    candidates raise the ceiling (a new pair they bound could reach
-    their count); a disjoint candidate at or below the ceiling/floor
-    STOPS the round (sequential might pick the new pair first)."""
+    """The acceptance rule: first candidate always; a disjoint
+    candidate is accepted only STRICTLY above 2x the max count of any
+    candidate conflicting with the accepted set (conflict includes the
+    accepted concatenation; ceiling scans the WHOLE list — an
+    equal-count conflicting pair can sort below a disjoint one) and 2x
+    the truncation floor."""
     cands = [
         ("a", "b", 10),   # accepted (first = sequential argmax)
-        ("b", "c", 9),    # conflict: ceiling -> 9
-        ("d", "e", 8),    # disjoint but 8 <= 9 -> stop
+        ("b", "c", 9),    # conflict (shares b): ceiling 9
+        ("d", "e", 8),    # disjoint but 8 <= 2*9 -> stop
         ("f", "g", 6),
     ]
     assert bpe._sequential_safe_prefix(cands, truncated=False) == [
         ("a", "b")
     ]
+    # a conflicting pair BELOW the disjoint candidate still blocks it
     cands2 = [
-        ("a", "b", 10),   # accepted
-        ("d", "e", 8),    # disjoint, 8 > ceiling(-1)/floor(-1): accept
-        ("b", "c", 7),    # conflict: ceiling -> 7
-        ("f", "g", 7),    # disjoint but 7 <= 7 -> stop
+        ("a", "b", 10),
+        ("d", "e", 8),    # disjoint but ('b','c') below conflicts: stop
+        ("b", "c", 7),
     ]
     assert bpe._sequential_safe_prefix(cands2, truncated=False) == [
-        ("a", "b"), ("d", "e")
+        ("a", "b")
     ]
-    # truncation floor: unseen pairs may tie the last collected count
+    # zero conflicts anywhere: every disjoint candidate accepts
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("d", "e", 9), ("f", "g", 4)], truncated=False
+    ) == [("a", "b"), ("d", "e"), ("f", "g")]
+    # pairs touching an accepted CONCATENATION conflict (count can grow)
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("x", "ab", 9), ("d", "e", 8)], truncated=False
+    ) == [("a", "b")]
+    # truncation floor: unseen pairs bound created-pair counts too
     assert bpe._sequential_safe_prefix(
         [("a", "b", 10), ("d", "e", 8), ("f", "g", 8)], truncated=True
     ) == [("a", "b")]
     assert bpe._sequential_safe_prefix(
-        [("a", "b", 10), ("d", "e", 9), ("f", "g", 8)], truncated=True
+        [("a", "b", 50), ("d", "e", 40), ("f", "g", 8)], truncated=True
     ) == [("a", "b"), ("d", "e")]
+
+
+def test_fit_bpe_batched_tie_counterexample(spark):
+    """Round-6 review counterexample: corpus 'aybc' — all three initial
+    pairs tie, and the sequential fit's SECOND pick is the CREATED pair
+    ('ay','b') (ties at the same count, wins the lex tie-break).  A
+    disjoint-only acceptance rule wrongly batched ('b','c') second;
+    the 2x-ceiling rule must fall back to one merge per round here and
+    stay merge-for-merge sequential."""
+    docs = spark.createDataFrame([(0, "aybc aybc")],
+                                 "doc_id long, text string")
+    seq = bpe.fit_bpe(docs, n_merges=3)
+    assert seq == [("a", "y"), ("ay", "b"), ("ayb", "c")]
+    for k in (2, 3):
+        assert bpe.fit_bpe(docs, n_merges=3, merges_per_round=k) == seq
+
+
+def test_fit_bpe_batched_randomized_parity(spark):
+    """Randomized corpora over a tiny alphabet (maximal tie pressure):
+    batched fitting must equal the sequential fit merge-for-merge."""
+    import random
+
+    rng = random.Random(5)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string"
+        )
+        seq = bpe.fit_bpe(docs, n_merges=5)
+        for k in (2, 4):
+            got = bpe.fit_bpe(docs, n_merges=5, merges_per_round=k)
+            assert got == seq, (trial, k, words, got, seq)
 
 
 def test_merge_pair_greedy_left_nonoverlapping(spark):
@@ -216,3 +261,20 @@ def test_encode_words_uses_indexed_path(spark):
            bpe.encode_words(words, merges).collect()}
     for w in got:
         assert got[w] == bpe.apply_merges(list(w), merges), w
+
+
+def test_fixture_corpus_is_pipe_free():
+    """The doc_bpe_encode_stats oracle's replace-based merge is only
+    boundary-safe because '|' never occurs in the documents text —
+    verify that precondition at every scale so regenerated testdata
+    cannot silently break the replay."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet') "
+            f"WHERE contains(text, '|')"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} documents contain '|'"
