@@ -483,9 +483,89 @@ ORDER BY node_id
 """
 
 
+def q21_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over 1995-H1 orders: for part
+    pairs co-purchased in ≥ 2 orders, support count and LIFT
+    = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b).  Two hash aggregates
+    (item counts, pair counts over the order-local self-join) + one
+    1-row basket count broadcast; lift is ONE division of exact
+    integers (CAST(n_ab·N AS DOUBLE) / (n_a·n_b)) — bit-identical
+    cross-engine unrounded.  Top-100 by (lift desc, a, b)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    n_orders = op.select("ok").distinct().count()
+    item = op.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("n_item"))
+    other = op.select("ok", F.col("pk").alias("pk2"))
+    pair = (
+        op.join(other, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy("pk", "pk2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("pk"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("pk2"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "pk")
+        .join(ib, "pk2")
+        .select(
+            F.col("pk").alias("part_a"),
+            F.col("pk2").alias("part_b"),
+            "n_pair", "n_a", "n_b",
+            (
+                (F.col("n_pair") * F.lit(n_orders)).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+Q21_BASKET_LIFT_SQL = """
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY pk),
+pair AS (
+    SELECT a.pk AS part_a, b.pk AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_pair * (SELECT n_orders FROM n) AS DOUBLE)
+       / (ia.n_item * ib.n_item) AS lift
+FROM pair p
+JOIN item ia ON ia.pk = p.part_a
+JOIN item ib ON ib.pk = p.part_b
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
     "graph_ppr": graph_ppr,
+    "q21_basket_lift": q21_basket_lift,
     "graph_triangles": copurchase_triangles,
     "graph_communities": copurchase_communities,
     "graph_link_prediction": copurchase_link_prediction,
@@ -496,6 +576,7 @@ QUERIES = {
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
     "graph_ppr": _ppr_oracle(),
+    "q21_basket_lift": Q21_BASKET_LIFT_SQL,
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
     "graph_communities": _communities_oracle(),
     "graph_link_prediction": LINK_PREDICTION_SQL,

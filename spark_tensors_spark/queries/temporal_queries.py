@@ -666,9 +666,64 @@ FROM filled ORDER BY user_id, bucket_ts
 """
 
 
+def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the standard time-series bar aggregation:
+    per (user, hour) the OPEN (earliest value, (ts, event_id)
+    tie-break), HIGH/LOW (max/min), CLOSE (latest value) in ONE hash
+    aggregate (min_by/max_by on a struct key — no self-joins, no
+    window over the raw stream).  Values are carried or min/maxed,
+    never summed, so the oracle is exact without any float doctrine
+    (DuckDB mirrors the tie-break with row_number windows).  Sampled
+    to user_id % 25 = 0 to bound the declared output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "hour_start")
+    )
+
+
+EV_OHLC_HOURLY_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           ts, event_id, value
+    FROM events WHERE user_id % 25 = 0
+),
+ranked AS (
+    SELECT user_id, hour_start, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hour_start
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hour_start
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM ev
+)
+SELECT user_id, hour_start,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM ranked
+GROUP BY user_id, hour_start
+ORDER BY user_id, hour_start
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_ohlc_hourly": ev_ohlc_hourly,
     "ev_resample_ffill": ev_resample_ffill,
     "ev_sessionize": ev_sessionize,
     "ev_zorder_stats": ev_zorder_stats,
@@ -685,6 +740,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,
     "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_zorder_stats": _zorder_stats_oracle(),
