@@ -504,7 +504,116 @@ def _stream_ivf_assign_oracle() -> str:
     """
 
 
+def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level STREAMING sessionization
+    (`streaming/sessionize.sessionize_stream`,
+    applyInPandasWithState: 16-byte (last_ts_us, session_idx) state per
+    user) through a REAL readStream pass over the events table, rolled
+    up per (user, session) — shares ev_sessionize's gap semantics, so
+    the oracle is the same flag/label SQL (sampled to user_id % 25 = 0,
+    no value sum: counts and spans stay integer-exact).  Cross-batch
+    session continuation + stream ≡ batch at every boundary are pinned
+    in tests/test_streaming.py."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.streaming.sessionize import sessionize_stream
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_sess_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        labeled = sessionize_stream(
+            stream.filter(F.col("user_id") % 25 == 0)
+        )
+        out_dir = os.path.join(root, "out")
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            labeled.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    lab = spark.read.parquet(os.path.join(root, "out"))
+    out = (
+        lab.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+        )
+        .orderBy("user_id", "session_idx")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                     > 300 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WHERE user_id % 25 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
+FROM labeled
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 QUERIES = {
+    "ev_stream_sessionize": ev_stream_sessionize,
     "emb_stream_ivf_assign": emb_stream_ivf_assign,
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
     "ev_stream_cms_top_users": ev_stream_cms_top_users,
@@ -520,6 +629,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,
     "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),
     "ev_stream_cms_top_users": _stream_cms_top_users_oracle(),

@@ -507,3 +507,68 @@ def test_stream_ivf_assign_multi_batch_and_replay(spark, tmp_path):
     assign_cells_batch(replay, 0, state, cents)
     again = sorted(map(tuple, assignments_from_state(spark, state).collect()))
     assert again == got
+
+
+def test_stream_sessionize_labels_across_batches(spark, tmp_path):
+    """Row-level streaming sessionization: sessions CONTINUE across
+    micro-batch boundaries (16-byte state), new sessions open on the
+    gap rule, and the full label set equals the batch sessionize on
+    the same rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spark_tensors_spark.streaming.sessionize import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "src")
+    # three files = three micro-batches; user 7: file1->file2 within
+    # the gap (session must CONTINUE), file2->file3 past it (NEW
+    # session); user 9 only in file2
+    files = [
+        [(7, 0, t0), (7, 1, t0 + dt.timedelta(minutes=2))],
+        [(7, 2, t0 + dt.timedelta(minutes=6)),
+         (9, 3, t0 + dt.timedelta(minutes=6))],
+        [(7, 4, t0 + dt.timedelta(minutes=20))],
+    ]
+    for rows in files:
+        pdf = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "ts": [r[2] for r in rows],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) > 1  # the continuation case ran
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in spark.sql("SELECT * FROM sess_mem").collect()
+    }
+    # file1 (idx 1), file2 event 2 continues (4 min gap), event 4 in
+    # file3 opens session 2; user 9 gets its own session 1
+    assert got == {(7, 0): 1, (7, 1): 1, (7, 2): 1, (7, 4): 2, (9, 3): 1}
+    # and the batch path (operators/temporal.sessionize projection)
+    # produces the identical labels
+    batch = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize_stream(spark.read.parquet(d)).collect()
+    }
+    assert got == batch
