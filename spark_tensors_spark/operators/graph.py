@@ -432,3 +432,79 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    seed_col: str = "node",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Minimum hop distance from a SEED SET over a directed edge list —
+    multi-source BFS as ``max_depth`` synchronous min-relax rounds
+    (d'(v) = min(d(v), min over in-edges (d(u) + 1))), the reachability
+    primitive behind impact analysis / ego networks / feature hops.
+    Nodes unreached within ``max_depth`` report −1.
+
+    Scale shape (same as :func:`pagerank`): edges pre-partitioned on
+    the source key once (localCheckpoint) so every round reuses the
+    materialized partitioning and pays ONE contribution shuffle; depth
+    state is pure integers, exact on any engine — the SQL oracle
+    unrolls the identical rounds.  Rounds are fixed (max_depth), not
+    convergence-tested: a frontier-empty early exit would add a driver
+    action per round for no asymptotic win at bounded depth.
+    """
+    inf = 999_999_999
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("s").alias("node")).unionByName(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    base = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(1))),
+            "node",
+            "left",
+        )
+        .repartition("node")
+        .localCheckpoint()
+    )
+    depths = base.select(
+        "node",
+        F.when(F.col("_is_seed") == 1, F.lit(0))
+        .otherwise(F.lit(inf))
+        .cast("long")
+        .alias("depth"),
+    )
+    for i in range(max_depth):
+        relax = (
+            depths.join(e, depths.node == e.s)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("depth") + 1).alias("reach"))
+        )
+        depths = (
+            depths.join(relax, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("depth"),
+                    F.coalesce(F.col("reach"), F.lit(inf)),
+                ).alias("depth"),
+            )
+        )
+        if (i + 1) % 3 == 0 and i + 1 < max_depth:
+            depths = depths.localCheckpoint()
+    return depths.select(
+        "node",
+        F.when(F.col("depth") >= inf, F.lit(-1))
+        .otherwise(F.col("depth"))
+        .cast("long")
+        .alias("depth"),
+    )

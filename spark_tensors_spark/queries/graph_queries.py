@@ -562,9 +562,73 @@ LIMIT 100
 """
 
 
+BFS_DEPTH = 6
+
+
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS depth over the encoded KG (seed set = the 8
+    smallest source entities, same as graph_ppr): min hop distance
+    within 6 rounds, −1 if unreached (`operators/graph.bfs_depths`).
+    Pure integer relax rounds — the oracle unrolls them verbatim."""
+    from spark_tensors_spark.operators.graph import bfs_depths
+
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    edges = enc.select("s_id", "o_id")
+    seeds = (
+        edges.select(F.col("s_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_SEEDS)
+    )
+    return (
+        bfs_depths(edges, seeds, "s_id", "o_id", max_depth=BFS_DEPTH)
+        .select(F.col("node").alias("node_id"), "depth")
+        .orderBy("node_id")
+    )
+
+
+def _bfs_oracle() -> str:
+    inf = 999_999_999
+    its = []
+    prev = "d0"
+    for k in range(1, BFS_DEPTH + 1):
+        its.append(
+            f"""d{k} AS (
+    SELECT n.node,
+           least(n.depth, COALESCE(MIN(p.depth + 1), {inf})) AS depth
+    FROM {prev} n
+    LEFT JOIN edges e ON e.o_id = n.node
+    LEFT JOIN {prev} p ON p.node = e.s_id
+    GROUP BY n.node, n.depth
+)"""
+        )
+        prev = f"d{k}"
+    iters_sql = ",\n".join(its)
+    return f"""{TRIPLES_CTE},
+edges AS (SELECT DISTINCT s_id, o_id FROM triples_encoded),
+seeds AS (
+    SELECT DISTINCT s_id AS node FROM edges ORDER BY node LIMIT {PPR_SEEDS}
+),
+d0 AS (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN {inf} ELSE 0 END AS depth
+    FROM (SELECT s_id AS node FROM edges
+          UNION SELECT o_id FROM edges) n
+    LEFT JOIN seeds s ON s.node = n.node
+),
+{iters_sql}
+SELECT node AS node_id,
+       CAST(CASE WHEN depth >= {inf} THEN -1 ELSE depth END AS BIGINT)
+           AS depth
+FROM {prev}
+ORDER BY node_id
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
     "graph_ppr": graph_ppr,
+    "graph_bfs_depth": graph_bfs_depth,
     "q21_basket_lift": q21_basket_lift,
     "graph_triangles": copurchase_triangles,
     "graph_communities": copurchase_communities,
@@ -576,6 +640,7 @@ QUERIES = {
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
     "graph_ppr": _ppr_oracle(),
+    "graph_bfs_depth": _bfs_oracle(),
     "q21_basket_lift": Q21_BASKET_LIFT_SQL,
     "graph_triangles": COPURCHASE_TRIANGLES_SQL,
     "graph_communities": _communities_oracle(),
