@@ -530,8 +530,109 @@ Q19_LATERAL_SQL = """
 """
 
 
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average threshold — the
+    average yearly revenue lost if small-quantity orders (below 20% of
+    the part's mean quantity) stopped shipping, for one brand.  The
+    per-part threshold is a join against a grouped aggregate (Catalyst
+    de-correlates the classic scalar subquery into exactly this);
+    revenue sums in DECIMAL (money doctrine), the /7 division is one
+    bit-identical double op.  The threshold compare needs no rounding:
+    both engines derive 0.2·avg from the same exact integer quantity
+    sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    thr = li.groupBy(F.col("l_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(
+            F.broadcast(pa.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+JOIN (SELECT l_partkey,
+             CAST(0.2 AS DOUBLE) * AVG(l_quantity) AS qty_thr
+      FROM lineitem GROUP BY l_partkey) t
+  ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_thr
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO orders (scalar subquery + anti-join), rolled up per nation.
+    Balance sums in DECIMAL; the global average is one 1-row broadcast;
+    the anti-join is the 100 TB-correct plan (never a NOT IN over a
+    collected list)."""
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # the average feeds a COMPARISON, so it must be bit-identical
+    # cross-engine: exact DECIMAL cents sum, one double division —
+    # a raw double AVG is partial-agg-order dependent
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    rich = cu.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SALES_OPPORTUNITY_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "q2_region_nation_rollup": q2_region_nation_rollup,
     "q3_filtered_dim_join": q3_filtered_dim_join,
     "q4_anti_join": q4_anti_join,
@@ -559,6 +660,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,
+    "q22_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "q18_bloom_join": Q18_BLOOM_JOIN_SQL,
     "q19_lateral_topn": Q19_LATERAL_SQL,
     "q16_exists": """
