@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "doc_tfidf_top_terms",
     # two 1-row statistics (N, Σdl) cross-joined into the BM25 scoring
     "doc_bm25_topk",
+    # 1-row global-average-balance scalar cross-joined into the filter
+    "q22_sales_opportunity",
     # declared all-pairs baseline, oracle-bounded to vec_id < 300; the
     # scale path is emb_near_dup_bucketed
     "emb_near_dup_pairs",
