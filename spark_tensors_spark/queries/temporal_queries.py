@@ -720,9 +720,67 @@ ORDER BY user_id, hour_start
 """
 
 
+def ev_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (`operators/quality.py`):
+    five rules (null checks, a value range, a regex shape, key
+    uniqueness) compiled into ONE scan-side wide aggregate — the
+    Deequ-style expectations pass.  All counts integer-exact; the
+    regex stays in the Java/RE2 common subset (scrub doctrine)."""
+    from spark_tensors_spark.operators import quality as Q
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        Q.not_null("event_type"),
+        Q.not_null("user_id"),
+        Q.in_range("value", 0.0, 75.0),
+        Q.matches("event_type", "[a-z_]+"),
+        Q.unique("event_id"),
+    ]
+    return Q.validate(ev, rules).orderBy("rule", "column")
+
+
+EV_DQ_VIOLATIONS_SQL = """
+SELECT * FROM (
+    SELECT 'not_null' AS rule, 'event_type' AS "column",
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           COUNT(*) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'not_null', 'user_id',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'in_range', 'value',
+           CAST(SUM(CASE WHEN value IS NOT NULL
+                          AND (value < 0.0 OR value > 75.0)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'matches', 'event_type',
+           CAST(SUM(CASE WHEN event_type IS NOT NULL
+                          AND NOT regexp_full_match(event_type,
+                                                    '[a-z_]+')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'unique', 'event_id',
+           CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT),
+           COUNT(*)
+    FROM events
+)
+ORDER BY rule, "column"
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
     "ev_resample_ffill": ev_resample_ffill,
     "ev_sessionize": ev_sessionize,
@@ -740,6 +798,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,
     "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
