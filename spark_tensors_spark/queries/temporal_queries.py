@@ -777,9 +777,52 @@ ORDER BY rule, "column"
 """
 
 
+def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each (sampled) user's event_type state
+    (`operators/scd2.history_table`): consecutive equal states collapse
+    into validity ranges chained half-open, −1 open-end sentinel.  Two
+    fused ordered windows, pure codegen — restated exactly by the
+    oracle."""
+    from spark_tensors_spark.operators.scd2 import history_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    return history_table(
+        ev, ["user_id"], ["event_type"],
+        ts_col="ts", order_tiebreak="event_id",
+    ).orderBy("user_id", "valid_from_us", "event_type")
+
+
+EV_SCD2_USER_STATE_SQL = """
+WITH src AS (
+    SELECT user_id, event_id, event_type, ts
+    FROM events WHERE user_id % 5 = 0
+),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (SELECT * FROM flagged WHERE chg = 1)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(LEAD(epoch_us(ts)) OVER w2, -1) AS BIGINT)
+           AS valid_to_us,
+       LEAD(epoch_us(ts)) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from_us, event_type
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_scd2_user_state": ev_scd2_user_state,
     "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
     "ev_resample_ffill": ev_resample_ffill,
@@ -798,6 +841,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,
     "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,
