@@ -819,9 +819,75 @@ ORDER BY user_id, valid_from_us, event_type
 """
 
 
+def ev_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE (`operators/merge.merge_upsert`): the per-user FIRST
+    event state table merged with an update batch of each active
+    user's LAST January-16+ event — matched keys replace, new keys
+    insert (one left-anti + union, the format-less merge plan).  All
+    values carried; the oracle restates the anti-join + union
+    verbatim."""
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    )
+    target = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    late = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    updates = (
+        late.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    return merge_upsert(target, updates, ["user_id"]).orderBy("user_id")
+
+
+EV_MERGE_UPSERT_SQL = """
+WITH target AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+),
+updates AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rn
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1
+)
+SELECT * FROM (
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.user_id = t.user_id)
+    UNION ALL
+    SELECT * FROM updates
+)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_merge_upsert": ev_merge_upsert,
     "ev_scd2_user_state": ev_scd2_user_state,
     "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
@@ -841,6 +907,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_merge_upsert": EV_MERGE_UPSERT_SQL,
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,

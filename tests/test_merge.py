@@ -1,0 +1,86 @@
+"""MERGE INTO (SCD1 upsert) tests: update/insert/delete semantics,
+latest-wins inside the batch, snapshot versioning + crash safety."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from spark_tensors_spark.operators.merge import (
+    merge_into_parquet,
+    merge_upsert,
+    read_merged,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "val", "ver"]),
+        "k long, val string, ver long",
+    )
+
+
+def test_merge_upsert_update_insert(spark):
+    target = _df(spark, [(1, "a", 0), (2, "b", 0)])
+    updates = _df(spark, [(2, "B", 1), (3, "c", 1)])
+    got = sorted(
+        (r.k, r.val) for r in merge_upsert(target, updates, ["k"]).collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_upsert_latest_wins_in_batch(spark):
+    target = _df(spark, [(1, "a", 0)])
+    updates = _df(spark, [(1, "mid", 5), (1, "new", 9), (1, "old", 2)])
+    got = {r.k: (r.val, r.ver)
+           for r in merge_upsert(target, updates, ["k"],
+                                 order_col="ver").collect()}
+    assert got == {1: ("new", 9)}
+
+
+def test_merge_upsert_deletes(spark):
+    target = _df(spark, [(1, "a", 0), (2, "b", 0)])
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            [(2, "x", 1, True), (3, "c", 1, False)],
+            columns=["k", "val", "ver", "is_delete"],
+        ),
+        "k long, val string, ver long, is_delete boolean",
+    )
+    got = sorted(
+        (r.k, r.val)
+        for r in merge_upsert(
+            target, updates, ["k"], delete_col="is_delete"
+        ).collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
+
+
+def test_merge_into_parquet_versions_and_crash_safety(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    v0 = merge_into_parquet(spark, path, _df(spark, [(1, "a", 0)]), ["k"])
+    assert v0 == 0
+    v1 = merge_into_parquet(
+        spark, path, _df(spark, [(1, "A", 1), (2, "b", 1)]), ["k"]
+    )
+    assert v1 == 1
+    got = sorted((r.k, r.val) for r in read_merged(spark, path).collect())
+    assert got == [(1, "A"), (2, "b")]
+    # a crashed merge (no _SUCCESS) is invisible to readers
+    os.makedirs(os.path.join(path, "_v=2"), exist_ok=True)
+    with open(os.path.join(path, "_v=2", "part-junk.parquet"), "wb") as f:
+        f.write(b"garbage")
+    got2 = sorted((r.k, r.val) for r in read_merged(spark, path).collect())
+    assert got2 == got
+    # the retry overwrites the partial snapshot
+    v2 = merge_into_parquet(spark, path, _df(spark, [(2, "B2", 2)]), ["k"])
+    assert v2 == 2
+    got3 = sorted((r.k, r.val) for r in read_merged(spark, path).collect())
+    assert got3 == [(1, "A"), (2, "B2")]
+
+
+def test_read_merged_missing(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_merged(spark, str(tmp_path / "nope"))
