@@ -84,3 +84,52 @@ def test_merge_into_parquet_versions_and_crash_safety(spark, tmp_path):
 def test_read_merged_missing(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_merged(spark, str(tmp_path / "nope"))
+
+
+def test_merge_upsert_randomized_vs_dict_reference(spark):
+    """Property: merge_upsert over random target/update batches equals
+    the obvious dict-based merge (latest-wins by (ver, val) inside the
+    batch)."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(5):
+        tgt = {k: (f"t{rng.randint(0, 9)}", 0)
+               for k in rng.sample(range(12), rng.randint(0, 8))}
+        ups = [
+            (k, f"u{rng.randint(0, 9)}", rng.randint(1, 5))
+            for k in (rng.choice(range(12))
+                      for _ in range(rng.randint(0, 10)))
+        ]
+        target = _df(spark, [(k, v, ver) for k, (v, ver) in tgt.items()])
+        updates = _df(spark, ups)
+        got = {r.k: (r.val, r.ver)
+               for r in merge_upsert(target, updates, ["k"],
+                                     order_col="ver").collect()}
+        want = dict(tgt)
+        best = {}
+        for k, v, ver in ups:
+            # latest-wins by ver DESC; within a ver tie the window's
+            # remaining columns sort ASCENDING, so the SMALLEST val
+            # wins the row_number
+            if (
+                k not in best
+                or ver > best[k][0]
+                or (ver == best[k][0] and v < best[k][1])
+            ):
+                best[k] = (ver, v)
+        for k, (ver, v) in best.items():
+            want[k] = (v, ver)
+        assert got == want, (trial, got, want)
+
+
+def test_merge_upsert_in_batch_tie_breaks_deterministic(spark):
+    """Two updates with the SAME key and version: the smallest
+    remaining-column value wins (the window's ascending tie-break) —
+    pinned explicitly since random batches rarely collide."""
+    target = _df(spark, [(1, "a", 0)])
+    updates = _df(spark, [(1, "zz", 7), (1, "bb", 7), (1, "mm", 7)])
+    got = {r.k: (r.val, r.ver)
+           for r in merge_upsert(target, updates, ["k"],
+                                 order_col="ver").collect()}
+    assert got == {1: ("bb", 7)}
