@@ -82,3 +82,48 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
         ),
         F.col("n_rows"),
     ).select("rule", "column", "n_violations", "n_rows")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score anomaly detection: rows whose value deviates
+    more than ``threshold`` standard deviations from their key's mean
+    — the statistical DQ check next to the rule engine (population
+    variance over the key's own history).
+
+    Scale shape: one grouped aggregate for the per-key moments + one
+    equi-join back on the key (both shuffle on key_cols, AQE-sized).
+
+    Cross-engine exactness: Σx and Σx² accumulate in DECIMAL (exact,
+    associative — a double sum is partial-agg-order dependent); the
+    per-row square is one double op, bit-identical on any engine; mean
+    / variance / σ / z are then a fixed tree of double ops on
+    identical inputs, so the UNROUNDED z hash-matches a SQL oracle.
+    Zero-variance keys are excluded before the division (no NULL/NaN
+    in output).
+    """
+    c = F.col(value_col)
+    stats = df.groupBy(*key_cols).agg(
+        F.count(c).alias("_n"),
+        F.sum(c.cast("decimal(18,6)")).cast("double").alias("_s1"),
+        F.sum((c * c).cast("decimal(27,12)")).cast("double").alias("_s2"),
+    )
+    mu = F.col("_s1") / F.col("_n")
+    var = F.greatest(
+        F.col("_s2") / F.col("_n") - mu * mu, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+    joined = df.join(
+        stats.select(*key_cols, mu.alias("_mu"), sigma.alias("_sigma")),
+        key_cols,
+    ).filter(F.col("_sigma") > 0)
+    z = (c - F.col("_mu")) / F.col("_sigma")
+    return (
+        joined.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(threshold))
+        .drop("_mu", "_sigma")
+    )

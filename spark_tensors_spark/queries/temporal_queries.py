@@ -884,9 +884,50 @@ ORDER BY user_id
 """
 
 
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection
+    (`operators/quality.zscore_outliers`): events more than 3σ from
+    their user's mean.  Moments accumulate in DECIMAL (exact,
+    associative), every following step is a fixed double-op tree on
+    identical inputs — the UNROUNDED z hash-matches the oracle."""
+    from spark_tensors_spark.operators.quality import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        zscore_outliers(ev, ["user_id"], threshold=3.0)
+        .select("user_id", "event_id", "value", "z")
+        .orderBy("user_id", "event_id")
+    )
+
+
+EV_ANOMALY_ZSCORE_SQL = """
+WITH s AS (
+    SELECT user_id, COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE)
+               AS s2
+    FROM events GROUP BY user_id
+),
+st AS (
+    SELECT user_id,
+           s1 / n AS mu,
+           SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n),
+                         CAST(0.0 AS DOUBLE))) AS sigma
+    FROM s
+)
+SELECT e.user_id, e.event_id, e.value,
+       (e.value - st.mu) / st.sigma AS z
+FROM events e JOIN st ON st.user_id = e.user_id
+WHERE st.sigma > 0
+  AND ABS((e.value - st.mu) / st.sigma) > CAST(3.0 AS DOUBLE)
+ORDER BY e.user_id, e.event_id
+"""
+
+
 QUERIES = {
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
+    "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_merge_upsert": ev_merge_upsert,
     "ev_scd2_user_state": ev_scd2_user_state,
     "ev_dq_violations": ev_dq_violations,
@@ -907,6 +948,7 @@ QUERIES = {
 ORACLES = {
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
+    "ev_anomaly_zscore": EV_ANOMALY_ZSCORE_SQL,
     "ev_merge_upsert": EV_MERGE_UPSERT_SQL,
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,

@@ -46,3 +46,25 @@ def test_validate_requires_rules(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
     with pytest.raises(ValueError, match="non-empty"):
         Q.validate(df, [])
+
+
+def test_zscore_outliers_hand_case(spark):
+    """One user with a known spike: exact z for the outlier row and
+    zero-variance keys excluded."""
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 5 + [2] * 3,
+            "event_id": list(range(8)),
+            "value": [10.0, 10.0, 10.0, 10.0, 30.0, 5.0, 5.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf, "user_id long, event_id long, value double")
+    rows = Q.zscore_outliers(df, ["user_id"], threshold=1.9).collect()
+    # user 2 (constant -> sigma 0) excluded entirely
+    assert {r.user_id for r in rows} == {1}
+    out = {r.event_id: r.z for r in rows}
+    # mean 14, var = (4*16 + 256)/5 = 64, sigma 8 -> z(30) = 2.0
+    assert set(out) == {4}
+    assert math.isclose(out[4], 2.0, abs_tol=1e-12)
