@@ -463,10 +463,16 @@ def bfs_depths(
         .repartition("s")
         .localCheckpoint()
     )
-    nodes = e.select(F.col("s").alias("node")).unionByName(
-        e.select(F.col("d").alias("node"))
-    ).distinct()
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    # seeds union in so an isolated seed (no edges) still reports
+    # depth 0 — the docstring's "distance from a SEED SET" includes
+    # the seed itself
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+    )
     base = (
         nodes.join(
             F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(1))),

@@ -40,21 +40,28 @@ def merge_upsert(
 ) -> DataFrame:
     """SCD1 merge: rows of ``updates`` replace matching ``target`` rows
     by key, unmatched updates insert.  Duplicate keys inside
-    ``updates`` resolve latest-wins by ``order_col`` (required then;
-    ties broken by the remaining column order via a deterministic
-    row_number).  If ``delete_col`` names a boolean column, updates
-    with it true DELETE the key instead (and never insert)."""
+    ``updates`` resolve latest-wins by ``order_col`` (ties broken by
+    the remaining column order via a deterministic row_number); with
+    ``order_col=None`` duplicates still collapse to ONE row per key —
+    all non-key columns descending, a deterministic but arbitrary pick
+    — so the one-row-per-key SCD1 invariant holds unconditionally
+    (pass ``order_col`` whenever a meaningful recency exists).  If
+    ``delete_col`` names a boolean column, updates with it true DELETE
+    the key instead (and never insert)."""
     upd = updates
-    if order_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col(order_col).desc(),
-            *[F.col(c) for c in upd.columns if c != order_col],
-        )
-        upd = (
-            upd.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    order_exprs = (
+        [F.col(order_col).desc()] if order_col is not None else []
+    )
+    # same deterministic tie-break as always (remaining columns in
+    # column order, ascending); with order_col=None it alone picks the
+    # surviving duplicate
+    tie_exprs = [F.col(c) for c in upd.columns if c != order_col]
+    w = Window.partitionBy(*key_cols).orderBy(*order_exprs, *tie_exprs)
+    upd = (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     deletes = None
     if delete_col is not None:
         deletes = upd.filter(F.col(delete_col)).select(*key_cols)
@@ -111,8 +118,14 @@ def merge_into_parquet(
             order_col=order_col, delete_col=delete_col,
         )
     else:
+        # fresh table: the synthesized empty target must NOT carry the
+        # delete-flag column — merge_upsert's final select projects
+        # updates onto the TARGET schema, which never stores the flag
+        empty = updates.limit(0)
+        if delete_col is not None:
+            empty = empty.drop(delete_col)
         merged = merge_upsert(
-            updates.limit(0), updates, key_cols,
+            empty, updates, key_cols,
             order_col=order_col, delete_col=delete_col,
         )
     new_v = (vs[-1] + 1) if vs else 0

@@ -6,15 +6,15 @@ timestamp columns in a numeric slot, strings in a string slot — never
 a cross-engine float→string format round trip).  Output is one row per
 column, so the profile of a 100 TB table is #columns rows.
 
-Scale shape: a single global aggregate.  With ``exact=True`` the
-multiple DISTINCT aggregates plan as one Expand — ONE INPUT REPLICA
-PER DISTINCT AGGREGATE, so a 20-column table scans 20× the rows
-before the partial aggregation.  The default (``exact=False``) uses
+Scale shape: a single global aggregate.  With ``exact=True`` (the
+default — approximation must be opt-in, never silent) the multiple
+DISTINCT aggregates plan as one Expand — ONE INPUT REPLICA PER
+DISTINCT AGGREGATE, so a 20-column table scans 20× the rows before
+the partial aggregation.  ``exact=False`` uses
 ``approx_count_distinct`` (HLL++, rsd 0.01): no Expand, fully
 mergeable partial states, the same one-pass plan at any column count
-— the shuffle carries per-column sketch states, not rows.  The
-declared/oracled query opts into ``exact=True`` (DuckDB can state
-exact distinct); at 100 TB use the default (see SCALE.md).
+— the shuffle carries per-column sketch states, not rows.  At 100 TB
+pass ``exact=False`` (see SCALE.md).
 """
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ def _profile_agg(df: DataFrame, cols: list[str], exact: bool) -> DataFrame:
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact: bool = False,
+    exact: bool = True,
 ) -> DataFrame:
     """DataFrame(col, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str) — one row per profiled column, one input scan.
@@ -73,10 +73,12 @@ def profile(
     nulls/distinct only.
 
     ``exact`` switches ``n_distinct`` between exact ``countDistinct``
-    (plans an Expand: one input replica per distinct aggregate — pay
-    it only when a column's exact cardinality matters) and the default
-    ``approx_count_distinct`` (no Expand; plan-pinned in
-    tests/test_profile.py).
+    (the DEFAULT — callers get exact cardinalities unless they opt
+    out; it plans an Expand, one input replica per distinct aggregate)
+    and ``approx_count_distinct`` (``exact=False``: no Expand, HLL++
+    sketch partials — the 100 TB path, plan-pinned in
+    tests/test_profile.py).  Approximation is opt-in so a silent
+    default never hands a caller approximate counts (r6 ADVICE).
     """
     cols = columns or df.columns
     # materialize the 1-row aggregate ONCE — the melt below reads it

@@ -235,39 +235,54 @@ def top_pairs(pairs: DataFrame, k: int) -> list[tuple[str, str, int]]:
 
 
 def _sequential_safe_prefix(
-    cands: list[tuple[str, str, int]], truncated: bool
+    cands: list[tuple[str, str, int]],
+    truncated: bool,
+    known_symbols: frozenset[str] | set[str] = frozenset(),
 ) -> list[tuple[str, str]]:
     """Accept a prefix of the (count desc, pair asc)-ordered candidates
     that is PROVABLY identical, merge-for-merge, to what the strictly
     sequential fit would pick — so batching rounds never changes the
     learned tokenizer.
 
-    Conflict definition: a pair touches an accepted pair's symbols OR
-    its concatenated string (merging (a, b) creates the symbol ``a+b``;
-    a pre-existing pair mentioning that same string can GAIN
-    occurrences, so symbol-disjointness alone is not count-invariance
-    — round-6 review counterexample in tests/test_bpe.py).
+    After applying the accepted merges, every pair the sequential fit
+    could prefer instead of the next disjoint candidate falls into one
+    of three classes, each with a provable count bound:
 
-    Invariants (with that definition):
-    - a truly disjoint pair's count is exactly INVARIANT (its
-      adjacencies are neither consumed nor created by the merges);
-    - any pair the sequential fit could prefer instead must conflict,
-      and its count after the accepted merges is bounded by
-      old(q) + old(creator) ≤ 2·C, where C is the max CURRENT count
-      over every conflicting candidate — in the full list (``ceiling``,
-      recomputed against the accepted set each step: an equal-count
-      conflicting pair can sort BELOW a disjoint one, so a running
-      maximum over "seen so far" is unsound) or below the truncation
-      cut (≤ ``floor``).
+    1. SYMBOL-CONFLICTING existing pairs (share a symbol with an
+       accepted pair): merging only CONSUMES their adjacencies, so
+       new(q) ≤ old(q) ≤ ``base`` (max conflicting count anywhere in
+       the list — recomputed against the accepted set each step, since
+       an equal-count conflicting pair can sort BELOW a disjoint one —
+       or ≤ ``floor`` below the truncation cut).
+    2. CREATED pairs (X, aᵢbᵢ) / (aᵢbᵢ, Y): each occurrence comes from
+       a pre-merge adjacency (X, aᵢ) / (bᵢ, Y) — symbol-conflicting,
+       so ≤ ``base`` — EXCEPT the self-chained (aᵢbᵢ, aᵢbᵢ), whose
+       occurrences come from old (bᵢ, aᵢ): that reversed pair may BE
+       the accepted pair itself (a run 'ddd…' under (d,d) — the r6
+       ADVICE counterexample), so ``base`` also takes each accepted
+       pair's reversed count (list lookup, else ``floor``).
+    3. GROWING pairs — existing pairs that mention an accepted
+       CONCATENATION as one of their own symbols can GAIN occurrences
+       (each gain is a created adjacency, ≤ ``base``; at most one per
+       side): new(q) ≤ old(q) + 2·base.  This class is only populated
+       when the concat string aᵢ+bᵢ ALREADY EXISTS as a symbol, and
+       BPE starts from single characters, so every multi-char symbol
+       is a prior merge's concat: the caller passes ``known_symbols``
+       (prior concat strings) and the threshold only pays the
+       old(q) + 2·base term when an accepted concat is in it.
 
     Hence: accept the first candidate unconditionally (no merges
     precede it — it IS the sequential argmax); afterwards accept the
-    next disjoint candidate only while its count is STRICTLY above
-    2·max(ceiling, floor) (strictness also kills count-ties, where the
+    next disjoint candidate only while its count is STRICTLY above the
+    class-wise maximum (strictness also kills count-ties, where the
     (a, b) lex tie-break could favor a created pair).  Stop at the
     first disjoint candidate that fails — everything below fails too.
     Conservative by design: fewer accepts per round, never a different
-    tokenizer.
+    tokenizer.  Fuzzed against a faithful sequential simulation
+    (tests/test_bpe.py: thousands of skewed-count corpora, plus the
+    two r6 ADVICE counterexamples that falsified the old 2×-ceiling
+    rule, which excluded accepted pairs' own counts and so missed
+    self-chained created pairs).
     """
     if not cands:
         return []
@@ -275,22 +290,38 @@ def _sequential_safe_prefix(
     accepted = [(a0, b0)]
     used = {a0, b0, a0 + b0}
     floor = cands[-1][2] if truncated else 0
+    counts = {(a, b): c for a, b, c in cands}
     for a, b, c in cands[1:]:
-        if a in used or b in used:
+        # concat collision also conflicts: accepting ('a','bc') after
+        # ('ab','c') would create the SAME symbol string twice in one
+        # round, letting one created pair sum gains from both merges
+        # (up to 2·base) — outside every class bound below
+        if a in used or b in used or a + b in used:
             continue
-        # max count over candidates conflicting with the accepted set —
-        # excluding the accepted pairs themselves (they are consumed,
-        # not alternatives the sequential fit could still pick)
-        ceiling = max(
-            (
-                cq
-                for aq, bq, cq in cands
-                if (aq in used or bq in used)
-                and (aq, bq) not in accepted
-            ),
-            default=0,
-        )
-        if c <= 2 * max(ceiling, floor):
+        acc = set(accepted)
+        # classes 1+2: symbol-conflicting counts (excluding accepted
+        # pairs themselves — consumed, not alternatives) + reversed
+        # accepted counts (self-chain bound) + truncation floor
+        base = floor
+        for aq, bq, cq in cands:
+            if (aq, bq) in acc:
+                continue
+            # concat-colliding candidates (aq+bq in used) are SKIPPED
+            # alternatives with un-consumed counts — they bound too
+            if aq in used or bq in used or aq + bq in used:
+                base = max(base, cq)
+        for ai, bi in accepted:
+            base = max(base, counts.get((bi, ai), floor))
+        # class 3: only when an accepted concat pre-exists as a symbol
+        grow = [ai + bi for ai, bi in accepted if ai + bi in known_symbols]
+        threshold = base
+        if grow:
+            s = floor
+            for aq, bq, cq in cands:
+                if (aq, bq) not in acc and (aq in grow or bq in grow):
+                    s = max(s, cq)
+            threshold = max(base, s + 2 * base)
+        if c <= threshold:
             break
         accepted.append((a, b))
         used.update((a, b, a + b))
@@ -319,8 +350,14 @@ def fit_bpe(
     argument; parity is also pinned merge-for-merge in
     tests/test_bpe.py).  All accepted merges apply as chained codegen
     folds under a single checkpoint, so the per-merge driver
-    round-trip amortizes by the acceptance length (corpus-dependent;
-    Zipf pair-count decay keeps it well above 1).
+    round-trip amortizes by the acceptance length.  The amortization
+    is corpus-dependent and modest on natural text (top pairs share
+    high-frequency characters, so they conflict): provable sequential
+    parity caps how aggressively any rule can batch.  A production
+    32k-merge fit that accepts approximate batching (tokenizers-style
+    frequency-threshold rounds, NO parity guarantee) would amortize
+    ~K per round; this implementation deliberately keeps the exact
+    contract — see SCALE.md.
     """
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
@@ -332,7 +369,9 @@ def fit_bpe(
             c for c in top_pairs(pair_counts(words), want) if c[2] >= 1
         ]
         accepted = _sequential_safe_prefix(
-            cands, truncated=len(cands) == want and want > 1
+            cands,
+            truncated=len(cands) == want and want > 1,
+            known_symbols={a + b for a, b in merges},
         )
         accepted = accepted[: n_merges - len(merges)]
         if not accepted:

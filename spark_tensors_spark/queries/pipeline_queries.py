@@ -541,11 +541,15 @@ def emb_whiten_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mw = [vals[i] / n for i in range(8)]
 
     def _round4(x: float) -> float:
+        # `+ 0.0` snaps IEEE -0.0 to +0.0: the off-diagonal noise sign
+        # is run-dependent (partition fold order), and the driver's
+        # value hash distinguishes sign of zero — this exact query
+        # failed the r6 gate emitting -0.0 against the oracle's 0.0.
         return float(
             decimal.Decimal(repr(x)).quantize(
                 decimal.Decimal("1E-4"), rounding=decimal.ROUND_HALF_UP
             )
-        )
+        ) + 0.0
 
     rows = []
     for a in range(8):

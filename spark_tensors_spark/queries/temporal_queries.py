@@ -503,10 +503,11 @@ FROM l ORDER BY event_id
 def ev_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profile of the events table
     (`operators/profile.py`): null/distinct counts + typed min/max per
-    column in a single scan-side aggregate.  Opts into ``exact=True``
-    so DuckDB can state the distinct counts; the production default is
-    ``approx_count_distinct`` (no Expand replication — see SCALE.md
-    and the plan pin in tests/test_profile.py)."""
+    column in a single scan-side aggregate.  Uses ``exact=True`` (the
+    default) so DuckDB can state the distinct counts; the 100 TB path
+    opts into ``exact=False`` / ``approx_count_distinct`` (no Expand
+    replication — see SCALE.md and the plan pin in
+    tests/test_profile.py)."""
     from spark_tensors_spark.operators.profile import profile
 
     ev = load_table(spark, sf_dir, "events")

@@ -71,8 +71,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
-        r = round(v, 6)
-        return ("f", 0.0 if r == 0 else r)
+        # repr-normalize so -0.0 vs 0.0 is VISIBLE: the driver's hash
+        # distinguishes sign of zero (emb_whiten_moments failed the r6
+        # gate on exactly this while the old `0.0 if r == 0` coercion
+        # passed locally).  repr is injective on finite floats, so this
+        # changes nothing else.
+        return ("f", repr(round(v, 6)))
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, Decimal):

@@ -60,7 +60,7 @@ def test_fit_bpe_batched_rounds_parity(spark):
     """The scale path (merges_per_round=K: ONE pair-count aggregate +
     one bounded collect per round instead of per merge) produces the
     SAME merge list, merge-for-merge, as the exact sequential fit —
-    the 2x-ceiling acceptance rule (see _sequential_safe_prefix) only
+    the class-wise acceptance rule (see _sequential_safe_prefix) only
     batches merges it can prove the sequential fit would pick next."""
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
@@ -73,29 +73,64 @@ def test_fit_bpe_batched_rounds_parity(spark):
 
 def test_sequential_safe_prefix_rule():
     """The acceptance rule: first candidate always; a disjoint
-    candidate is accepted only STRICTLY above 2x the max count of any
-    candidate conflicting with the accepted set (conflict includes the
-    accepted concatenation; ceiling scans the WHOLE list — an
-    equal-count conflicting pair can sort below a disjoint one) and 2x
-    the truncation floor."""
+    candidate is accepted only STRICTLY above the class-wise ceiling —
+    max over symbol-conflicting counts anywhere in the list (they can
+    only LOSE occurrences), reversed-accepted counts (self-chained
+    created pairs), and the truncation floor; pairs mentioning an
+    accepted concat that pre-exists as a symbol add old(q) + 2*base
+    (see _sequential_safe_prefix's class argument)."""
     cands = [
         ("a", "b", 10),   # accepted (first = sequential argmax)
-        ("b", "c", 9),    # conflict (shares b): ceiling 9
-        ("d", "e", 8),    # disjoint but 8 <= 2*9 -> stop
+        ("b", "c", 9),    # conflict (shares b): base 9
+        ("d", "e", 8),    # disjoint but 8 <= 9 -> stop
         ("f", "g", 6),
     ]
     assert bpe._sequential_safe_prefix(cands, truncated=False) == [
         ("a", "b")
     ]
-    # a conflicting pair BELOW the disjoint candidate still blocks it
+    # a conflicting pair BELOW the disjoint candidate bounds it — but
+    # 8 is STRICTLY above the 7-count conflict (which can only lose
+    # occurrences) and no created pair can exceed 7 either: accept
     cands2 = [
         ("a", "b", 10),
-        ("d", "e", 8),    # disjoint but ('b','c') below conflicts: stop
+        ("d", "e", 8),
         ("b", "c", 7),
     ]
     assert bpe._sequential_safe_prefix(cands2, truncated=False) == [
-        ("a", "b")
+        ("a", "b"), ("d", "e")
     ]
+    # ...whereas a TIE with the conflict blocks (created pairs can
+    # reach the conflicting count and win the lex tie-break)
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("d", "e", 7), ("b", "c", 7)], truncated=False
+    ) == [("a", "b")]
+    # the reversed accepted pair bounds self-chained created pairs:
+    # merging (b,a) on 'abab...' creates (ba,ba) up to old(a,b)'s count
+    assert bpe._sequential_safe_prefix(
+        [("b", "a", 10), ("a", "b", 9), ("d", "e", 8)], truncated=False
+    ) == [("b", "a")]
+    # self-adjacent accepted pair (d,d) IS its own reversal: its own
+    # count bounds created (dd,dd) — the r6 ADVICE hole
+    assert bpe._sequential_safe_prefix(
+        [("d", "d", 18), ("c", "b", 2)], truncated=False
+    ) == [("d", "d")]
+    # same-round concat collision conflicts: ('a','bc') after
+    # ('ab','c') would create the same 'abc' symbol twice
+    assert bpe._sequential_safe_prefix(
+        [("ab", "c", 10), ("a", "bc", 9), ("x", "y", 1)], truncated=False
+    ) == [("ab", "c")]
+    # a concat pre-existing as a symbol raises the threshold to
+    # old(q) + 2*base for pairs mentioning it
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 10), ("x", "ab", 3), ("d", "e", 8)],
+        truncated=False,
+        known_symbols={"ab"},
+    ) == [("a", "b")]   # 8 <= 3 + 2*3 = 9 -> stop
+    assert bpe._sequential_safe_prefix(
+        [("a", "b", 20), ("d", "e", 10), ("x", "ab", 3)],
+        truncated=False,
+        known_symbols={"ab"},
+    ) == [("a", "b"), ("d", "e")]   # 10 > 3 + 2*3
     # zero conflicts anywhere: every disjoint candidate accepts
     assert bpe._sequential_safe_prefix(
         [("a", "b", 10), ("d", "e", 9), ("f", "g", 4)], truncated=False
@@ -126,6 +161,114 @@ def test_fit_bpe_batched_tie_counterexample(spark):
     assert seq == [("a", "y"), ("ay", "b"), ("ayb", "c")]
     for k in (2, 3):
         assert bpe.fit_bpe(docs, n_merges=3, merges_per_round=k) == seq
+
+
+def _sim_pair_counts(vocab):
+    pairs = Counter()
+    for syms, c in vocab.items():
+        for x, y in zip(syms, syms[1:]):
+            pairs[(x, y)] += c
+    return pairs
+
+
+def _sim_apply(vocab, a, b):
+    nv = {}
+    for syms, c in vocab.items():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        nv[tuple(out)] = nv.get(tuple(out), 0) + c
+    return nv
+
+
+def _sim_batch_fit(words: dict[str, int], n: int, k: int):
+    """Pure-Python mirror of fit_bpe's batched loop (same candidate
+    ordering, truncation flag, known-symbol tracking) — lets the
+    parity fuzz run thousands of corpora without Spark."""
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges, known = [], set()
+    while len(merges) < n:
+        want = min(k, n - len(merges))
+        p = _sim_pair_counts(vocab)
+        cands = [
+            (a, b, c)
+            for (a, b), c in sorted(
+                p.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:want]
+            if c >= 1
+        ]
+        acc = bpe._sequential_safe_prefix(
+            cands,
+            truncated=(len(cands) == want and want > 1),
+            known_symbols=known,
+        )
+        acc = acc[: n - len(merges)]
+        if not acc:
+            break
+        for a, b in acc:
+            vocab = _sim_apply(vocab, a, b)
+            known.add(a + b)
+        merges.extend(acc)
+    return merges
+
+
+def _sim_seq_fit(words: dict[str, int], n: int):
+    wc = Counter()
+    for w, c in words.items():
+        wc[w] += c
+    texts = [" ".join(w for w in [wd] * c) for wd, c in wc.items()]
+    return _ref_bpe(texts, n)
+
+
+def test_batched_advice_counterexamples():
+    """The two corpora that falsified the old 2x-ceiling rule (r6
+    ADVICE): a self-adjacent accepted pair creates (dd,dd) bounded by
+    its OWN count (which the old ceiling excluded), and a run corpus
+    where batching learned a merge the sequential fit never picks."""
+    for words, n, k in [
+        ({"bbb": 6, "cc": 6}, 3, 3),
+        ({"cbcb": 1, "ddddddd": 3}, 4, 5),
+    ]:
+        seq = _sim_seq_fit(words, n)
+        got = _sim_batch_fit(words, n, k)
+        assert got == seq, (words, got, seq)
+
+
+def test_batched_parity_fuzz():
+    """Thousands of skewed-count random corpora (the shape that found
+    the r6 unsoundness within ~2500 trials) — batched fit must equal
+    the sequential fit merge-for-merge on every one."""
+    import random
+
+    rng = random.Random(7)
+    for t in range(4000):
+        mode = t % 5
+        if mode == 0:
+            alpha, wl, nw, cmax = "ab", 8, 4, 9
+        elif mode == 1:
+            alpha, wl, nw, cmax = "abc", 6, 5, 9
+        elif mode == 2:
+            alpha, wl, nw, cmax = "abcd", 10, 3, 50
+        elif mode == 3:
+            alpha, wl, nw, cmax = "ab", 12, 2, 99
+        else:
+            alpha, wl, nw, cmax = "ab", 14, 5, 20
+        words: dict[str, int] = {}
+        for _ in range(rng.randint(1, nw)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, wl))
+            )
+            words[w] = rng.randint(1, cmax)
+        n = rng.randint(1, 10)
+        k = rng.randint(2, 6)
+        seq = _sim_seq_fit(dict(words), n)
+        got = _sim_batch_fit(dict(words), n, k)
+        assert got == seq, (t, words, n, k, got, seq)
 
 
 def test_fit_bpe_batched_randomized_parity(spark):

@@ -17,3 +17,10 @@ def test_bfs_depths_hand_graph(spark):
     got2 = {r.node: r.depth
             for r in bfs_depths(edges, seeds, max_depth=2).collect()}
     assert got2[3] == -1 and got2[2] == 2
+    # an ISOLATED seed (appears in no edge) still reports depth 0 —
+    # r6 ADVICE: the old node universe was built from edges only, so
+    # such a seed silently vanished from the output
+    seeds3 = spark.createDataFrame([(0,), (42,)], "node long")
+    got3 = {r.node: r.depth
+            for r in bfs_depths(edges, seeds3, max_depth=3).collect()}
+    assert got3[42] == 0 and got3[0] == 0 and got3[1] == 1

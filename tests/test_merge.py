@@ -123,6 +123,43 @@ def test_merge_upsert_randomized_vs_dict_reference(spark):
         assert got == want, (trial, got, want)
 
 
+def test_merge_into_parquet_fresh_create_with_deletes(spark, tmp_path):
+    """r6 ADVICE (medium): the FIRST merge into a nonexistent table
+    with delete_col set used to crash — the synthesized empty target
+    carried the delete-flag column, which the final projection onto
+    the target schema could not resolve.  Deletes in the very first
+    batch simply never materialize."""
+    path = os.path.join(str(tmp_path), "t")
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", 0, False), (2, "x", 0, True), (3, "c", 0, False)],
+            columns=["k", "val", "ver", "is_delete"],
+        ),
+        "k long, val string, ver long, is_delete boolean",
+    )
+    v = merge_into_parquet(
+        spark, path, updates, ["k"],
+        order_col="ver", delete_col="is_delete",
+    )
+    assert v == 0
+    got = sorted((r.k, r.val) for r in read_merged(spark, path).collect())
+    assert got == [(1, "a"), (3, "c")]
+    assert "is_delete" not in read_merged(spark, path).columns
+
+
+def test_merge_upsert_duplicate_keys_without_order_col(spark):
+    """r6 ADVICE (low): duplicate-key updates with order_col=None used
+    to silently insert MULTIPLE rows per key.  Now they collapse to
+    one row via the deterministic all-remaining-columns ascending
+    tie-break (smallest val wins here)."""
+    target = _df(spark, [(1, "a", 0)])
+    updates = _df(spark, [(1, "zz", 7), (1, "bb", 3), (2, "c", 1)])
+    out = merge_upsert(target, updates, ["k"]).collect()
+    assert len(out) == 2
+    got = {r.k: r.val for r in out}
+    assert got == {1: "bb", 2: "c"}
+
+
 def test_merge_upsert_in_batch_tie_breaks_deterministic(spark):
     """Two updates with the SAME key and version: the smallest
     remaining-column value wins (the window's ascending tie-break) —

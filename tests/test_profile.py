@@ -52,8 +52,10 @@ def test_profile_approx_path_no_expand(spark):
 
     assert "Expand" not in agg_plan(_profile_agg(ev, cols, exact=False))
     assert "Expand" in agg_plan(_profile_agg(ev, cols, exact=True))
-    # tiny frame: approx == exact counts
+    # tiny frame: approx == exact counts (approx is OPT-IN — the
+    # default stays exact per r6 ADVICE)
     pdf = pd.DataFrame({"k": [1, 2, 2, None], "s": ["a", "b", "b", "c"]})
     df = spark.createDataFrame(pdf, "k long, s string")
-    got = {r.col: r.n_distinct for r in profile(df).collect()}
+    got = {r.col: r.n_distinct
+           for r in profile(df, exact=False).collect()}
     assert got == {"k": 2, "s": 3}
