@@ -60,3 +60,54 @@ def history_table(
         F.coalesce(valid_to, F.lit(-1)).alias("valid_to_us"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    dim_prefix: str = "dim_",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at the fact's
+    timestamp — the "state as of event time" lookup every SCD2 table
+    exists for: ``valid_from_us <= ts`` and (open version or
+    ``ts < valid_to_us``).  Versions are disjoint half-open ranges, so
+    a fact matches AT MOST ONE version — a plain left join needs no
+    dedup and emits no spurious rows.
+
+    Output = all fact columns + the history's non-key columns under
+    ``dim_prefix`` (NULL on unmatched facts with ``how='left'``;
+    ``how='inner'`` drops them).
+
+    Scale shape: an EQUI-join on the key columns (SortMergeJoin /
+    shuffled hash after AQE) with the validity range as a join filter —
+    never a cross product.  Version counts per key are change counts,
+    not event counts, so the per-key right side stays small; a small
+    dimension can be broadcast by wrapping ``history`` in
+    ``F.broadcast`` at the call site.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    # rename the entire right side first so a shared-lineage self-join
+    # (facts and history derived from the same scan) cannot produce
+    # ambiguous column references
+    dim = history.select(
+        *[F.col(k).alias(f"_pit_{k}") for k in key_cols],
+        *[
+            F.col(c).alias(f"{dim_prefix}{c}")
+            for c in history.columns
+            if c not in key_cols
+        ],
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_pit_{k}"))
+    vf = F.col(f"{dim_prefix}valid_from_us")
+    vt = F.col(f"{dim_prefix}valid_to_us")
+    cond = cond & (vf <= ts_us) & ((vt == -1) | (ts_us < vt))
+    return facts.join(dim, on=cond, how=how).drop(
+        *[f"_pit_{k}" for k in key_cols]
+    )

@@ -583,6 +583,113 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (`streaming/cdc.py`): a REAL readStream
+    over the events table feeds `foreachBatch` micro-batches into the
+    snapshot-versioned SCD1 MERGE (`operators/merge`), keyed per user
+    with latest-wins by (ts, event_id) and `event_type='error'` rows
+    acting as DELETE markers — the Kafka-upserts-to-warehouse-table
+    pattern.  One availableNow batch over the single source file, so
+    the final table state is deterministic and the oracle can state it
+    as one window: each sampled user's latest event, users whose
+    latest event is an error deleted.  Multi-batch sequencing and
+    post-crash batch replay idempotence are pinned in
+    tests/test_streaming_cdc.py."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.operators.merge import read_merged
+    from spark_tensors_spark.streaming.cdc import (
+        streaming_merge_into_parquet,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        updates = stream.filter(F.col("user_id") % 7 == 0).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            "ts",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+        q = streaming_merge_into_parquet(
+            updates,
+            table_path=os.path.join(root, "table"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            key_cols=["user_id"],
+            order_col="ts",
+            delete_col="is_delete",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    state = read_merged(spark, os.path.join(root, "table"))
+    out = (
+        state.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# the merge window's tie-break: order_col (ts) DESC, then the
+# remaining update columns ascending in frame column order — event_id
+# is globally unique, so (ts DESC, event_id) is already total
+EV_STREAM_MERGE_SQL = """
+WITH updates AS (
+    SELECT user_id, event_id, event_type, value, ts,
+           event_type = 'error' AS is_delete,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id
+           ) AS rn
+    FROM events
+    WHERE user_id % 7 = 0
+)
+SELECT user_id, event_id, event_type, value,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM updates
+WHERE rn = 1 AND NOT is_delete
+ORDER BY user_id
+"""
+
+
 EV_STREAM_SESSIONIZE_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
@@ -613,6 +720,7 @@ ORDER BY user_id, session_idx
 
 
 QUERIES = {
+    "ev_stream_merge": ev_stream_merge,
     "ev_stream_sessionize": ev_stream_sessionize,
     "emb_stream_ivf_assign": emb_stream_ivf_assign,
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
@@ -629,6 +737,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_merge": EV_STREAM_MERGE_SQL,
     "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,
     "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),

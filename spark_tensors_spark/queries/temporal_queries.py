@@ -820,6 +820,87 @@ ORDER BY user_id, valid_from_us, event_type
 """
 
 
+def ev_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (`operators/scd2.point_in_time_join`): each
+    purchase event of the sampled users looks up the user's lifecycle
+    state (SCD2 history over signup/error events) valid AT the
+    purchase timestamp — the "state as of event time" query SCD2
+    tables exist for.  Purchases before the first state version
+    surface sentinel 'none'/−1 (left join, no NULL output).  Equi-join
+    on user_id with the validity range as a join filter — never a
+    cross product; versions are disjoint half-open ranges, so no
+    dedup.  Pure integer/string codegen, restated exactly by the
+    oracle."""
+    from spark_tensors_spark.operators.scd2 import (
+        history_table,
+        point_in_time_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    dim_src = ev.filter(F.col("event_type").isin("signup", "error"))
+    hist = history_table(
+        dim_src, ["user_id"], ["event_type"],
+        ts_col="ts", order_tiebreak="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = point_in_time_join(facts, hist, ["user_id"], ts_col="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.coalesce(F.col("dim_event_type"), F.lit("none")).alias(
+            "state_at_purchase"
+        ),
+        F.coalesce(F.col("dim_valid_from_us"), F.lit(-1))
+        .cast("long")
+        .alias("state_since_us"),
+    ).orderBy("user_id", "event_id")
+
+
+EV_SCD2_PIT_JOIN_SQL = """
+WITH src AS (
+    SELECT user_id, event_id, event_type, ts
+    FROM events WHERE user_id % 5 = 0
+),
+dim_src AS (
+    SELECT * FROM src WHERE event_type IN ('signup', 'error')
+),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM dim_src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hist AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(LEAD(epoch_us(ts)) OVER w2, -1) AS BIGINT)
+               AS valid_to_us
+    FROM (SELECT * FROM flagged WHERE chg = 1)
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+facts AS (
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM src WHERE event_type = 'purchase'
+)
+SELECT f.user_id AS user_id, f.event_id AS event_id, f.ts_us AS ts_us,
+       COALESCE(h.event_type, 'none') AS state_at_purchase,
+       CAST(COALESCE(h.valid_from_us, -1) AS BIGINT) AS state_since_us
+FROM facts f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.valid_from_us <= f.ts_us
+ AND (h.valid_to_us = -1 OR f.ts_us < h.valid_to_us)
+ORDER BY user_id, event_id
+"""
+
+
 def ev_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD1 MERGE (`operators/merge.merge_upsert`): the per-user FIRST
     event state table merged with an update batch of each active
@@ -931,6 +1012,7 @@ QUERIES = {
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_merge_upsert": ev_merge_upsert,
     "ev_scd2_user_state": ev_scd2_user_state,
+    "ev_scd2_pit_join": ev_scd2_pit_join,
     "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
     "ev_resample_ffill": ev_resample_ffill,
@@ -952,6 +1034,7 @@ ORACLES = {
     "ev_anomaly_zscore": EV_ANOMALY_ZSCORE_SQL,
     "ev_merge_upsert": EV_MERGE_UPSERT_SQL,
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
+    "ev_scd2_pit_join": EV_SCD2_PIT_JOIN_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,
     "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,

@@ -52,3 +52,49 @@ def test_history_table_compresses_runs(spark):
         if r[0] == 1 and r[2] <= probe and (r[3] == -1 or probe < r[3])
     ]
     assert len(hits) == 1 and hits[0][1] == "b"
+
+
+def test_point_in_time_join(spark):
+    """PIT lookup: facts land in the version covering their ts (half-
+    open, open version matches onward), pre-history facts get NULLs
+    with how='left' and drop with how='inner'."""
+    from spark_tensors_spark.operators.scd2 import point_in_time_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    dim = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [0, 1, 2],
+            "event_type": ["a", "b", "x"],
+            "ts": [ts(10), ts(20), ts(5)],
+        }
+    )
+    hist = history_table(
+        spark.createDataFrame(dim), ["user_id"], ["event_type"],
+        ts_col="ts", order_tiebreak="event_id",
+    )
+    facts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2],
+                "event_id": [100, 101, 102, 103, 104],
+                # pre-history, at version start, mid-version, open
+                "ts": [ts(5), ts(10), ts(15), ts(99), ts(6)],
+            }
+        )
+    )
+    out = point_in_time_join(facts, hist, ["user_id"], ts_col="ts")
+    got = {r.event_id: r.dim_event_type for r in out.collect()}
+    assert got == {100: None, 101: "a", 102: "a", 103: "b", 104: "x"}
+    inner = point_in_time_join(
+        facts, hist, ["user_id"], ts_col="ts", how="inner"
+    )
+    assert sorted(r.event_id for r in inner.collect()) == [
+        101, 102, 103, 104
+    ]
+    # exactly one output row per matched fact (disjoint versions)
+    assert out.count() == 5
