@@ -583,6 +583,140 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINALIZED session roll-ups with event-time TIMERS
+    (`streaming/sessionize.sessionize_stream_ttl`,
+    applyInPandasWithState + EventTimeTimeout): a session emits
+    exactly once, when an in-order successor opens the next session or
+    the watermark passes ``last_ts + gap`` and the timer fires — the
+    state-TTL semantics `ev_stream_sessionize` lacks.  The sampled
+    events replay as two REAL micro-batches (time-split files,
+    mtime-ordered, maxFilesPerTrigger=1) plus the availableNow final
+    timeout-only batch (empirically pinned: timers fire against the
+    PREVIOUS batch's committed watermark, ms resolution, strict <).
+    The oracle states the emitted set exactly: every session with a
+    successor, plus last sessions whose timer the final watermark
+    (max event ms − delay) passed; still-open sessions stay in state,
+    unemitted."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.sessionize import (
+        sessionize_stream_ttl,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_ttl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select("user_id", "event_id", "ts")
+    )
+    split = "2024-01-16"
+    src = os.path.join(root, "src")
+    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(
+        os.path.join(src, "p0")
+    )
+    ev.filter(F.col("ts") >= split).coalesce(1).write.parquet(
+        os.path.join(src, "p1")
+    )
+    # the file source orders by modification time: pin p0 before p1
+    # explicitly instead of sleeping between writes
+    for i, part in enumerate(("p0", "p1")):
+        for f in os.listdir(os.path.join(src, part)):
+            os.utime(os.path.join(src, part, f),
+                     (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    closed = sessionize_stream_ttl(
+        stream, gap_seconds=300, watermark_delay="10 minutes"
+    )
+    out_dir = os.path.join(root, "out")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        closed.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    out = (
+        got.orderBy("user_id", "session_idx")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_SESSION_TTL_SQL = """
+WITH src AS (
+    SELECT user_id, event_id, ts FROM events WHERE user_id % 25 = 0
+),
+flagged AS (
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                     > 300 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+    SELECT user_id, ts_us,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_idx
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS first_ts_us,
+           MAX(ts_us) AS last_ts_us
+    FROM labeled
+    GROUP BY user_id, session_idx
+),
+-- the final committed watermark: max event time in MILLISECONDS
+-- (floor) minus the 10-minute delay
+wm AS (
+    SELECT (MAX(CAST(epoch_us(ts) AS BIGINT)) // 1000) - 600000
+               AS wm_ms
+    FROM src
+),
+last_per_user AS (
+    SELECT user_id, MAX(session_idx) AS mx FROM sessions GROUP BY user_id
+)
+SELECT s.user_id AS user_id, s.session_idx AS session_idx,
+       s.n_events AS n_events,
+       CAST(s.first_ts_us AS BIGINT) AS first_ts_us,
+       CAST(s.last_ts_us AS BIGINT) AS last_ts_us
+FROM sessions s
+JOIN last_per_user m ON m.user_id = s.user_id
+CROSS JOIN wm
+WHERE s.session_idx < m.mx
+   OR ((s.last_ts_us + 300 * 1000000) // 1000) + 1 < wm.wm_ms
+ORDER BY user_id, session_idx
+"""
+
+
 def ev_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (`streaming/cdc.py`): a REAL readStream
     over the events table feeds `foreachBatch` micro-batches into the
@@ -720,6 +854,7 @@ ORDER BY user_id, session_idx
 
 
 QUERIES = {
+    "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
     "ev_stream_sessionize": ev_stream_sessionize,
     "emb_stream_ivf_assign": emb_stream_ivf_assign,
@@ -737,6 +872,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
     "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,
     "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),

@@ -104,3 +104,121 @@ def sessionize_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CLOSED_SCHEMA = (
+    "user_id long, session_idx long, n_events long, "
+    "first_ts_us long, last_ts_us long"
+)
+TTL_STATE_SCHEMA = (
+    "session_idx long, n_events long, first_ts_us long, last_ts_us long"
+)
+
+
+def sessionize_stream_ttl(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    watermark_delay: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """FINALIZED session roll-ups — emitted exactly once, only when a
+    session can never grow again: either an in-order successor event
+    opened the next session for the key, or the event-time TIMER fired
+    (watermark passed ``last_ts + gap``, `GroupStateTimeout
+    .EventTimeTimeout` + ``state.setTimeoutTimestamp``).  The timer is
+    what `sessionize_stream` lacks: without it an idle key's last
+    session sits in the state store forever and is never emitted;
+    with it state is dropped the moment the watermark proves the
+    session over — bounded state on an unbounded key space.
+
+    Output: (user_id, session_idx, n_events, first_ts_us, last_ts_us),
+    append-only.  Same INCLUSIVE-gap/ordering contract as
+    `sessionize_stream` (in-order per-key arrival across batches).
+
+    Timing contract (pinned empirically in tests/test_streaming.py):
+    timeouts fire against the PREVIOUS batch's committed watermark, so
+    a session closes in the first batch that runs after the watermark
+    passes it — availableNow runs a final timeout-only batch after the
+    last data batch, so sessions whose timer the FINAL watermark
+    covers do emit before the query stops; still-open sessions remain
+    in state for the next restart (the streaming contract, not data
+    loss).
+
+    Scale shape: 32 bytes of state per key; one shuffle per batch on
+    the key; output rows = closed sessions only (≪ input rows), which
+    is what makes this the 100 TB session-ETL shape — the alternative
+    (emit-on-update + downstream dedup) re-emits every session once
+    per touching batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def roll(key, pdfs, state):
+        closed = []
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap with no newer input: the
+            # open session is final
+            idx, n, first_us, last_us = state.get
+            closed.append((key[0], idx, n, first_us, last_us))
+            state.remove()
+        else:
+            if state.exists:
+                idx, n, first_us, last_us = state.get
+            else:
+                idx, n, first_us, last_us = 0, 0, -1, -1
+            frames = [pdf for pdf in pdfs if len(pdf)]
+            if frames:
+                rows = (
+                    pd.concat(frames)
+                    .sort_values(["ts_us", "event_id"],
+                                 kind="mergesort")
+                )
+                for ts_us in rows["ts_us"].astype("int64"):
+                    ts_us = int(ts_us)
+                    if last_us >= 0 and ts_us - last_us <= gap_us:
+                        n += 1
+                        last_us = ts_us
+                    else:
+                        if n > 0:
+                            closed.append(
+                                (key[0], idx, n, first_us, last_us)
+                            )
+                        idx += 1
+                        n = 1
+                        first_us = last_us = ts_us
+            if n > 0:
+                state.update((idx, n, first_us, last_us))
+                # the timer: fire when the watermark proves the gap
+                # elapsed with no successor.  Clamped above the current
+                # watermark — setTimeoutTimestamp THROWS at or below
+                # it, which a late-but-admitted row could otherwise
+                # trigger on a disordered stream
+                timer_ms = (last_us + gap_us) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(timer_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_idx", "n_events",
+                    "first_ts_us", "last_ts_us",
+                ],
+            )
+
+    src = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(ts_col).alias(ts_col),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        roll,
+        CLOSED_SCHEMA,
+        TTL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -572,3 +572,84 @@ def test_stream_sessionize_labels_across_batches(spark, tmp_path):
         for r in sessionize_stream(spark.read.parquet(d)).collect()
     }
     assert got == batch
+
+
+def test_sessionize_stream_ttl_timers(spark, tmp_path):
+    """Event-time TIMER semantics of sessionize_stream_ttl, pinned
+    empirically: (1) a successor event past the gap closes the open
+    session cross-batch; (2) an idle key's open session closes when
+    the PREVIOUS batch's committed watermark passes last_ts + gap —
+    availableNow runs a final timeout-only batch; (3) sessions whose
+    timer the final watermark never covers stay in state, unemitted."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from spark_tensors_spark.streaming.sessionize import (
+        sessionize_stream_ttl,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    def us(m):
+        return int(
+            ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    src = str(tmp_path / "src")
+    # batch 1: user 1 session A (0,2 min), user 2 session (0,1 min)
+    # batch 2: user 1 at 30 min (closes A by succession, opens B),
+    #          user 3 at 31 min (fresh, stays open)
+    b1 = pd.DataFrame(
+        {"user_id": [1, 1, 2, 2], "event_id": [10, 11, 20, 21],
+         "ts": [ts(0), ts(2), ts(0), ts(1)]}
+    )
+    b2 = pd.DataFrame(
+        {"user_id": [1, 3], "event_id": [12, 30],
+         "ts": [ts(30), ts(31)]}
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(
+        _os.path.join(src, "b1")
+    )
+    spark.createDataFrame(b2).coalesce(1).write.parquet(
+        _os.path.join(src, "b2")
+    )
+    for i, part in enumerate(("b1", "b2")):
+        for f in _os.listdir(_os.path.join(src, part)):
+            _os.utime(_os.path.join(src, part, f),
+                      (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    out = sessionize_stream_ttl(
+        stream, gap_seconds=300, watermark_delay="10 minutes"
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    # user 1 session A closed by succession in batch 2; user 2 closed
+    # by TIMER in the final batch (timer 00:06 < watermark 00:21);
+    # user 1 session B (timer 00:35) and user 3 (00:36) stay open
+    assert got == [
+        (1, 1, 2, us(0), us(2)),
+        (2, 1, 2, us(0), us(1)),
+    ]
