@@ -88,13 +88,24 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def read_merged(spark: SparkSession, path: str) -> DataFrame:
+def read_merged(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Latest COMPLETE snapshot (highest ``_v`` with a _SUCCESS
-    marker)."""
+    marker), or — TIME TRAVEL — any earlier complete ``version``:
+    snapshots are immutable once committed, so every past table state
+    stays addressable until explicitly vacuumed."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no complete snapshot under {path}")
-    return spark.read.parquet(os.path.join(path, f"_v={vs[-1]}"))
+    if version is None:
+        version = vs[-1]
+    elif version not in vs:
+        raise FileNotFoundError(
+            f"no complete snapshot _v={version} under {path} "
+            f"(have {vs})"
+        )
+    return spark.read.parquet(os.path.join(path, f"_v={version}"))
 
 
 def merge_into_parquet(

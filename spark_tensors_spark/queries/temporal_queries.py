@@ -966,6 +966,170 @@ ORDER BY user_id
 """
 
 
+def ev_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the snapshot-versioned merge table
+    (`operators/merge`): two CDC batches commit as immutable snapshots
+    `_v=0` and `_v=1`; the query reads BOTH versions back
+    (`read_merged(version=...)`) and unions them under a `version`
+    column — the "what did this table say yesterday" audit read that
+    snapshot versioning exists to answer.  The oracle restates each
+    version's state independently (v0 = first event per sampled user,
+    v1 = that state merged with each user's last January-16+ event)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.operators.merge import (
+        merge_into_parquet,
+        read_merged,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"time_travel_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "table")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b1 = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    late = ev.filter(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b2 = (
+        late.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    merge_into_parquet(spark, table, b1, ["user_id"], order_col="ts_us")
+    merge_into_parquet(spark, table, b2, ["user_id"], order_col="ts_us")
+    v0 = read_merged(spark, table, version=0).withColumn(
+        "version", F.lit(0).cast("long")
+    )
+    v1 = read_merged(spark, table).withColumn(
+        "version", F.lit(1).cast("long")
+    )
+    out = (
+        v0.unionByName(v1)
+        .select("version", "user_id", "event_type", "ts_us")
+        .orderBy("version", "user_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_MERGE_TIME_TRAVEL_SQL = """
+WITH src AS (
+    SELECT user_id, event_id, event_type, ts FROM events
+    WHERE user_id % 7 = 0
+),
+v0 AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM src) WHERE rn = 1
+),
+b2 AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rn
+          FROM src WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1
+),
+v1 AS (
+    SELECT * FROM b2
+    UNION ALL
+    SELECT t.* FROM v0 t
+    WHERE NOT EXISTS (SELECT 1 FROM b2 u WHERE u.user_id = t.user_id)
+)
+SELECT CAST(0 AS BIGINT) AS version, user_id, event_type, ts_us FROM v0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS version, user_id, event_type, ts_us FROM v1
+ORDER BY version, user_id
+"""
+
+
+def ev_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (`operators/incremental.merge_agg_snapshot`): the hourly
+    (hour, event_type) count/sum/min/max view is built by folding TWO
+    time-split batches into a partial-aggregate snapshot — one
+    aggregate per batch plus a key-sized full-outer merge, zero
+    history rescans — and must equal the direct aggregate over all
+    data, which is exactly what the oracle states.  Sums accumulate in
+    DECIMAL on both engines (exact, mergeable); min/max carry raw
+    parquet doubles."""
+    from spark_tensors_spark.operators.incremental import (
+        merge_agg_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v6"),
+        "value",
+        "ts",
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    aggs = {
+        "n": ("count", "value"),
+        "v_sum6": ("sum", "v6"),
+        "v_min": ("min", "value"),
+        "v_max": ("max", "value"),
+    }
+    keys = ["hour", "event_type"]
+    snap = merge_agg_snapshot(
+        None, ev.filter(F.col("ts") < split), keys, aggs
+    )
+    snap = merge_agg_snapshot(
+        snap, ev.filter(F.col("ts") >= split), keys, aggs
+    )
+    return snap.select(
+        "hour",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_sum6").cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+    ).orderBy("hour", "event_type")
+
+
+EV_INCREMENTAL_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score anomaly detection
     (`operators/quality.zscore_outliers`): events more than 3σ from
@@ -1013,6 +1177,8 @@ QUERIES = {
     "ev_merge_upsert": ev_merge_upsert,
     "ev_scd2_user_state": ev_scd2_user_state,
     "ev_scd2_pit_join": ev_scd2_pit_join,
+    "ev_merge_time_travel": ev_merge_time_travel,
+    "ev_incremental_hourly": ev_incremental_hourly,
     "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
     "ev_resample_ffill": ev_resample_ffill,
@@ -1035,6 +1201,8 @@ ORACLES = {
     "ev_merge_upsert": EV_MERGE_UPSERT_SQL,
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_scd2_pit_join": EV_SCD2_PIT_JOIN_SQL,
+    "ev_merge_time_travel": EV_MERGE_TIME_TRAVEL_SQL,
+    "ev_incremental_hourly": EV_INCREMENTAL_HOURLY_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,
     "ev_resample_ffill": EV_RESAMPLE_FFILL_SQL,

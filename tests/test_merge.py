@@ -170,3 +170,19 @@ def test_merge_upsert_in_batch_tie_breaks_deterministic(spark):
            for r in merge_upsert(target, updates, ["k"],
                                  order_col="ver").collect()}
     assert got == {1: ("bb", 7)}
+
+
+def test_read_merged_time_travel(spark, tmp_path):
+    """Every committed snapshot stays addressable: version=n reads the
+    table state after the n-th merge; an unknown version raises."""
+    path = os.path.join(str(tmp_path), "t")
+    merge_into_parquet(spark, path, _df(spark, [(1, "a", 0)]), ["k"])
+    merge_into_parquet(
+        spark, path, _df(spark, [(1, "A", 1), (2, "b", 1)]), ["k"]
+    )
+    v0 = {(r.k, r.val) for r in read_merged(spark, path, 0).collect()}
+    v1 = {(r.k, r.val) for r in read_merged(spark, path).collect()}
+    assert v0 == {(1, "a")}
+    assert v1 == {(1, "A"), (2, "b")}
+    with pytest.raises(FileNotFoundError):
+        read_merged(spark, path, 7)
