@@ -108,6 +108,23 @@ def read_merged(
     return spark.read.parquet(os.path.join(path, f"_v={version}"))
 
 
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` COMPLETE snapshots (and
+    any incomplete ones older than the newest kept) — bounds the
+    storage bill of full-snapshot versioning; returns the versions
+    removed.  Never touches the latest snapshot: readers of
+    :func:`read_merged` stay valid throughout."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(path)
+    drop = vs[:-keep_last] if len(vs) > keep_last else []
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"_v={v}"), ignore_errors=True)
+    return drop
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
