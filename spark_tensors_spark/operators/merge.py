@@ -37,6 +37,7 @@ def merge_upsert(
     key_cols: list[str],
     order_col: str | None = None,
     delete_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """SCD1 merge: rows of ``updates`` replace matching ``target`` rows
     by key, unmatched updates insert.  Duplicate keys inside
@@ -47,8 +48,54 @@ def merge_upsert(
     — so the one-row-per-key SCD1 invariant holds unconditionally
     (pass ``order_col`` whenever a meaningful recency exists).  If
     ``delete_col`` names a boolean column, updates with it true DELETE
-    the key instead (and never insert)."""
+    the key instead (and never insert).
+
+    ``evolve_schema=True`` accepts schema drift between the sides (the
+    CDC reality: upstream tables grow columns): the merged schema is
+    the UNION of both, each side padded with typed NULLs for columns
+    it lacks; a column present on both sides with different types
+    raises.  Default False — silent widening would hide producer bugs.
+    """
     upd = updates
+    if not evolve_schema:
+        extra = [
+            c for c in upd.columns
+            if c not in target.columns and c != delete_col
+        ]
+        if extra:
+            raise ValueError(
+                f"updates carry columns absent from target {extra}; "
+                "pass evolve_schema=True to widen the table (the old "
+                "behavior silently DROPPED them)"
+            )
+    if evolve_schema:
+        t_types = dict(target.dtypes)
+        u_types = {
+            c: t for c, t in upd.dtypes
+            if c != delete_col
+        }
+        for c in u_types:
+            if c in t_types and t_types[c] != u_types[c]:
+                raise TypeError(
+                    f"column {c!r} type conflict: target {t_types[c]} "
+                    f"vs updates {u_types[c]}"
+                )
+        target = target.select(
+            "*",
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in u_types.items()
+                if c not in t_types
+            ],
+        )
+        upd = upd.select(
+            "*",
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in t_types.items()
+                if c not in u_types and c != delete_col
+            ],
+        )
     order_exprs = (
         [F.col(order_col).desc()] if order_col is not None else []
     )
@@ -132,6 +179,7 @@ def merge_into_parquet(
     key_cols: list[str],
     order_col: str | None = None,
     delete_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Merge ``updates`` into the parquet table at ``path`` (creating
     it if absent) and return the new version number.  Crash-safe by
@@ -144,6 +192,7 @@ def merge_into_parquet(
         merged = merge_upsert(
             base, updates, key_cols,
             order_col=order_col, delete_col=delete_col,
+            evolve_schema=evolve_schema,
         )
     else:
         # fresh table: the synthesized empty target must NOT carry the

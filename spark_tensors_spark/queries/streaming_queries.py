@@ -583,6 +583,124 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the enrichment pattern (click stream ⋈
+    broadcast dimension): a readStream over the events table left-joins
+    a BATCH-computed per-user profile (first event type + lifetime
+    count) inside the streaming plan; Spark re-plans the static side
+    per micro-batch and broadcasts it under AQE.  Sink rows roll up per
+    (profile first type, event type) so the oracle is one join + one
+    aggregate."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_enrich_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev_batch = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    profile = (
+        ev_batch.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+        )
+        .join(
+            ev_batch.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("lifetime_n")
+            ),
+            "user_id",
+        )
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        enriched = (
+            stream.filter(F.col("user_id") % 11 == 0)
+            .select("user_id", "event_id", "event_type")
+            .join(F.broadcast(profile), "user_id", "left")
+        )
+        out_dir = os.path.join(root, "out")
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            enriched.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    rows = spark.read.parquet(os.path.join(root, "out"))
+    out = (
+        rows.groupBy("first_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            F.sum("lifetime_n").cast("long").alias("lifetime_sum"),
+        )
+        .orderBy("first_type", "event_type")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_ENRICH_SQL = """
+WITH profile AS (
+    SELECT f.user_id, f.first_type, c.lifetime_n
+    FROM (SELECT user_id, event_type AS first_type
+          FROM (SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1) f
+    JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS lifetime_n
+          FROM events GROUP BY user_id) c
+      ON c.user_id = f.user_id
+),
+enriched AS (
+    SELECT e.user_id, e.event_id, e.event_type,
+           p.first_type, p.lifetime_n
+    FROM events e
+    LEFT JOIN profile p ON p.user_id = e.user_id
+    WHERE e.user_id % 11 = 0
+)
+SELECT first_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(event_id) AS min_event,
+       MAX(event_id) AS max_event,
+       CAST(SUM(lifetime_n) AS BIGINT) AS lifetime_sum
+FROM enriched
+GROUP BY first_type, event_type
+ORDER BY first_type, event_type
+"""
+
+
 def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FINALIZED session roll-ups with event-time TIMERS
     (`streaming/sessionize.sessionize_stream_ttl`,
@@ -854,6 +972,7 @@ ORDER BY user_id, session_idx
 
 
 QUERIES = {
+    "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
     "ev_stream_sessionize": ev_stream_sessionize,
@@ -872,6 +991,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
     "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,

@@ -186,3 +186,54 @@ def test_read_merged_time_travel(spark, tmp_path):
     assert v1 == {(1, "A"), (2, "b")}
     with pytest.raises(FileNotFoundError):
         read_merged(spark, path, 7)
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """evolve_schema=True: the merged schema is the union of both
+    sides — target rows get NULL for new update columns, inserted
+    updates get NULL for legacy target columns; a type conflict
+    raises; default (False) still fails fast on drift."""
+    target = _df(spark, [(1, "a", 0), (2, "b", 0)])
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            [(2, "B", 1, "eu"), (3, "c", 1, "us")],
+            columns=["k", "val", "ver", "region"],
+        ),
+        "k long, val string, ver long, region string",
+    )
+    out = merge_upsert(target, updates, ["k"], evolve_schema=True)
+    assert sorted(out.columns) == ["k", "region", "val", "ver"]
+    got = {r.k: (r.val, r.region) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("B", "eu"), 3: ("c", "us")}
+    # updates may also LACK target columns (dropped upstream)
+    updates2 = spark.createDataFrame(
+        pd.DataFrame([(1, "A2")], columns=["k", "val"]),
+        "k long, val string",
+    )
+    out2 = merge_upsert(target, updates2, ["k"], evolve_schema=True)
+    got2 = {r.k: (r.val, r.ver) for r in out2.collect()}
+    assert got2 == {1: ("A2", None), 2: ("b", 0)}
+    # type conflict is an error, not a silent cast
+    bad = spark.createDataFrame(
+        pd.DataFrame([(1, 5, 1)], columns=["k", "val", "ver"]),
+        "k long, val long, ver long",
+    )
+    with pytest.raises(TypeError):
+        merge_upsert(target, bad, ["k"], evolve_schema=True)
+    # and without opting in, drift still fails fast
+    with pytest.raises(Exception):
+        merge_upsert(target, updates, ["k"]).collect()
+
+
+def test_merge_into_parquet_schema_evolution(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    merge_into_parquet(spark, path, _df(spark, [(1, "a", 0)]), ["k"])
+    upd = spark.createDataFrame(
+        pd.DataFrame([(2, "b", 1, 9.5)],
+                     columns=["k", "val", "ver", "score"]),
+        "k long, val string, ver long, score double",
+    )
+    merge_into_parquet(spark, path, upd, ["k"], evolve_schema=True)
+    got = {r.k: (r.val, r.score)
+           for r in read_merged(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
