@@ -172,6 +172,47 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     return drop
 
 
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: list,
+) -> int:
+    """Privacy erase ("right to be forgotten"): physically remove the
+    given key values from EVERY complete snapshot — a MERGE delete
+    only removes a key from the latest version, while time travel
+    (:func:`read_merged` with ``version=``) would still surface it
+    from history.  Each snapshot is rewritten without the keys and
+    swapped in by RENAME.  A crash during the rewrite leaves the
+    original intact; the only unsafe window is between the two renames
+    (the original then survives under ``_v=<n>.__old__`` and must be
+    restored or removed by hand — a table format's atomic pointer swap
+    closes this).  Returns the number of snapshots rewritten.
+
+    Scale note: cost is a filtered copy of every kept snapshot —
+    exactly why :func:`vacuum` should bound the snapshot count before
+    purges are routine.
+    """
+    import shutil
+
+    n = 0
+    for v in _versions(path):
+        vdir = os.path.join(path, f"_v={v}")
+        tmp = vdir + ".__purge__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df = spark.read.parquet(vdir)
+        df.filter(~F.col(key_col).isin(values)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = vdir + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(vdir, old)
+        os.rename(tmp, vdir)
+        shutil.rmtree(old, ignore_errors=True)
+        n += 1
+    return n
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,

@@ -70,3 +70,30 @@ def test_vacuum_keeps_latest(spark, tmp_path):
         read_merged(spark, path, 0)
     with pytest.raises(ValueError):
         vacuum(path, keep_last=0)
+
+
+def test_purge_keys_erases_from_all_versions(spark, tmp_path):
+    """Privacy erase: the key disappears from EVERY snapshot —
+    including the ones time travel can still read — while other rows
+    and the version numbering survive."""
+    from spark_tensors_spark.operators.merge import purge_keys
+
+    path = str(tmp_path / "t")
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "v"]), "k long, v string"
+        )
+
+    merge_into_parquet(spark, path, df([(1, "a"), (2, "b")]), ["k"])
+    merge_into_parquet(spark, path, df([(1, "A"), (3, "c")]), ["k"])
+    assert purge_keys(spark, path, "k", [1]) == 2
+    assert _versions(path) == [0, 1]
+    v0 = {(r.k, r.v) for r in read_merged(spark, path, 0).collect()}
+    v1 = {(r.k, r.v) for r in read_merged(spark, path, 1).collect()}
+    assert v0 == {(2, "b")}
+    assert v1 == {(2, "b"), (3, "c")}
+    # idempotent; later merges keep working
+    assert purge_keys(spark, path, "k", [1]) == 2
+    merge_into_parquet(spark, path, df([(4, "d")]), ["k"])
+    assert _versions(path) == [0, 1, 2]
