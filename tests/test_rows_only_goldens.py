@@ -5,6 +5,11 @@ so the normalized result set is pinned by an exact md5 at sf0.001.
 Any drift in bucketing, Lloyd iterations, PQ codebooks, SimHash bands,
 or tie-breaks shows up as a digest change.
 
+(r7: digests re-pinned once — normalize() floats are repr-encoded now
+(sign-of-zero-faithful); old-encoding digests matched every pin before
+re-pinning, except emb_whiten_moments whose −0.0 → +0.0 snap is the
+deliberate r7 fix.)
+
 (The three KGE smokes and tns_cp_als_fit have their own exact-value
 golden tests; this file covers the ANN/sketch remainder.)
 """
@@ -24,13 +29,13 @@ from tests.oracle_harness import normalize
 # their engine-hash production paths keep the same digests in
 # tests/test_trained_ann_goldens.py.)
 GOLDEN = {
-    "emb_pca_topvar": (8, "1f8246306111c2da24b25c0dbd03c02e"),
+    "emb_pca_topvar": (8, "7a76b50ea0fb182ad8d460acf33b667d"),
     # oracled too (the cov = I invariant); the digest additionally pins
     # the exact 36-row grid across container/library versions
-    "emb_whiten_moments": (36, "5f12fb15e8edd713d56f7664a9d06683"),
+    "emb_whiten_moments": (36, "3ab8ea596a56b7f4f6c2bd925c4c6e02"),
     # zlib byte counts are library-specific (hence no SQL oracle) but
     # deterministic for a fixed level within this container
-    "doc_compression_stats": (20, "b5831312034f72bfc7c833cb1ab55955"),
+    "doc_compression_stats": (20, "b81109d991de1252ccdd08240e004afb"),
     # oracled since r6 (full symbolic fit+apply replay); the digest
     # stays as an extra pin on the Python encode path
     "doc_bpe_encode_stats": (6, "c0ba6b450fa67de8cffddf8959b56419"),

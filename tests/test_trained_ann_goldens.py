@@ -7,6 +7,10 @@ random-hyperplane LSH — are pinned here instead, with the exact same
 sf0.001 digests they carried as rows-only queries in r4.  Any drift in
 seeding, Lloyd updates, probe order, or tie-breaks shows up as a
 digest change.
+
+(r7: digests re-pinned once — the shared normalize() float encoding
+became sign-of-zero-faithful (repr-based); every underlying value was
+verified unchanged under the old encoding before re-pinning.)
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ def test_trained_lsh_topk_digest(spark):
             "query_id", "rk"
         )
     )
-    assert got == (2500, "6f701780bfc11c76a0e00151f7cec12f")
+    assert got == (2500, "d0e922f8697b8d60c86eeb3d6eb93da9")
 
 
 def test_trained_ivf_topk_digest(spark):
@@ -47,7 +51,7 @@ def test_trained_ivf_topk_digest(spark):
             "query_id", "rk"
         )
     )
-    assert got == (2500, "8d5cb4158af413ae1beef7da25459338")
+    assert got == (2500, "ad25275b7145a768afff2d9853afa49d")
 
 
 def test_trained_pq_topk_digest(spark):
@@ -63,7 +67,7 @@ def test_trained_pq_topk_digest(spark):
     got = _digest(
         pq.pq_topk(emb, queries, cb, k=5).orderBy("query_id", "rk")
     )
-    assert got == (50, "70987e7dacbc506d9017593727485947")
+    assert got == (50, "b20d05697b53af512f16836aad4c8870")
 
 
 def test_trained_ivfpq_topk_digest(spark):
@@ -83,7 +87,7 @@ def test_trained_ivfpq_topk_digest(spark):
             emb, queries, k=5, n_cells=8, nprobe=3, m=8, n_codes=16
         ).orderBy("query_id", "rk")
     )
-    assert got == (50, "e732af31f4e92186275af64f46cc073f")
+    assert got == (50, "aa66e95591633b61cb015777657daab0")
 
 
 def test_production_xxhash_simhash_digest(spark):
@@ -117,4 +121,4 @@ def test_production_float_near_dup_bucketed_digest(spark):
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(50)
     )
-    assert got == (50, "7975f90a6062e4cba607f588acfdcca2")
+    assert got == (50, "8250785a59367a25ae935c28f73c9e58")
