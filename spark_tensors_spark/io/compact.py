@@ -6,9 +6,14 @@ long before it is IO-bound.
 
 ``compact_parquet`` rewrites a directory into ~``target_bytes`` files
 and commits by RENAME-INTO-PLACE (write to ``<dir>.__compact__``, swap
-directories) — readers see either the old layout or the new one, never
-a half-written mix; a crash leaves the original untouched (the same
-swap discipline as the HLL compactor, streaming/sketches.py).
+directories).  A crash during the REWRITE leaves the original
+untouched; the swap itself is TWO renames, so there is a brief window
+in which ``path`` does not exist — a concurrent reader in that window
+fails with path-not-found, and a crash inside it leaves the data under
+``<dir>.__old__`` needing a hand rename (plain filesystems have no
+atomic directory swap; a table format's pointer commit closes this).
+Run compaction when no reader races the swap — per partition directory
+at real scale, which also keeps each swap small.
 
 Scale shape: one distributed read + write, no shuffle — coalesce()
 only MERGES partitions (narrow dependency); rows never move between

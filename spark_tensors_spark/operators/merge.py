@@ -44,7 +44,8 @@ def merge_upsert(
     ``updates`` resolve latest-wins by ``order_col`` (ties broken by
     the remaining column order via a deterministic row_number); with
     ``order_col=None`` duplicates still collapse to ONE row per key —
-    all non-key columns descending, a deterministic but arbitrary pick
+    remaining columns ASCENDING in column order (smallest tuple wins),
+    a deterministic but arbitrary pick
     — so the one-row-per-key SCD1 invariant holds unconditionally
     (pass ``order_col`` whenever a meaningful recency exists).  If
     ``delete_col`` names a boolean column, updates with it true DELETE
@@ -128,9 +129,14 @@ def _versions(path: str) -> list[int]:
         return []
     out = []
     for d in os.listdir(path):
-        if d.startswith("_v=") and os.path.exists(
-            os.path.join(path, d, "_SUCCESS")
-        ):
+        # strict integer suffix only: maintenance temp dirs (e.g. a
+        # crashed purge's leftovers) and any other stray `_v=`-prefixed
+        # name must be IGNORED, not crash every reader with ValueError
+        if not d.startswith("_v="):
+            continue
+        if not d[3:].isdigit():
+            continue
+        if os.path.exists(os.path.join(path, d, "_SUCCESS")):
             out.append(int(d[3:]))
     return sorted(out)
 
@@ -169,6 +175,19 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     drop = vs[:-keep_last] if len(vs) > keep_last else []
     for v in drop:
         shutil.rmtree(os.path.join(path, f"_v={v}"), ignore_errors=True)
+    if vs:
+        # incomplete `_v=<n>` dirs (no _SUCCESS — crashed merges) at or
+        # below the newest COMPLETE version are dead: a new merge always
+        # writes newest+1, so only a version above newest can be
+        # in-flight.  Without this they leak forever (the docstring's
+        # contract); kept complete versions are untouched.
+        keep = set(vs[-keep_last:])
+        for d in os.listdir(path):
+            if not (d.startswith("_v=") and d[3:].isdigit()):
+                continue
+            v = int(d[3:])
+            if v <= vs[-1] and v not in keep and v not in drop:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return drop
 
 
@@ -185,9 +204,12 @@ def purge_keys(
     from history.  Each snapshot is rewritten without the keys and
     swapped in by RENAME.  A crash during the rewrite leaves the
     original intact; the only unsafe window is between the two renames
-    (the original then survives under ``_v=<n>.__old__`` and must be
-    restored or removed by hand — a table format's atomic pointer swap
-    closes this).  Returns the number of snapshots rewritten.
+    (the original then survives under ``purge_old._v=<n>`` — a name
+    ``_versions`` ignores, so the table stays READABLE, just missing
+    that one version until the dir is restored or removed by hand — a
+    table format's atomic pointer swap closes this).  NULL keys are
+    never purge targets and are always kept.  Returns the number of
+    snapshots rewritten.
 
     Scale note: cost is a filtered copy of every kept snapshot —
     exactly why :func:`vacuum` should bound the snapshot count before
@@ -198,13 +220,18 @@ def purge_keys(
     n = 0
     for v in _versions(path):
         vdir = os.path.join(path, f"_v={v}")
-        tmp = vdir + ".__purge__"
+        # temp/backup names must NOT start with `_v=`: _versions
+        # ignores them, so crash leftovers can never brick the table
+        tmp = os.path.join(path, f"purge_tmp._v={v}")
         shutil.rmtree(tmp, ignore_errors=True)
         df = spark.read.parquet(vdir)
-        df.filter(~F.col(key_col).isin(values)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        old = vdir + ".__old__"
+        # NULL-key rows are kept: ~isin(NULL) is NULL, which a bare
+        # filter would DROP — an erase request must never take
+        # unrelated rows with it
+        df.filter(
+            F.col(key_col).isNull() | ~F.col(key_col).isin(values)
+        ).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f"purge_old._v={v}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(vdir, old)
         os.rename(tmp, vdir)

@@ -575,12 +575,17 @@ def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     emb = ensure_scan_parallelism(emb)
     model = pca.fit_pca(emb, dims=64, k=8)
+    # `+ 0.0` snaps a possible -0.0 from eigh's tiny-negative PSD
+    # numerics (run-dependent sign — the emb_whiten_moments r6 lesson;
+    # the digest and any future oracle are sign-of-zero-sensitive)
     rows = pd.DataFrame(
         {
             "pc": range(8),
-            "eigenvalue": [round(float(v), 4) for v in model.eigenvalues],
+            "eigenvalue": [
+                round(float(v), 4) + 0.0 for v in model.eigenvalues
+            ],
             "explained_ratio": [
-                round(float(v), 4) for v in model.explained_ratio
+                round(float(v), 4) + 0.0 for v in model.explained_ratio
             ],
         }
     )

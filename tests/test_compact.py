@@ -97,3 +97,61 @@ def test_purge_keys_erases_from_all_versions(spark, tmp_path):
     assert purge_keys(spark, path, "k", [1]) == 2
     merge_into_parquet(spark, path, df([(4, "d")]), ["k"])
     assert _versions(path) == [0, 1, 2]
+
+
+def test_purge_keys_keeps_null_keys_and_crash_leftovers_ignored(
+    spark, tmp_path
+):
+    """Review findings: (1) NULL-key rows are never purge collateral
+    (~isin(NULL) is NULL — a bare filter would drop them); (2) crash
+    leftover dirs must not brick _versions()/read_merged."""
+    from spark_tensors_spark.operators.merge import purge_keys
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(None, "n"), (1, "a"), (2, "b")], columns=["k", "v"]
+        ),
+        "k long, v string",
+    )
+    merge_into_parquet(spark, path, df, ["k"])
+    purge_keys(spark, path, "k", [1])
+    got = {(r.k, r.v) for r in read_merged(spark, path).collect()}
+    assert got == {(None, "n"), (2, "b")}
+    # a crashed purge's leftovers use non-`_v=` prefixes; even a stray
+    # `_v=junk` dir with _SUCCESS must be ignored, not ValueError
+    os.makedirs(os.path.join(path, "purge_old._v=0"))
+    open(os.path.join(path, "purge_old._v=0", "_SUCCESS"), "w").close()
+    os.makedirs(os.path.join(path, "_v=junk"))
+    open(os.path.join(path, "_v=junk", "_SUCCESS"), "w").close()
+    assert _versions(path) == [0]
+    assert read_merged(spark, path).count() == 2
+
+
+def test_vacuum_removes_stale_incomplete_snapshots(spark, tmp_path):
+    """An incomplete `_v=<n>` at or below the newest COMPLETE version
+    is a dead crashed merge (new merges always write newest+1) —
+    vacuum reclaims it; an incomplete one ABOVE newest may be
+    in-flight and is left alone."""
+    path = str(tmp_path / "t")
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "v"]), "k long, v long"
+        )
+
+    for i in range(3):
+        merge_into_parquet(spark, path, df([(1, i)]), ["k"])
+    # dead incomplete below newest; in-flight incomplete above newest
+    os.makedirs(os.path.join(path, "_v=1x"), exist_ok=True)
+    shutil = __import__("shutil")
+    shutil.rmtree(os.path.join(path, "_v=1"))
+    os.makedirs(os.path.join(path, "_v=1"))  # incomplete (no _SUCCESS)
+    os.makedirs(os.path.join(path, "_v=9"))  # incomplete, above newest
+    dropped = vacuum(path, keep_last=2)
+    assert dropped == []               # completes are [0, 2], both kept
+    left = sorted(os.listdir(path))
+    assert "_v=1" not in left          # dead incomplete reclaimed
+    assert "_v=9" in left              # possible in-flight kept
+    assert {"_v=0", "_v=2"} <= set(left)
+    assert _versions(path) == [0, 2]

@@ -86,13 +86,18 @@ def test_streaming_merge_end_to_end(spark, tmp_path):
     table = os.path.join(str(tmp_path), "table")
     ckpt = os.path.join(str(tmp_path), "ckpt")
     os.makedirs(src)
-    # two source files; file order by name ("b1" < "b2") and
-    # maxFilesPerTrigger=1 force two micro-batches in sequence
+    # two source files; the file source orders by MODIFICATION TIME
+    # (not name), so pin distinct mtimes explicitly — same-ms writes
+    # would make batch order unspecified
     _batch(spark, [(1, "a", 1, False), (2, "b", 1, False)]) \
         .coalesce(1).write.parquet(os.path.join(src, "b1"))
     _batch(spark, [(1, "A", 2, False), (2, "x", 2, True),
                    (3, "c", 2, False)]) \
         .coalesce(1).write.parquet(os.path.join(src, "b2"))
+    for i, part in enumerate(("b1", "b2")):
+        for f in os.listdir(os.path.join(src, part)):
+            os.utime(os.path.join(src, part, f),
+                     (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema(
             "k long, val string, ver long, is_delete boolean"
