@@ -161,6 +161,66 @@ def read_merged(
     return spark.read.parquet(os.path.join(path, f"_v={version}"))
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Keyed diff between two table states (e.g. two time-travel
+    snapshots): one row per key that was INSERTED, DELETED, or UPDATED
+    (any non-key column differs, null-safe), with the old and new
+    values side by side (``old_*`` / ``new_*``); unchanged keys are
+    omitted.  Both inputs must share the same schema.
+
+    Scale shape: ONE full-outer equi-join on the keys — shuffle on
+    both sides, AQE-sized; the change classification is pure codegen.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    vals = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in vals],
+        F.lit(True).alias("_in_old"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in vals],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
+    j = o.join(nw, on=cond, how="full_outer")
+    same_vals = F.lit(True)
+    for c in vals:
+        same_vals = same_vals & F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}")
+        )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same_vals, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            "change",
+            *out_keys,
+            *[F.col(f"old_{c}") for c in vals],
+            *[F.col(f"new_{c}") for c in vals],
+        )
+    )
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` COMPLETE snapshots (and
     any incomplete ones older than the newest kept) — bounds the

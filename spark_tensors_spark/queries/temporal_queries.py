@@ -1072,6 +1072,86 @@ ORDER BY version, user_id
 """
 
 
+def ev_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot DIFF (`operators/merge.table_diff`): what changed
+    between table version 0 and version 1 — one full-outer equi-join
+    with null-safe value comparison, the audit companion of time
+    travel.  Here every change is an 'update' (the CDC batch replaces
+    each active user's state); inserts/deletes are pinned in unit
+    tests.  Built from the same two in-memory states the versioned
+    table would hold, so the oracle is pure SQL."""
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.operators.merge import (
+        merge_upsert,
+        table_diff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v0 = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    late = ev.filter(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b2 = (
+        late.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    v1 = merge_upsert(v0, b2, ["user_id"])
+    return table_diff(v0, v1, ["user_id"]).orderBy("user_id")
+
+
+EV_MERGE_DIFF_SQL = """
+WITH src AS (
+    SELECT user_id, event_id, event_type, ts FROM events
+    WHERE user_id % 7 = 0
+),
+v0 AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM src) WHERE rn = 1
+),
+b2 AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rn
+          FROM src WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1
+),
+v1 AS (
+    SELECT * FROM b2
+    UNION ALL
+    SELECT t.* FROM v0 t
+    WHERE NOT EXISTS (SELECT 1 FROM b2 u WHERE u.user_id = t.user_id)
+)
+SELECT 'update' AS change, o.user_id AS user_id,
+       o.event_type AS old_event_type, o.ts_us AS old_ts_us,
+       n.event_type AS new_event_type, n.ts_us AS new_ts_us
+FROM v0 o JOIN v1 n ON n.user_id = o.user_id
+WHERE o.event_type <> n.event_type OR o.ts_us <> n.ts_us
+ORDER BY user_id
+"""
+
+
 def ev_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance
     (`operators/incremental.merge_agg_snapshot`): the hourly
@@ -1178,6 +1258,7 @@ QUERIES = {
     "ev_scd2_user_state": ev_scd2_user_state,
     "ev_scd2_pit_join": ev_scd2_pit_join,
     "ev_merge_time_travel": ev_merge_time_travel,
+    "ev_merge_diff": ev_merge_diff,
     "ev_incremental_hourly": ev_incremental_hourly,
     "ev_dq_violations": ev_dq_violations,
     "ev_ohlc_hourly": ev_ohlc_hourly,
@@ -1202,6 +1283,7 @@ ORACLES = {
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_scd2_pit_join": EV_SCD2_PIT_JOIN_SQL,
     "ev_merge_time_travel": EV_MERGE_TIME_TRAVEL_SQL,
+    "ev_merge_diff": EV_MERGE_DIFF_SQL,
     "ev_incremental_hourly": EV_INCREMENTAL_HOURLY_SQL,
     "ev_dq_violations": EV_DQ_VIOLATIONS_SQL,
     "ev_ohlc_hourly": EV_OHLC_HOURLY_SQL,

@@ -237,3 +237,23 @@ def test_merge_into_parquet_schema_evolution(spark, tmp_path):
     got = {r.k: (r.val, r.score)
            for r in read_merged(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_table_diff_classifies_changes(spark):
+    """Keyed diff: insert / delete / update classification with
+    null-safe value comparison; unchanged keys are omitted."""
+    from spark_tensors_spark.operators.merge import table_diff
+
+    old = _df(spark, [(1, "a", 0), (2, "b", 0), (3, None, 0)])
+    new = _df(spark, [(2, "B", 1), (3, None, 0), (4, "d", 1)])
+    out = {r.change: r for r in []}
+    rows = table_diff(old, new, ["k"]).collect()
+    got = {r.k: (r.change, r.old_val, r.new_val) for r in rows}
+    # key 3 is unchanged (NULL == NULL null-safely) and omitted
+    assert got == {
+        1: ("delete", "a", None),
+        2: ("update", "b", "B"),
+        4: ("insert", None, "d"),
+    }
+    with pytest.raises(ValueError):
+        table_diff(old, new.drop("ver"), ["k"])
