@@ -27,7 +27,7 @@ def test_hugeint_sum_reaches_comparison_as_float():
     )
     con.close()
     uncast, cast_ = rows[0]
-    assert _norm_cell(uncast) == ("f", 6.0)
+    assert _norm_cell(uncast) == ("f", "6.0")  # repr-encoded since r7
     assert _norm_cell(cast_) == ("i", 6)
     assert _norm_cell(uncast) != _norm_cell(cast_)
 
@@ -62,5 +62,5 @@ def test_compare_reproduces_r3_driver_failure_class(spark):
     ok_good, _ = compare(q, good, spark, "unused", con=con)
     con.close()
     assert not ok_bad, detail
-    assert "('f', 10.0)" in detail, detail
+    assert "('f', '10.0')" in detail, detail  # repr-encoded since r7
     assert ok_good
