@@ -315,3 +315,35 @@ def chunk_windows(
             lambda a, x: a + x,
         ).cast("long").alias("len_sum"),
     )
+
+
+def shard_assignments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "_shard42",
+) -> DataFrame:
+    """Deterministic 16-way training-export sharding: shard = first
+    hex nibble of md5(id || salt), within-shard order = the md5 value
+    itself (a seeded global shuffle — two runs over the same corpus
+    produce byte-identical shard files, which is what makes a training
+    run reproducible and resumable).  Returns (shard, <id>,
+    shard_rank); writing is then `df.repartition("shard")
+    .sortWithinPartitions("shard_rank").write.partitionBy("shard")`,
+    all narrow after the one hash shuffle.
+
+    Scale shape: one shuffle on the shard key (16 uniform buckets by
+    md5 uniformity — no skew), one per-shard sort; rank is a window
+    WITHIN a shard, never a global row_number.  md5, not xxhash64, so
+    the assignment is engine-portable (the DuckDB oracle recomputes it
+    symbolically).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.substring(F.col("h"), 1, 1))
+        .withColumn(
+            "shard_rank", F.row_number().over(w).cast("long")
+        )
+        .select("shard", id_col, "shard_rank")
+    )

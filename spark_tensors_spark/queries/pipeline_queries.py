@@ -509,6 +509,35 @@ def _mixture_sample_oracle() -> str:
     """
 
 
+def doc_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-export sharding
+    (`pipeline/curation.shard_assignments`): 16 md5-nibble shards with
+    a seeded within-shard global-shuffle order — two runs over the
+    same corpus produce byte-identical shard files, the contract a
+    resumable training run needs.  One hash shuffle + per-shard
+    window; md5 keeps the assignment engine-portable, so the oracle
+    recomputes shard AND rank symbolically."""
+    from spark_tensors_spark.pipeline.curation import shard_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assignments(docs).orderBy("shard", "shard_rank")
+
+
+ORACLE_DOC_SHARD_EXPORT = """
+WITH t AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || '_shard42') AS h
+    FROM documents
+)
+SELECT substr(h, 1, 1) AS shard, doc_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+       ) AS BIGINT) AS shard_rank
+FROM t
+ORDER BY shard, shard_rank
+"""
+
+
 def emb_whiten_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA WHITENING under the driver gate: fit_pca (distributed
     moment pass + driver eigh) → `pca.whiten_pca` (one matmul per
@@ -1175,6 +1204,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_dup_spans": doc_dup_spans,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_shard_export": doc_shard_export,
     "emb_hard_negatives": emb_hard_negatives,
     "doc_minhash_jaccard_est": doc_minhash_jaccard_est,
     # value-oracled since r5/r6 (integer pseudo-geometry / int8 codes)
@@ -1471,6 +1501,7 @@ ORACLES = {
         FROM s GROUP BY source ORDER BY source
     """,
     "doc_mixture_sample": _mixture_sample_oracle(),
+    "doc_shard_export": ORACLE_DOC_SHARD_EXPORT,
     "doc_dup_spans": f"""
         WITH toks AS (
             SELECT doc_id, {_TOKENS} AS tk FROM documents

@@ -629,7 +629,40 @@ ORDER BY c_nationkey
 """
 
 
+# ONE ANSI string, TWO engines: the Spark side runs this verbatim via
+# spark.sql over registered temp views, and the SAME constant is the
+# DuckDB oracle — the strongest possible demonstration that the
+# engine's SQL surface is portable (any drift in parsing, coercion,
+# DECIMAL math, or date semantics between the engines would hash-fail).
+Q23_PORTABLE_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+def q23_portable_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface portability: `spark.sql` executes the IDENTICAL
+    ANSI text DuckDB runs as the oracle (`Q23_PORTABLE_SQL`) — no
+    DataFrame translation layer at all.  Catalyst still plans it like
+    the DataFrame queries (broadcast dim joins, partial aggregation),
+    which the plan-hygiene gate checks like every other entry."""
+    from spark_tensors_spark.io.readers import load_tables
+
+    load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(Q23_PORTABLE_SQL)
+
+
 QUERIES = {
+    "q23_portable_sql": q23_portable_sql,
     "q1_pricing_summary": q1_pricing_summary,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
@@ -660,6 +693,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q23_portable_sql": Q23_PORTABLE_SQL,
     "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,
     "q22_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "q18_bloom_join": Q18_BLOOM_JOIN_SQL,
