@@ -629,6 +629,76 @@ ORDER BY c_nationkey
 """
 
 
+Q20_DOMINANT_SUPPLIER_SQL = """
+WITH pair AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+),
+part_tot AS (
+    SELECT l_partkey, SUM(qty) AS total, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pair GROUP BY l_partkey
+)
+SELECT s.s_name AS s_name, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
+       CAST(SUM(p.qty) AS DOUBLE) AS dominant_qty
+FROM pair p
+JOIN part_tot t ON t.l_partkey = p.l_partkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.qty * t.n > CAST(2 AS DECIMAL(18,2)) * t.total
+GROUP BY s.s_name, n.n_name
+ORDER BY s_name
+"""
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style double aggregation with a correlated threshold:
+    suppliers who DOMINATE a part's 1995 volume (their (supplier,
+    part) quantity exceeds 2× the part's average pair quantity).  The
+    correlated "vs the part's average" compare is expressed
+    MULTIPLICATIVELY (qty·n > 2·total) so both engines compare exact
+    DECIMALs — never a float division.  Two aggregations reuse the
+    same (partkey) partitioning; the supplier/nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    tot = pair.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        pair.join(tot, "l_partkey")
+        .filter(
+            F.col("qty") * F.col("n")
+            > F.lit(2).cast("decimal(18,2)") * F.col("total")
+        )
+        .join(
+            F.broadcast(sup),
+            pair["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominant_parts"),
+            F.sum("qty").cast("double").alias("dominant_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
 # ONE ANSI string, TWO engines: the Spark side runs this verbatim via
 # spark.sql over registered temp views, and the SAME constant is the
 # DuckDB oracle — the strongest possible demonstration that the
@@ -663,6 +733,7 @@ def q23_portable_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q23_portable_sql": q23_portable_sql,
+    "q20_dominant_supplier": q20_dominant_supplier,
     "q1_pricing_summary": q1_pricing_summary,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
@@ -694,6 +765,7 @@ QUERIES = {
 
 ORACLES = {
     "q23_portable_sql": Q23_PORTABLE_SQL,
+    "q20_dominant_supplier": Q20_DOMINANT_SUPPLIER_SQL,
     "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,
     "q22_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "q18_bloom_join": Q18_BLOOM_JOIN_SQL,
