@@ -583,6 +583,104 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED VIEW (`streaming/mv.streaming_agg_view`):
+    a readStream over the events table continuously folds into a
+    stored (day, event_type) count/sum/max snapshot — one partial
+    aggregate per micro-batch + a key-sized merge, never a history
+    rescan, with exactly-once folds via batch-id-stamped snapshot
+    commits (an aggregate fold is NOT replay-idempotent by value, so
+    the sink records the batch id in the same atomic commit; pinned in
+    tests/test_streaming_mv.py).  The final view must equal the direct
+    aggregate, which is what the oracle states."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.streaming.mv import (
+        read_view,
+        streaming_agg_view,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_mv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = stream.filter(F.col("user_id") % 3 == 0).select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v6"),
+            "value",
+        )
+        q = streaming_agg_view(
+            rows,
+            view_path=os.path.join(root, "view"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            key_cols=["day", "event_type"],
+            aggs={
+                "n": ("count", "value"),
+                "v_sum6": ("sum", "v6"),
+                "v_max": ("max", "value"),
+            },
+        )
+        q.awaitTermination()
+        view = read_view(spark, os.path.join(root, "view"))
+        out = (
+            view.select(
+                "day",
+                "event_type",
+                F.col("n").cast("long").alias("n"),
+                F.col("v_sum6").cast("double").alias("v_sum"),
+                "v_max",
+            )
+            .orderBy("day", "event_type")
+            .localCheckpoint()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_MV_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum,
+       MAX(value) AS v_max
+FROM events
+WHERE user_id % 3 = 0
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join — the enrichment pattern (click stream ⋈
     broadcast dimension): a readStream over the events table left-joins
@@ -972,6 +1070,7 @@ ORDER BY user_id, session_idx
 
 
 QUERIES = {
+    "ev_stream_mv_daily": ev_stream_mv_daily,
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
@@ -991,6 +1090,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_stream_mv_daily": EV_STREAM_MV_DAILY_SQL,
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
