@@ -179,6 +179,103 @@ FROM sums
 """
 
 
+# ------------------------------------------------------------------ KMV
+
+KMV_K = 64
+KMV_SALTS = 32
+# size of the 60-bit hash space; (KMV_K-1) * KMV_SPACE = 63 * 2^60 needs
+# only a 6-bit mantissa, so the numerator is an EXACT double
+KMV_SPACE = 1 << HASH_BITS
+
+
+def kmv_signature(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    n_salts: int = KMV_SALTS,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) signature: the ``k``
+    smallest DISTINCT portable 60-bit hashes of ``value_col`` —
+    DataFrame(*group_cols, kmv_rank, kmv_h), ≤ k rows per group.
+
+    Unlike the HLL register table, a KMV signature supports SET ALGEBRA:
+    the k smallest of (sig_A ∪ sig_B) is exactly the signature of A ∪ B,
+    so union sizes — and via the in-both fraction, intersections and
+    Jaccard — are estimable from the sketches alone (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations").  Merging is min-k over unions: commutative,
+    associative, idempotent — map-side combinable and streaming-safe.
+
+    Scale shape: distinct (group, hash) pairs, then a salted partial
+    top-k — each (group, hash%n_salts) slice keeps its own k smallest,
+    bounding every sort at a 1/n_salts shard — then a final top-k over
+    ≤ n_salts·k candidates per group.  No group ever sorts its full
+    distinct set on one task.
+    """
+    from pyspark.sql.window import Window
+
+    h = portable_hash60_col(value_col).alias("kmv_h")
+    d = df.select(*group_cols, h).distinct()
+    w1 = Window.partitionBy(*group_cols, "_kmv_salt").orderBy("kmv_h")
+    part = (
+        d.withColumn("_kmv_salt", F.col("kmv_h") % n_salts)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("kmv_h")
+    return (
+        part.withColumn("kmv_rank", F.row_number().over(w2))
+        .filter(F.col("kmv_rank") <= k)
+        .select(*group_cols, "kmv_rank", "kmv_h")
+    )
+
+
+def kmv_estimate_from_signature(
+    sig: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate from a (possibly merged) signature:
+    exact count when the group has < k distinct hashes (the signature IS
+    the distinct set), else the classic (k−1)·H / h_(k) estimator.
+    Both engines evaluate the same exact-integer → one-division float
+    path, so estimates are bit-identical cross-engine."""
+    agg = sig.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("kmv_n"),
+        F.max("kmv_h").alias("kmv_kth"),
+    )
+    est = F.when(
+        F.col("kmv_n") < k, F.col("kmv_n").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * KMV_SPACE)) / F.col("kmv_kth").cast("double")
+    )
+    return agg.select(*group_cols, est.alias("kmv_estimate"))
+
+
+def kmv_signature_sql(
+    source_sql: str,
+    value_expr: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+) -> str:
+    """DuckDB relation producing the identical (group_cols, kmv_rank,
+    kmv_h) signature over ``source_sql``.  The salted two-phase is a
+    Spark-side execution detail — k-smallest is k-smallest."""
+    groups = ", ".join(group_cols)
+    return f"""
+SELECT {groups},
+       ROW_NUMBER() OVER (PARTITION BY {groups} ORDER BY kmv_h)
+           AS kmv_rank,
+       kmv_h
+FROM (
+    SELECT DISTINCT {groups},
+           CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
+                 {HASH_HEX_DIGITS})) AS BIGINT) AS kmv_h
+    FROM ({source_sql})
+)
+QUALIFY kmv_rank <= {k}
+"""
+
+
 # ------------------------------------------------------------------ count-min
 
 CMS_DEPTH = 4

@@ -514,3 +514,83 @@ def bfs_depths(
         .cast("long")
         .alias("depth"),
     )
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    weight: str = "w",
+    seed_col: str = "node",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Weighted shortest-path distance from a SEED SET — bounded-hop
+    Bellman-Ford: ``max_rounds`` synchronous relax rounds of
+    d'(v) = min(d(v), min over in-edges (d(u) + w(u, v))), i.e. the
+    cheapest path using at most ``max_rounds`` edges (for a non-negative
+    integer ``weight`` this converges to the true shortest path once
+    max_rounds ≥ the hop diameter).  Nodes unreached within the bound
+    report −1.  Parallel edges collapse to their minimum weight (any
+    heavier duplicate can never be on a shortest path).
+
+    Pure integer relax rounds — exact on any engine; the SQL oracle
+    unrolls the identical rounds.  Scale shape matches
+    :func:`bfs_depths`: edges pre-partitioned on the source key once
+    (localCheckpoint), ONE contribution shuffle per round, periodic
+    checkpoints to keep the plan flat.
+    """
+    inf = 999_999_999_999
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .repartition("s")
+        .localCheckpoint()
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+    )
+    dists = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(1))),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("_is_seed") == 1, F.lit(0))
+            .otherwise(F.lit(inf))
+            .cast("long")
+            .alias("dist"),
+        )
+        .repartition("node")
+        .localCheckpoint()
+    )
+    for i in range(max_rounds):
+        relax = (
+            dists.join(e, dists.node == e.s)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("reach"))
+        )
+        dists = dists.join(relax, "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("reach"), F.lit(inf))
+            ).alias("dist"),
+        )
+        if (i + 1) % 3 == 0 and i + 1 < max_rounds:
+            dists = dists.localCheckpoint()
+    return dists.select(
+        "node",
+        F.when(F.col("dist") >= inf, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )

@@ -625,8 +625,88 @@ ORDER BY node_id
 """
 
 
+SSSP_ROUNDS = 6
+
+
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest path over the encoded KG
+    (seed set = the 8 smallest source entities, same as graph_bfs) with
+    a synthetic deterministic integer weight w(s,o) = (7s + 3o) mod 9
+    + 1 — cheapest cost within 6 relax rounds, −1 if unreached
+    (`operators/graph.sssp_distances`).  Pure integer Bellman-Ford
+    rounds; the oracle unrolls them verbatim (graph_bfs_depth doctrine
+    with +w in place of +1)."""
+    from spark_tensors_spark.operators.graph import sssp_distances
+
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    edges = (
+        enc.select("s_id", "o_id")
+        .distinct()
+        .select(
+            "s_id",
+            "o_id",
+            ((F.col("s_id") * 7 + F.col("o_id") * 3) % 9 + 1).alias("w"),
+        )
+    )
+    seeds = (
+        edges.select(F.col("s_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_SEEDS)
+    )
+    return (
+        sssp_distances(
+            edges, seeds, "s_id", "o_id", "w", max_rounds=SSSP_ROUNDS
+        )
+        .select(F.col("node").alias("node_id"), "dist")
+        .orderBy("node_id")
+    )
+
+
+def _sssp_oracle() -> str:
+    inf = 999_999_999_999
+    its = []
+    prev = "d0"
+    for k in range(1, SSSP_ROUNDS + 1):
+        its.append(
+            f"""d{k} AS (
+    SELECT n.node,
+           least(n.dist, COALESCE(MIN(p.dist + e.w), {inf})) AS dist
+    FROM {prev} n
+    LEFT JOIN edges e ON e.o_id = n.node
+    LEFT JOIN {prev} p ON p.node = e.s_id
+    GROUP BY n.node, n.dist
+)"""
+        )
+        prev = f"d{k}"
+    iters_sql = ",\n".join(its)
+    return f"""{TRIPLES_CTE},
+edges AS (
+    SELECT s_id, o_id, (s_id * 7 + o_id * 3) % 9 + 1 AS w
+    FROM (SELECT DISTINCT s_id, o_id FROM triples_encoded)
+),
+seeds AS (
+    SELECT DISTINCT s_id AS node FROM edges ORDER BY node LIMIT {PPR_SEEDS}
+),
+d0 AS (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN {inf} ELSE 0 END AS dist
+    FROM (SELECT s_id AS node FROM edges
+          UNION SELECT o_id FROM edges) n
+    LEFT JOIN seeds s ON s.node = n.node
+),
+{iters_sql}
+SELECT node AS node_id,
+       CAST(CASE WHEN dist >= {inf} THEN -1 ELSE dist END AS BIGINT)
+           AS dist
+FROM {prev}
+ORDER BY node_id
+"""
+
+
 QUERIES = {
     "kg_pagerank": kg_pagerank,
+    "graph_sssp": graph_sssp,
     "graph_ppr": graph_ppr,
     "graph_bfs_depth": graph_bfs_depth,
     "q21_basket_lift": q21_basket_lift,
@@ -639,6 +719,7 @@ QUERIES = {
 
 ORACLES = {
     "kg_pagerank": _pagerank_oracle(),
+    "graph_sssp": _sssp_oracle(),
     "graph_ppr": _ppr_oracle(),
     "graph_bfs_depth": _bfs_oracle(),
     "q21_basket_lift": Q21_BASKET_LIFT_SQL,

@@ -1250,7 +1250,249 @@ ORDER BY e.user_id, e.event_id
 """
 
 
+# ------------------------------------------------------------------ KMV
+
+# user-day string: "<user_id>:<YYYY-MM-DD>" — identical text on both
+# engines (BIGINT→string has no sign/zero edge, DATE casts are ISO)
+_KMV_SRC_SQL = (
+    "SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(CAST(ts AS DATE) AS VARCHAR) AS user_day FROM events"
+)
+
+
+def _kmv_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("user_day"),
+    )
+
+
+def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct user-day estimate per event type, beside
+    the exact count — like ev_hll_users but with the sketch family that
+    also supports set algebra (see ev_kmv_user_overlap).  The signature
+    is the k smallest md5-derived 60-bit hashes: portable integer math,
+    so the oracle reproduces the estimate itself (exact numerator
+    63·2^60 is a 6-bit-mantissa double; one IEEE division; shipped
+    unrounded — the driver's normalize rounds both engines alike)."""
+    from spark_tensors_spark.functions.sketches import (
+        kmv_estimate_from_signature,
+        kmv_signature,
+    )
+
+    src = _kmv_user_days(spark, sf_dir)
+    sig = kmv_signature(src, F.col("user_day"), ["event_type"])
+    est = kmv_estimate_from_signature(sig, ["event_type"])
+    exact = src.groupBy("event_type").agg(
+        F.countDistinct("user_day").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "kmv_estimate")
+        .orderBy("event_type")
+    )
+
+
+def _kmv_distinct_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import (
+        KMV_K,
+        KMV_SPACE,
+        kmv_signature_sql,
+    )
+
+    sig = kmv_signature_sql(_KMV_SRC_SQL, "user_day", ["event_type"])
+    return f"""
+WITH sig AS ({sig}),
+est AS (
+    SELECT event_type, COUNT(*) AS kmv_n, MAX(kmv_h) AS kmv_kth
+    FROM sig GROUP BY event_type
+)
+SELECT e.event_type,
+       x.n_exact,
+       CASE WHEN e.kmv_n < {KMV_K}
+            THEN CAST(e.kmv_n AS DOUBLE)
+            ELSE {float((KMV_K - 1) * KMV_SPACE)} /
+                 CAST(e.kmv_kth AS DOUBLE)
+       END AS kmv_estimate
+FROM est e
+JOIN (SELECT event_type, COUNT(DISTINCT user_day) AS n_exact
+      FROM ({_KMV_SRC_SQL}) GROUP BY event_type) x
+  ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+
+def ev_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV signatures — the thing an HLL cannot do: for
+    every pair of event types, estimate |A∪B|, Jaccard, and |A∩B| of
+    their distinct user-day sets FROM THE SKETCHES ALONE (k smallest of
+    sig_A ∪ sig_B is exactly the signature of A∪B; the in-both fraction
+    of that merged signature estimates Jaccard — Beyer et al. 2007),
+    beside the exact values for verification.
+
+    Float doctrine: inter/n_s has a 2^6 denominator when saturated
+    (exact dyadic), the union estimate is one IEEE division of exact
+    ints, the intersection estimate one product — all shipped unrounded;
+    every value is ≥ 0 so no sign-of-zero exposure.
+
+    Scale shape: signatures are ≤ k rows per type (the salted two-phase
+    in kmv_signature bounds every sort), the pair frame is |types|²
+    rows, and everything after the sketch is sketch-sized — the 100 TB
+    scan cost is ONE distinct + partial top-k, not a per-pair scan."""
+    from spark_tensors_spark.functions.sketches import KMV_K, KMV_SPACE, kmv_signature
+
+    src = _kmv_user_days(spark, sf_dir)
+    sig = kmv_signature(src, F.col("user_day"), ["event_type"])
+
+    types = sig.select("event_type").distinct()
+    # unordered type pairs a < b: a broadcast nested-loop over the
+    # |event_types|-row frame (allowlisted in test_plan_hygiene — both
+    # sides are bounded by the categorical domain, not the data volume)
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+        F.col("type_a") < F.col("type_b"),
+    )
+
+    tag_a = pairs.join(
+        sig.select(F.col("event_type").alias("type_a"), "kmv_h"), "type_a"
+    ).select("type_a", "type_b", "kmv_h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    tag_b = pairs.join(
+        sig.select(F.col("event_type").alias("type_b"), "kmv_h"), "type_b"
+    ).select("type_a", "type_b", "kmv_h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    tagged = (
+        tag_a.unionByName(tag_b)
+        .groupBy("type_a", "type_b", "kmv_h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("kmv_h")
+    merged = tagged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= KMV_K
+    )
+    mstats = merged.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.max("kmv_h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_cnt"),
+    )
+
+    # exact side, for verification next to the estimates
+    ud = src.distinct()
+    per_type = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    inter_exact = (
+        ud.select(F.col("event_type").alias("type_a"), "user_day")
+        .join(ud.select(F.col("event_type").alias("type_b"), "user_day"), "user_day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    exact = (
+        pairs.join(per_type.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")), "type_a")
+        .join(per_type.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")), "type_b")
+        .join(inter_exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("inter_exact", F.lit(0)).alias("inter_exact"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("inter_exact", F.lit(0))).alias("union_exact"),
+        )
+    )
+
+    union_est = F.when(
+        F.col("n_s") < KMV_K, F.col("n_s").cast("double")
+    ).otherwise(F.lit(float((KMV_K - 1) * KMV_SPACE)) / F.col("kth").cast("double"))
+    jacc_est = F.col("inter_cnt") / F.col("n_s")
+    return (
+        mstats.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "inter_exact",
+            "union_exact",
+            (F.col("inter_exact") / F.col("union_exact")).alias("jaccard_exact"),
+            union_est.alias("kmv_union_est"),
+            jacc_est.alias("kmv_jaccard_est"),
+            (jacc_est * union_est).alias("kmv_inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import (
+        KMV_K,
+        KMV_SPACE,
+        kmv_signature_sql,
+    )
+
+    sig = kmv_signature_sql(_KMV_SRC_SQL, "user_day", ["event_type"])
+    num = float((KMV_K - 1) * KMV_SPACE)
+    return f"""
+WITH sig AS ({sig}),
+types AS (SELECT DISTINCT event_type FROM sig),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+tagged AS (
+    SELECT p.type_a, p.type_b, s.kmv_h,
+           MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p
+    JOIN sig s ON s.event_type = p.type_a OR s.event_type = p.type_b
+    GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY kmv_h)
+               AS rn
+    FROM tagged QUALIFY rn <= {KMV_K}
+),
+mstats AS (
+    SELECT type_a, type_b, COUNT(*) AS n_s, MAX(kmv_h) AS kth,
+           SUM(in_a * in_b) AS inter_cnt
+    FROM merged GROUP BY 1, 2
+),
+ud AS (SELECT DISTINCT event_type, user_day FROM ({_KMV_SRC_SQL})),
+per_type AS (SELECT event_type, COUNT(*) AS n_t FROM ud GROUP BY 1),
+inter_e AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS inter_exact
+    FROM ud a JOIN ud b
+      ON a.user_day = b.user_day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT p.type_a, p.type_b,
+           COALESCE(i.inter_exact, 0) AS inter_exact,
+           ta.n_t + tb.n_t - COALESCE(i.inter_exact, 0) AS union_exact
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    LEFT JOIN inter_e i ON i.type_a = p.type_a AND i.type_b = p.type_b
+)
+SELECT m.type_a, m.type_b,
+       CAST(e.inter_exact AS BIGINT) AS inter_exact,
+       CAST(e.union_exact AS BIGINT) AS union_exact,
+       CAST(e.inter_exact AS DOUBLE) / e.union_exact AS jaccard_exact,
+       CASE WHEN m.n_s < {KMV_K} THEN CAST(m.n_s AS DOUBLE)
+            ELSE {num} / CAST(m.kth AS DOUBLE) END AS kmv_union_est,
+       CAST(m.inter_cnt AS DOUBLE) / m.n_s AS kmv_jaccard_est,
+       (CAST(m.inter_cnt AS DOUBLE) / m.n_s) *
+       (CASE WHEN m.n_s < {KMV_K} THEN CAST(m.n_s AS DOUBLE)
+             ELSE {num} / CAST(m.kth AS DOUBLE) END) AS kmv_inter_est
+FROM mstats m
+JOIN exact e ON e.type_a = m.type_a AND e.type_b = m.type_b
+ORDER BY m.type_a, m.type_b
+"""
+
+
 QUERIES = {
+    "ev_kmv_distinct": ev_kmv_distinct,
+    "ev_kmv_user_overlap": ev_kmv_user_overlap,
     "ev_ewma_value": ev_ewma_value,
     "ev_profile_columns": ev_profile_columns,
     "ev_anomaly_zscore": ev_anomaly_zscore,
@@ -1276,6 +1518,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_kmv_distinct": _kmv_distinct_oracle(),
+    "ev_kmv_user_overlap": _kmv_overlap_oracle(),
     "ev_ewma_value": EV_EWMA_VALUE_SQL,
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
     "ev_anomaly_zscore": EV_ANOMALY_ZSCORE_SQL,

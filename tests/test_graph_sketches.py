@@ -331,3 +331,103 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
         assert abs(got[i] - r[i]) < 1e-12
     # the node fed by BOTH teleport and seed-0's outflow ranks highest
     assert max(got, key=got.get) == 1
+
+
+def test_kmv_small_set_exact(spark):
+    """A group with fewer than k distinct values: the signature IS the
+    distinct set and the estimate is the exact count."""
+    from spark_tensors_spark.functions.sketches import (
+        kmv_estimate_from_signature,
+        kmv_signature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 10}") for i in range(100)], "g string, v string"
+    )
+    sig = kmv_signature(df, "v", ["g"])
+    assert sig.count() == 10
+    est = kmv_estimate_from_signature(sig, ["g"]).collect()[0]
+    assert est.kmv_estimate == 10.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """k=64 gives ~1/sqrt(k) = 12.5% standard error; require the
+    estimate of 5000 distinct values within 3 sigma."""
+    from spark_tensors_spark.functions.sketches import (
+        kmv_estimate_from_signature,
+        kmv_signature,
+    )
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = kmv_estimate_from_signature(
+        kmv_signature(df, "v", ["g"]), ["g"]
+    ).collect()[0].kmv_estimate
+    assert abs(est - 5000) < 3 * 0.125 * 5000
+
+
+def test_kmv_merge_is_union_signature(spark):
+    """CRDT merge law: k smallest of (sig_A union sig_B) equals the
+    signature of A union B computed from scratch — what makes KMV
+    map-side combinable, streaming-safe, and set-algebraic."""
+    from spark_tensors_spark.functions.sketches import kmv_signature
+
+    a = spark.range(0, 300).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(200, 500).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sig_a = kmv_signature(a, "v", ["g"]).select("g", "kmv_h")
+    sig_b = kmv_signature(b, "v", ["g"]).select("g", "kmv_h")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g").orderBy("kmv_h")
+    merged = sorted(
+        r.kmv_h
+        for r in sig_a.unionByName(sig_b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .collect()
+    )
+    direct = sorted(
+        r.kmv_h
+        for r in kmv_signature(a.unionByName(b), "v", ["g"]).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_jaccard_estimator_tracks_truth(spark):
+    """Jaccard estimate from merged signatures lands near the true
+    overlap for a 50%-overlap pair (3-sigma-ish loose bound)."""
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.functions.sketches import kmv_signature
+
+    n = 2000
+    a = spark.range(0, n).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(n // 2, n + n // 2).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sig = kmv_signature(a.unionByName(b), "v", ["g"])
+    w = Window.orderBy("kmv_h")
+    tagged = (
+        sig.groupBy("kmv_h")
+        .agg(
+            F.max(F.when(F.col("g") == "a", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("g") == "b", 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+    )
+    row = tagged.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter"),
+        F.count(F.lit(1)).alias("n_s"),
+    ).collect()[0]
+    j_est = row.inter / row.n_s
+    true_j = (n // 2) / (n + n // 2)  # 1000 / 3000
+    assert abs(j_est - true_j) < 0.20
