@@ -96,3 +96,32 @@ def merge_agg_snapshot(
         for out, (kind, _col) in aggs.items()
     ]
     return joined.select(*out_keys, *out_aggs)
+
+
+def delta_join_increment(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an equi-join view over APPEND-ONLY
+    inputs: the new join rows contributed by one batch of appends
+    (ΔA, ΔB) are exactly
+
+        ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so ``J' = J ∪ delta_join_increment(...)`` — the classic delta-join
+    rule (count-preserving for bag semantics; the three terms are
+    disjoint because each row pair is classified by which sides are
+    new).  Maintaining a 100 TB join view this way costs joins that are
+    DELTA-sized on at least one side; the history sides (A_old, B_old)
+    are key-filtered by the delta's join keys, which is an index/
+    partition-pruned lookup under bucketed or partitioned storage —
+    never a history × history re-join.
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

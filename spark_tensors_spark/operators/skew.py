@@ -59,3 +59,53 @@ def salted_agg(
         .agg(*phase1_aggs)
     )
     return partial.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def hot_cold_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame | None = None,
+    rel_threshold_num: int = 3,
+    rel_threshold_den: int = 2,
+) -> DataFrame:
+    """Differentiated equi-join for a skewed fact key: the HOT keys'
+    dim rows are broadcast so their (huge) fact row sets join map-side
+    without ever shuffling, while the remaining keys take the normal
+    shuffle join.  The union is EXACTLY ``fact ⋈ dim`` — the split is a
+    physical-plan decision, not a semantic one — so the oracle for any
+    query built on this operator is the plain join.
+
+    ``hot_keys``: caller-supplied one-column frame of keys to treat as
+    hot; when None, keys whose fact count exceeds
+    ``rel_threshold_num/rel_threshold_den ×`` the mean per-key count
+    are hot (pure integer comparison: cnt·den·n_keys > num·total — no
+    float threshold to drift).  The hot set is assumed broadcastable
+    (it is by construction: a 1000-executor cluster has room for every
+    key that is individually large).
+
+    At 100 TB this is the complement of AQE's skew-split: AQE splits an
+    already-shuffled skewed partition, this avoids shuffling the hot
+    rows at all — useful when ONE key holds whole-partition-scale data
+    and even a split shuffle would move it twice.
+    """
+    if hot_keys is None:
+        counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+        totals = counts.agg(
+            F.sum("_cnt").alias("_total"), F.count(F.lit(1)).alias("_nk")
+        )
+        hot_keys = (
+            counts.join(F.broadcast(totals))
+            .filter(
+                F.col("_cnt") * rel_threshold_den * F.col("_nk")
+                > rel_threshold_num * F.col("_total")
+            )
+            .select(key)
+        )
+    hot = F.broadcast(hot_keys.select(key).distinct())
+    fact_hot = fact.join(hot, key, "left_semi")
+    fact_cold = fact.join(hot, key, "left_anti")
+    dim_hot = dim.join(hot, key, "left_semi")
+    joined_hot = fact_hot.join(F.broadcast(dim_hot), key)
+    joined_cold = fact_cold.join(dim, key)
+    return joined_hot.unionByName(joined_cold)

@@ -1490,7 +1490,112 @@ ORDER BY m.type_a, m.type_b
 """
 
 
+def ev_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment event rollup through the differentiated
+    hot/cold join (`operators/skew.hot_cold_split_join`): users whose
+    event count exceeds 1.5× the per-user mean join against a BROADCAST
+    of their customer rows (their fact rows never shuffle), everyone
+    else takes the normal shuffle join.  The union is exactly
+    events ⋈ customer, so the oracle is the PLAIN join — result-equal
+    by construction, physically skew-proof.  All outputs integer
+    (count / distinct / mod-997 checksum): no float exposure."""
+    from spark_tensors_spark.operators.skew import hot_cold_split_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_id"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = hot_cold_split_join(ev, cust, "c_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+            F.sum(F.col("event_id") % 997).cast("bigint").alias("checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EV_SKEW_SPLIT_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(e.event_id % 997) AS BIGINT) AS checksum
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def ev_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (`operators/incremental.delta_join_increment`): the same-day
+    click×purchase pair view is maintained over TWO time-split
+    append batches — J' = J ∪ ΔC⋈P_old ∪ C_old⋈ΔP ∪ ΔC⋈ΔP, the classic
+    delta-join rule, delta-sized on at least one side of every term —
+    and must equal the direct join over all data, which is exactly what
+    the oracle states (ev_incremental_hourly's doctrine lifted from
+    aggregates to joins).  Integer outputs only."""
+    from spark_tensors_spark.operators.incremental import (
+        delta_join_increment,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "day", F.col("event_id").alias("click_id"), "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "day", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    on = ["user_id", "day"]
+    c1 = clicks.filter(F.col("ts") < split).drop("ts")
+    dc = clicks.filter(F.col("ts") >= split).drop("ts")
+    p1 = purch.filter(F.col("ts") < split).drop("ts")
+    dp = purch.filter(F.col("ts") >= split).drop("ts")
+    view = c1.join(p1, on).unionByName(
+        delta_join_increment(c1, p1, dc, dp, on)
+    )
+    return (
+        view.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("click_id") + F.col("purchase_id")) % 997)
+            .cast("bigint")
+            .alias("pair_checksum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_DELTA_JOIN_SQL = """
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((c.event_id + p.event_id) % 997) AS BIGINT)
+           AS pair_checksum
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND CAST(p.ts AS DATE) = CAST(c.ts AS DATE)
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "ev_delta_join": ev_delta_join,
+    "ev_skew_split_join": ev_skew_split_join,
     "ev_kmv_distinct": ev_kmv_distinct,
     "ev_kmv_user_overlap": ev_kmv_user_overlap,
     "ev_ewma_value": ev_ewma_value,
@@ -1518,6 +1623,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_delta_join": EV_DELTA_JOIN_SQL,
+    "ev_skew_split_join": EV_SKEW_SPLIT_JOIN_SQL,
     "ev_kmv_distinct": _kmv_distinct_oracle(),
     "ev_kmv_user_overlap": _kmv_overlap_oracle(),
     "ev_ewma_value": EV_EWMA_VALUE_SQL,

@@ -78,3 +78,37 @@ def test_randomized_fold_parity(spark):
                                       ["k"], AGGS)
             i = j
         assert _collect(snap) == direct, trial
+
+
+def test_delta_join_increment_fold_parity(spark):
+    """Folding random append batches through the delta-join rule must
+    reproduce the direct join exactly, including duplicate keys (bag
+    semantics: multiplicities multiply)."""
+    import random
+
+    from spark_tensors_spark.operators.incremental import (
+        delta_join_increment,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        a_rows = [(rng.randint(1, 5), i) for i in range(rng.randint(5, 25))]
+        b_rows = [(rng.randint(1, 5), 100 + i)
+                  for i in range(rng.randint(5, 25))]
+        a_df = spark.createDataFrame(a_rows, "k long, av long")
+        b_df = spark.createDataFrame(b_rows, "k long, bv long")
+        direct = sorted(
+            (r.k, r.av, r.bv) for r in a_df.join(b_df, ["k"]).collect()
+        )
+        # fold in two random append steps per side
+        ca = rng.randint(0, len(a_rows))
+        cb = rng.randint(0, len(b_rows))
+        a1 = spark.createDataFrame(a_rows[:ca] or [], "k long, av long")
+        da = spark.createDataFrame(a_rows[ca:] or [], "k long, av long")
+        b1 = spark.createDataFrame(b_rows[:cb] or [], "k long, bv long")
+        db = spark.createDataFrame(b_rows[cb:] or [], "k long, bv long")
+        view = a1.join(b1, ["k"]).unionByName(
+            delta_join_increment(a1, b1, da, db, ["k"])
+        )
+        got = sorted((r.k, r.av, r.bv) for r in view.collect())
+        assert got == direct, trial

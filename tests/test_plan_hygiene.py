@@ -32,6 +32,9 @@ BNLJ_ALLOWED = {
     # declared all-pairs baseline, oracle-bounded to vec_id < 300; the
     # scale path is emb_near_dup_bucketed
     "emb_near_dup_pairs",
+    # 1-row (total, n_keys) scalar cross-joined into the hot-key
+    # threshold comparison
+    "ev_skew_split_join",
     # |event_types|² pair enumeration (≤ 25 rows each side); everything
     # downstream of the pair frame is sketch-sized (≤ k rows per type)
     "ev_kmv_user_overlap",
