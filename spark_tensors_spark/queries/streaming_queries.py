@@ -342,6 +342,106 @@ ORDER BY hour_start
 """
 
 
+def ev_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct user-day KMV maintained as STREAMING
+    signature state (`streaming/sketches.py`): a real readStream →
+    foreachBatch pass appends each batch's own signature (≤ k rows per
+    group whatever the batch size); min-k over the union of partials IS
+    the union's signature, so the folded estimate is bit-identical to
+    the batch sketch — this query SHARES ev_kmv_distinct's oracle.
+    Replay-safe twice over: batch-id partition overwrite + idempotent
+    min-k merge."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.functions.sketches import (
+        kmv_estimate_from_signature,
+    )
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.streaming.sketches import (
+        kmv_signature_from_state,
+        streaming_kmv,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_kmv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    # scoped conf (see ev_stream_hll_hourly): set for the drain, restore
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = stream.select(
+            "event_type",
+            F.concat_ws(
+                ":", F.col("user_id"), F.to_date("ts").cast("string")
+            ).alias("user_day"),
+        )
+        q = streaming_kmv(
+            stream,
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            value_col="user_day",
+            group_cols=["event_type"],
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    sig = kmv_signature_from_state(
+        spark, os.path.join(root, "state"), ["event_type"]
+    )
+    est = kmv_estimate_from_signature(sig, ["event_type"])
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("user_day"),
+    ).groupBy("event_type").agg(F.countDistinct("user_day").alias("n_exact"))
+    out = (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "kmv_estimate")
+        .orderBy("event_type")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _stream_kmv_distinct_oracle() -> str:
+    # the streaming fold is value-identical to the batch sketch, so the
+    # oracle IS ev_kmv_distinct's
+    from spark_tensors_spark.queries.temporal_queries import (
+        _kmv_distinct_oracle,
+    )
+
+    return _kmv_distinct_oracle()
+
+
 def ev_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heavy hitters from a count-min sketch maintained as
     STREAMING state (`streaming/sketches.py`): per-batch cell-count
@@ -1077,6 +1177,7 @@ QUERIES = {
     "ev_stream_sessionize": ev_stream_sessionize,
     "emb_stream_ivf_assign": emb_stream_ivf_assign,
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
+    "ev_stream_kmv_distinct": ev_stream_kmv_distinct,
     "ev_stream_cms_top_users": ev_stream_cms_top_users,
     "doc_stream_dedup": doc_stream_dedup,
     "ev_tumbling_hour": ev_tumbling_hour,
@@ -1097,6 +1198,7 @@ ORACLES = {
     "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,
     "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),
+    "ev_stream_kmv_distinct": _stream_kmv_distinct_oracle(),
     "ev_stream_cms_top_users": _stream_cms_top_users_oracle(),
     "doc_stream_dedup": _doc_stream_dedup_oracle(),
     "ev_sink_roundtrip": """

@@ -327,6 +327,66 @@ ORDER BY e.hour_start
 """
 
 
+def ev_hll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity sketch REUSE: daily distinct-user estimates
+    computed by max-MERGING the hourly HLL register tables — never
+    re-scanning the events — which by the register-merge law equals
+    building the registers at day granularity directly (what the oracle
+    states).  At 100 TB this is the sketch-state pattern: one scan
+    produces hourly registers; day / week / month views are register
+    folds over sketch-sized state (≤ m rows per group)."""
+    from spark_tensors_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "user_id"
+    )
+    hourly_regs = hll_registers(ev, "user_id", ["hour_start"])
+    day_regs = (
+        hourly_regs.withColumn(
+            "day_start", F.date_trunc("day", F.col("hour_start"))
+        )
+        .groupBy("day_start", "hll_reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = hll_estimate_from_registers(day_regs, ["day_start"])
+    exact = ev.groupBy(
+        F.date_trunc("day", F.col("hour_start")).alias("day_start")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.join(exact, "day_start")
+        .select(
+            "day_start",
+            "n_exact",
+            F.round("hll_estimate", 4).alias("hll_users"),
+        )
+        .orderBy("day_start")
+    )
+
+
+def _hll_rollup_day_oracle() -> str:
+    from spark_tensors_spark.functions.sketches import hll_oracle_sql
+
+    src = (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, "
+        "user_id FROM events"
+    )
+    hll = hll_oracle_sql(src, "user_id", ["day_start"])
+    return f"""
+SELECT e.day_start,
+       x.n_exact,
+       ROUND(e.hll_estimate, 4) AS hll_users
+FROM ({hll}) e
+JOIN (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) x
+  ON e.day_start = x.day_start
+ORDER BY e.day_start
+"""
+
+
 def ev_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min-sketch frequency estimate, alongside
     their exact counts (functions/sketches.py count-min).  The sketch is
@@ -1618,6 +1678,7 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_hll_users": ev_hll_users,
     "ev_hll_users_hourly": ev_hll_users_hourly,
+    "ev_hll_rollup_day": ev_hll_rollup_day,
     "ev_cms_top_users": ev_cms_top_users,
     "ev_retention_weekly": ev_retention_weekly,
 }
@@ -1647,6 +1708,7 @@ ORACLES = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_hll_users": _hll_users_oracle(),
     "ev_hll_users_hourly": _hll_users_hourly_oracle(),
+    "ev_hll_rollup_day": _hll_rollup_day_oracle(),
     "ev_cms_top_users": _cms_top_users_oracle(),
     "ev_retention_weekly": EV_RETENTION_WEEKLY_SQL,
 }

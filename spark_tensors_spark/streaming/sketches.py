@@ -204,3 +204,79 @@ def compact_hll_state(
     shutil.move(state_dir, old)
     shutil.move(tmp, state_dir)
     shutil.rmtree(old)
+
+
+# ------------------------------------------------------------ KMV
+# KMV partials merge by DISTINCT + min-k — like the HLL's max-merge this
+# is commutative, associative, and idempotent (a CRDT), so replays are
+# harmless twice over: the batch-id partition overwrite AND the merge
+# algebra itself.  The per-batch partial is the batch's own signature
+# (≤ k rows per group regardless of batch size).
+
+
+def merge_kmv_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int | None = None,
+) -> None:
+    """Append one micro-batch's KMV signature partials to the state."""
+    from spark_tensors_spark.functions.sketches import KMV_K, kmv_signature
+
+    partials = kmv_signature(
+        batch, value_col, group_cols, k or KMV_K
+    ).select(*group_cols, "kmv_h")
+    write_idempotent_batch(partials, batch_id, state_dir)
+
+
+def kmv_signature_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Fold the accumulated partials into the global signature —
+    identical to the batch signature over everything the stream has
+    seen (min-k of unions IS the union's min-k)."""
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.functions.sketches import KMV_K
+
+    kk = k or KMV_K
+    raw = (
+        spark.read.parquet(state_dir)
+        .select(*group_cols, "kmv_h")
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("kmv_h")
+    return (
+        raw.withColumn("kmv_rank", F.row_number().over(w))
+        .filter(F.col("kmv_rank") <= kk)
+        .select(*group_cols, "kmv_rank", "kmv_h")
+    )
+
+
+def streaming_kmv(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach the KMV distinct sketch to a stream."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: merge_kmv_batch(
+                bdf, bid, state_dir, value_col, group_cols, k
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

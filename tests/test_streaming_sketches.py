@@ -222,3 +222,71 @@ def test_cms_real_stream_matches_batch(spark, ev, tmp_path):
     )
     batch = sorted(map(tuple, cms_sketch(ev, "user_id").collect()))
     assert folded == batch
+
+
+# ------------------------------------------------------------ KMV
+
+
+def _kmv_ud(ev):
+    return ev.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("user_day"),
+    )
+
+
+def test_kmv_multibatch_merge_equals_batch_signature(spark, ev, tmp_path):
+    """Three micro-batches folded from state == the one-shot batch
+    signature (min-k of unions IS the union's min-k)."""
+    from spark_tensors_spark.functions.sketches import kmv_signature
+    from spark_tensors_spark.streaming.sketches import (
+        kmv_signature_from_state,
+        merge_kmv_batch,
+    )
+
+    ud = _kmv_ud(ev)
+    state = str(tmp_path / "state")
+    for b in range(3):
+        merge_kmv_batch(
+            ud.filter(F.pmod(F.xxhash64("user_day"), F.lit(3)) == b),
+            b,
+            state,
+            "user_day",
+            ["event_type"],
+        )
+    streamed = sorted(
+        (r.event_type, r.kmv_rank, r.kmv_h)
+        for r in kmv_signature_from_state(
+            spark, state, ["event_type"]
+        ).collect()
+    )
+    batch = sorted(
+        (r.event_type, r.kmv_rank, r.kmv_h)
+        for r in kmv_signature(ud, "user_day", ["event_type"]).collect()
+    )
+    assert streamed == batch
+
+
+def test_kmv_replay_is_noop(spark, ev, tmp_path):
+    """Re-merging an already-applied batch changes nothing — both via
+    the partition overwrite and the idempotent min-k algebra."""
+    from spark_tensors_spark.streaming.sketches import (
+        kmv_signature_from_state,
+        merge_kmv_batch,
+    )
+
+    ud = _kmv_ud(ev)
+    state = str(tmp_path / "state")
+    b0 = ud.filter(F.col("event_type") != "view")
+    b1 = ud.filter(F.col("event_type") == "view")
+    merge_kmv_batch(b0, 0, state, "user_day", ["event_type"])
+    merge_kmv_batch(b1, 1, state, "user_day", ["event_type"])
+    before = sorted(
+        map(tuple, kmv_signature_from_state(spark, state, ["event_type"]).collect())
+    )
+    merge_kmv_batch(b0, 0, state, "user_day", ["event_type"])  # replay
+    after = sorted(
+        map(tuple, kmv_signature_from_state(spark, state, ["event_type"]).collect())
+    )
+    assert before == after
