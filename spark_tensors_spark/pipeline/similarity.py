@@ -751,3 +751,59 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(
         pick, "query_id long, nn_id long, mmr_rank long"
     )
+
+
+def kmeans_lloyd_step(
+    codes_df: DataFrame,
+    n_clusters: int,
+    dim: int,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over integer code vectors against
+    the deterministic integer `pseudo_centroids`: assign every vector
+    to its nearest centroid by EXACT integer squared-L2 (ties break to
+    the smaller cluster id via lexicographic struct-least), then emit
+    the per-(cluster, dim) member count / code sum / mean — the updated
+    centroid, with the mean as the only float (one BIGINT/BIGINT IEEE
+    division, identical cross-engine).
+
+    Scale shape: the assignment is pure scan-side whole-stage codegen
+    (K×d literal arithmetic per row, no Python, no shuffle); the update
+    is one posexplode + hash aggregate whose map-side combine bounds
+    the shuffle at K·d rows per partition regardless of corpus size.
+    Iterating = re-calling with the emitted means re-quantized; the
+    declared query gates one step exactly.
+    """
+    cents = pseudo_centroids(n_clusters, dim).astype(int)
+    dist_structs = []
+    for k in range(n_clusters):
+        arr = F.array(*[F.lit(int(v)) for v in cents[k]])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(codes_col), arr, lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        dist_structs.append(
+            F.struct(d2.alias("d2"), F.lit(k).cast("long").alias("k"))
+        )
+    best = F.least(*dist_structs)
+    assigned = codes_df.withColumn("cluster_id", best["k"])
+    ex = assigned.select(
+        "cluster_id", F.posexplode(codes_col).alias("dim", "code")
+    )
+    return (
+        ex.groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("code").alias("sum_code"),
+        )
+        .select(
+            "cluster_id",
+            "dim",
+            "n",
+            "sum_code",
+            (F.col("sum_code") / F.col("n")).alias("mean_code"),
+        )
+    )

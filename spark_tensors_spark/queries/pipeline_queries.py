@@ -854,6 +854,23 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer k-means Lloyd iteration over the int8-quantized
+    embeddings (`pipeline/similarity.kmeans_lloyd_step`): nearest of 8
+    integer pseudo-centroids by squared-L2 (scan-side codegen, ties to
+    the smaller id), then the per-(cluster, dim) count/sum/mean update.
+    The only float is the final BIGINT/BIGINT mean division — the
+    iterative-clustering primitive under a full value oracle via the
+    r5 integer pseudo-geometry doctrine."""
+    from spark_tensors_spark.pipeline import quantize, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = quantize.scalar_quantize_int8(emb).select("vec_id", "codes")
+    return similarity.kmeans_lloyd_step(codes, 8, 64).orderBy(
+        "cluster_id", "dim"
+    )
+
+
 def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round over the corpus: adjacent character-pair
     counts weighted by word frequency, top 20 (count desc, pair asc).
@@ -1189,6 +1206,7 @@ QUERIES = {
     "doc_stratified_split": doc_stratified_split,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "emb_int8_quantize": emb_int8_quantize,
+    "emb_kmeans_step": emb_kmeans_step,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -1774,6 +1792,35 @@ ORACLES = {
         FROM ranked
         GROUP BY 1, 2 ORDER BY source, split
     """,
+    "emb_kmeans_step": _ANN_CODES_CTE + """,
+dists AS (
+    SELECT vec_id, codes, k,
+           list_sum(list_transform(range(64), j ->
+               (codes[CAST(j AS INT) + 1]
+                - ((k * 37 + j * 13 + 11) % 161 - 80))
+               * (codes[CAST(j AS INT) + 1]
+                  - ((k * 37 + j * 13 + 11) % 161 - 80)))) AS d2
+    FROM q CROSS JOIN range(8) t(k)
+),
+assigned AS (
+    SELECT vec_id, codes, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM dists QUALIFY rn = 1
+),
+ex AS (
+    SELECT a.k AS cluster_id, j AS dim,
+           a.codes[CAST(j AS INT) + 1] AS code
+    FROM assigned a CROSS JOIN range(64) t(j)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code
+FROM ex
+GROUP BY cluster_id, dim
+ORDER BY cluster_id, dim
+""",
     "emb_int8_quantize": """
         WITH v AS (
             SELECT vec_id,

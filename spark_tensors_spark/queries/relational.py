@@ -731,7 +731,94 @@ def q23_portable_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q23_PORTABLE_SQL)
 
 
+def q24_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the classic join-ORDERING benchmark: a 6-table
+    chain (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
+    with the local-supplier condition c_nationkey = s_nationkey.  The
+    dims (supplier, customer-filtered, nation, region) broadcast; the
+    two fact tables meet in ONE shuffle on orderkey; revenue follows
+    q1's DECIMAL money doctrine.  At 100 TB the join order is the whole
+    game — filters reach the scans, the region filter prunes nation and
+    supplier BEFORE any fact row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    asia_supp = supplier.join(
+        F.broadcast(asia_nations),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q25_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the data-quality rule
+    engine's missing half (operators/quality.py covers single-table
+    rules): for each foreign-key relationship, count child rows and
+    orphans (children whose parent key finds no match — NULL keys
+    count as orphans on both engines) in ONE aggregate over a
+    broadcast left join per relation.  At 100 TB each relation is one
+    scan + one probe against a broadcast/bloom of parent keys; the
+    relations are independent and union at the end (no barrier)."""
+    out = None
+    for rel, child_t, child_k, parent_t, parent_k in _Q25_CHECKS:
+        child = load_table(spark, sf_dir, child_t)
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_k).alias(child_k))
+            .distinct()
+            .withColumn("_parent_hit", F.lit(1))
+        )
+        one = (
+            child.select(child_k)
+            .join(F.broadcast(parent), child_k, "left")
+            .agg(
+                F.lit(rel).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("_parent_hit").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.select("relation", "n_child", "n_orphans").orderBy("relation")
+
+
 QUERIES = {
+    "q24_local_supplier_revenue": q24_local_supplier_revenue,
+    "q25_fk_orphans": q25_fk_orphans,
     "q23_portable_sql": q23_portable_sql,
     "q20_dominant_supplier": q20_dominant_supplier,
     "q1_pricing_summary": q1_pricing_summary,
@@ -763,7 +850,55 @@ QUERIES = {
     "q19_lateral_topn": q19_lateral_topn,
 }
 
+Q24_LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_Q25_CHECKS = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+Q25_FK_ORPHANS_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{rel}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN p.{parent_k} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM {child_t} c
+LEFT JOIN (SELECT DISTINCT {parent_k} FROM {parent_t}) p
+  ON c.{child_k} = p.{parent_k}"""
+    for rel, child_t, child_k, parent_t, parent_k in _Q25_CHECKS
+) + "\nORDER BY relation"
+
 ORACLES = {
+    "q24_local_supplier_revenue": Q24_LOCAL_SUPPLIER_REVENUE_SQL,
+    "q25_fk_orphans": Q25_FK_ORPHANS_SQL,
     "q23_portable_sql": Q23_PORTABLE_SQL,
     "q20_dominant_supplier": Q20_DOMINANT_SUPPLIER_SQL,
     "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,

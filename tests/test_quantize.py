@@ -45,3 +45,37 @@ def test_quantize_roundtrip_on_random_float32(spark):
         v = mats[r.vec_id].astype(np.float64)
         deq = np.array(r.codes) * r.scale
         assert np.max(np.abs(v - deq)) <= r.scale / 2 + 1e-12
+
+
+def test_kmeans_lloyd_step_hand_check(spark):
+    """Assignment by exact integer L2 against pseudo_centroids, ties to
+    the smaller cluster id, and the count/sum/mean update."""
+    import numpy as np
+
+    from spark_tensors_spark.pipeline.similarity import (
+        kmeans_lloyd_step,
+        pseudo_centroids,
+    )
+
+    k, d = 3, 4
+    cents = pseudo_centroids(k, d).astype(int)
+    vecs = [
+        list(cents[0]),          # exactly centroid 0
+        list(cents[2]),          # exactly centroid 2
+        [int(v) + 1 for v in cents[1]],  # near centroid 1
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "codes": vecs})
+    )
+    got = kmeans_lloyd_step(df, k, d).collect()
+    # expected assignment via numpy
+    arr = np.array(vecs)
+    d2 = ((arr[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    for r in got:
+        members = arr[assign == r.cluster_id]
+        assert r.n == len(members)
+        assert r.sum_code == members[:, r.dim].sum()
+        assert r.mean_code == members[:, r.dim].sum() / len(members)
