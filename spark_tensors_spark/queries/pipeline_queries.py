@@ -871,6 +871,35 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-score histogram in fixed 0.05 bands: band id =
+    floor(quality·20) — deliberately NOT a global NTILE, which would
+    funnel 100 TB through one window task; a fixed-band histogram is
+    scan-side codegen + one tiny aggregate, and band boundaries are
+    stable across corpus growth (a decile isn't).  floor(q·20) is
+    computed on the identical round-6 double by both engines (same
+    float path ⇒ same band even at representation edges)."""
+    from spark_tensors_spark.pipeline import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    q = docs.select(
+        text.quality_score_col("text").alias("quality")
+    )
+    return (
+        q.withColumn(
+            "band", F.floor(F.col("quality") * 20).cast("long")
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+        .orderBy("band")
+    )
+
+
 def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round over the corpus: adjacent character-pair
     counts weighted by word frequency, top 20 (count desc, pair asc).
@@ -1207,6 +1236,7 @@ QUERIES = {
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "emb_int8_quantize": emb_int8_quantize,
     "emb_kmeans_step": emb_kmeans_step,
+    "doc_quality_histogram": doc_quality_histogram,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -1929,6 +1959,34 @@ ORDER BY cluster_id, dim
                COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
         FROM c
         GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+    "doc_quality_histogram": f"""
+        WITH t AS (
+            SELECT text, {_TOKENS} AS toks,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^,.!?;:]', '', 'g'))
+                            AS DOUBLE) / length(text) ELSE 0 END AS praw
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(len(toks) AS BIGINT) AS n_tokens, praw,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_EN}))
+                            AS DOUBLE) / len(toks) ELSE 0 END AS sraw
+            FROM t
+        ),
+        q AS (
+            SELECT ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                         + 0.5 * LEAST(sraw * 5.0, 1.0)
+                         - 0.25 * LEAST(praw * 10.0, 1.0), 6) AS quality
+            FROM s
+        )
+        SELECT CAST(FLOOR(quality * 20) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(quality) AS min_q,
+               MAX(quality) AS max_q
+        FROM q
+        GROUP BY 1 ORDER BY band
     """,
     "doc_quality_filter": f"""
         WITH t AS (

@@ -1653,7 +1653,131 @@ ORDER BY 1
 """
 
 
+def ev_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series completeness audit: per user, how many hour buckets
+    inside their own active span [first hour, last hour] carry no
+    events.  Pure integer arithmetic — expected = span-hours + 1 from
+    the hour-truncated epoch difference, observed = distinct hours —
+    so no calendar generation or explode is needed: ONE aggregate per
+    user at any scale (the generate_series approach would materialize
+    span-sized rows per key).  Users with gaps sort first."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_timestamp(max(h)) - unix_timestamp(min(h))) div 3600"
+            ).alias("_span"),
+            F.countDistinct("h").alias("n_observed"),
+        )
+        .select(
+            "user_id",
+            (F.col("_span") + 1).alias("n_expected"),
+            "n_observed",
+            (F.col("_span") + 1 - F.col("n_observed")).alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), "user_id")
+    )
+
+
+EV_MISSING_HOURS_SQL = """
+WITH h AS (
+    SELECT user_id, date_trunc('hour', ts) AS h FROM events
+),
+agg AS (
+    SELECT user_id,
+           date_diff('hour', MIN(h), MAX(h)) AS span,
+           COUNT(DISTINCT h) AS n_observed
+    FROM h GROUP BY user_id
+)
+SELECT user_id,
+       CAST(span + 1 AS BIGINT) AS n_expected,
+       CAST(n_observed AS BIGINT) AS n_observed,
+       CAST(span + 1 - n_observed AS BIGINT) AS n_missing
+FROM agg
+ORDER BY n_missing DESC, user_id
+"""
+
+
+def ev_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish end to end (`operators/wap.py`): batch 1
+    publishes under a passing audit, batch 2 is REJECTED by a poison
+    rule (value must equal 5.0 — violated by almost every row) leaving
+    readers on the old version, then the same batch publishes under
+    the real rules.  The output row mixes MEASURED protocol facts
+    (version count from the directory listing, publish/reject tallies,
+    the rejected audit's violation count) with final-table aggregates;
+    the oracle states the expected protocol outcome — if WAP ever let
+    the poison batch through, n_versions/checksum would diverge."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.operators import wap
+    from spark_tensors_spark.operators.merge import _versions, read_merged
+    from spark_tensors_spark.operators.quality import in_range, not_null
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"wap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    b1 = ev.filter(F.col("ts") < split).drop("ts")
+    b2 = ev.filter(F.col("ts") >= split).drop("ts")
+    clean_rules = [not_null("event_id"), not_null("user_id")]
+    poison_rules = [in_range("value", 5.0, 5.0)]
+    ok1, _v1, _ = wap.write_audit_publish(
+        spark, root, b1, ["event_id"], clean_rules
+    )
+    ok2, _v2, audit2 = wap.write_audit_publish(
+        spark, root, b2, ["event_id"], poison_rules
+    )
+    ok3, _v3, _ = wap.write_audit_publish(
+        spark, root, b2, ["event_id"], clean_rules
+    )
+    poison_viol = next(
+        int(r.n_violations) for r in audit2 if r.rule == "in_range"
+    )
+    n_versions = len(_versions(root))
+    final = read_merged(spark, root)
+    out = final.agg(
+        F.count(F.lit(1)).alias("n_rows_final"),
+        F.sum(F.col("event_id") % 997).cast("bigint").alias("checksum"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(int(ok1) + int(ok3)).cast("long").alias("n_published"),
+        F.lit(int(not ok2)).cast("long").alias("n_rejected"),
+        F.lit(poison_viol).cast("long").alias("poison_violations"),
+    ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_WAP_PUBLISH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_final,
+       CAST(SUM(event_id % 997) AS BIGINT) AS checksum,
+       CAST(2 AS BIGINT) AS n_versions,
+       CAST(2 AS BIGINT) AS n_published,
+       CAST(1 AS BIGINT) AS n_rejected,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE value IS NOT NULL AND (value < 5.0 OR value > 5.0))
+           AS poison_violations
+FROM events
+"""
+
+
 QUERIES = {
+    "ev_wap_publish": ev_wap_publish,
+    "ev_missing_hours": ev_missing_hours,
     "ev_delta_join": ev_delta_join,
     "ev_skew_split_join": ev_skew_split_join,
     "ev_kmv_distinct": ev_kmv_distinct,
@@ -1684,6 +1808,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_wap_publish": EV_WAP_PUBLISH_SQL,
+    "ev_missing_hours": EV_MISSING_HOURS_SQL,
     "ev_delta_join": EV_DELTA_JOIN_SQL,
     "ev_skew_split_join": EV_SKEW_SPLIT_JOIN_SQL,
     "ev_kmv_distinct": _kmv_distinct_oracle(),
