@@ -238,10 +238,20 @@ def kmv_estimate_from_signature(
     exact count when the group has < k distinct hashes (the signature IS
     the distinct set), else the classic (k−1)·H / h_(k) estimator.
     Both engines evaluate the same exact-integer → one-division float
-    path, so estimates are bit-identical cross-engine."""
-    agg = sig.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("kmv_n"),
-        F.max("kmv_h").alias("kmv_kth"),
+    path, so estimates are bit-identical cross-engine.
+
+    The input need NOT be a truncated ≤k-row signature: the aggregate
+    below re-truncates to the k smallest DISTINCT hashes itself
+    (`collect_set` → sort → slice — one hash agg, no window), so an
+    untruncated min-k union of several signatures estimates correctly
+    instead of silently reading a non-k-th hash as h_(k).  Signatures
+    are ≤k rows per input by construction, so the per-group set the
+    aggregate buffers is bounded by k × (#merged inputs)."""
+    hs = F.slice(F.array_sort(F.collect_set("kmv_h")), 1, k)
+    agg = sig.groupBy(*group_cols).agg(hs.alias("_kmv_hs")).select(
+        *group_cols,
+        F.size("_kmv_hs").alias("kmv_n"),
+        F.element_at("_kmv_hs", F.size("_kmv_hs")).alias("kmv_kth"),
     )
     est = F.when(
         F.col("kmv_n") < k, F.col("kmv_n").cast("double")

@@ -71,6 +71,13 @@ def compact_parquet(
     old = path.rstrip("/") + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # roll the original back into place so a failed swap leaves
+        # the table readable; manual recovery is now needed only for a
+        # hard crash BETWEEN the two renames
+        os.rename(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return len(before), len(_data_files(path))

@@ -528,9 +528,11 @@ def sssp_distances(
     """Weighted shortest-path distance from a SEED SET — bounded-hop
     Bellman-Ford: ``max_rounds`` synchronous relax rounds of
     d'(v) = min(d(v), min over in-edges (d(u) + w(u, v))), i.e. the
-    cheapest path using at most ``max_rounds`` edges (for a non-negative
-    integer ``weight`` this converges to the true shortest path once
-    max_rounds ≥ the hop diameter).  Nodes unreached within the bound
+    cheapest path using at most ``max_rounds`` edges (this converges to
+    the true shortest path once max_rounds ≥ the longest shortest-path
+    HOP COUNT — which can exceed the unweighted hop diameter, since a
+    cheap many-hop path can beat a 1-hop heavy edge; n−1 rounds in the
+    worst case).  Nodes unreached within the bound
     report −1.  Parallel edges collapse to their minimum weight (any
     heavier duplicate can never be on a shortest path).
 

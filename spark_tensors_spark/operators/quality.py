@@ -69,7 +69,14 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
         raise ValueError("validate: rules must be non-empty")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, rule in enumerate(rules):
-        aggs.append(_violation_agg(rule).cast("long").alias(f"v_{i}"))
+        # coalesce: F.sum over ZERO rows is NULL, and a zero-row table
+        # vacuously satisfies every rule — it must audit as 0, not
+        # NULL (an empty staged WAP snapshot could otherwise never
+        # publish: None == 0 is False)
+        aggs.append(
+            F.coalesce(_violation_agg(rule).cast("long"), F.lit(0))
+            .alias(f"v_{i}")
+        )
     one = df.agg(*aggs).localCheckpoint()
     stack_args = ", ".join(
         f"'{r['kind']}', '{r['column']}', v_{i}"

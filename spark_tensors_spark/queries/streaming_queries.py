@@ -837,12 +837,18 @@ def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_dir = os.path.join(root, "out")
 
-        def write_batch(df, batch_id):
-            df.write.mode("append").parquet(out_dir)
+        # replay-idempotent sink: a crashed-and-replayed micro-batch
+        # overwrites its own _batch_id partition instead of appending
+        # twice (the repo's exactly-once doctrine, streaming/sinks.py)
+        from spark_tensors_spark.streaming.sinks import (
+            write_idempotent_batch,
+        )
 
         q = (
             enriched.writeStream.outputMode("append")
-            .foreachBatch(write_batch)
+            .foreachBatch(
+                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+            )
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -853,7 +859,7 @@ def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    rows = spark.read.parquet(os.path.join(root, "out"))
+    rows = spark.read.parquet(os.path.join(root, "out")).drop("_batch_id")
     out = (
         rows.groupBy("first_type", "event_type")
         .agg(
@@ -961,18 +967,21 @@ def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = os.path.join(root, "out")
 
-    def write_batch(df, batch_id):
-        df.write.mode("append").parquet(out_dir)
+    # replay-idempotent sink (streaming/sinks.py doctrine): each
+    # micro-batch overwrites exactly its own _batch_id partition
+    from spark_tensors_spark.streaming.sinks import write_idempotent_batch
 
     q = (
         closed.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
+        .foreachBatch(
+            lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+        )
         .option("checkpointLocation", os.path.join(root, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    got = spark.read.parquet(out_dir)
+    got = spark.read.parquet(out_dir).drop("_batch_id")
     out = (
         got.orderBy("user_id", "session_idx")
         .localCheckpoint()

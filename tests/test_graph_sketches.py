@@ -431,3 +431,28 @@ def test_kmv_jaccard_estimator_tracks_truth(spark):
     j_est = row.inter / row.n_s
     true_j = (n // 2) / (n + n // 2)  # 1000 / 3000
     assert abs(j_est - true_j) < 0.20
+
+
+def test_kmv_estimate_enforces_k_truncation(spark):
+    """An UNTRUNCATED merged signature (more than k rows per group) must
+    estimate from the k-th smallest hash, not the max of everything
+    handed in (ADVICE r7): the estimate from a raw 2×k-row union of two
+    signatures must equal the estimate from the properly re-truncated
+    union signature."""
+    from spark_tensors_spark.functions.sketches import (
+        kmv_estimate_from_signature,
+        kmv_signature,
+    )
+
+    a = spark.range(3000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(2000, 6000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sig_a, sig_b = kmv_signature(a, "v", ["g"]), kmv_signature(b, "v", ["g"])
+    raw_union = sig_a.unionByName(sig_b)  # up to 2k rows, ranks stale
+    proper = kmv_signature(a.unionByName(b), "v", ["g"])
+    got = kmv_estimate_from_signature(raw_union, ["g"]).collect()[0]
+    want = kmv_estimate_from_signature(proper, ["g"]).collect()[0]
+    assert got.kmv_estimate == want.kmv_estimate

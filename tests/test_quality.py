@@ -68,3 +68,58 @@ def test_zscore_outliers_hand_case(spark):
     # mean 14, var = (4*16 + 256)/5 = 64, sigma 8 -> z(30) = 2.0
     assert set(out) == {4}
     assert math.isclose(out[4], 2.0, abs_tol=1e-12)
+
+
+def test_validate_zero_rows_audits_clean(spark):
+    """A zero-row table vacuously satisfies every rule: violations must
+    audit as 0 (not NULL from a SUM over no rows) so an empty staged
+    WAP snapshot can publish (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from spark_tensors_spark.operators.quality import validate
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    rows = validate(
+        empty,
+        [
+            {"kind": "not_null", "column": "k"},
+            {"kind": "unique", "column": "k"},
+        ],
+    ).collect()
+    assert [r.n_violations for r in rows] == [0, 0]
+    assert all(r.n_rows == 0 for r in rows)
+
+
+def test_wap_publishes_empty_snapshot(spark, tmp_path):
+    """write_audit_publish of a batch that deletes every row: the
+    merged snapshot is EMPTY yet passes a rule set it vacuously
+    satisfies, so it publishes (regression: NULL n_violations blocked
+    empty snapshots forever)."""
+    import os
+
+    import pandas as pd
+
+    from spark_tensors_spark.operators.merge import read_merged
+    from spark_tensors_spark.operators.wap import write_audit_publish
+
+    path = os.path.join(str(tmp_path), "t")
+    rules = [{"kind": "not_null", "column": "val"}]
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "val", "is_delete"]),
+            "k long, val string, is_delete boolean",
+        )
+
+    ok, v, _ = write_audit_publish(
+        spark, path, batch([(1, "a", False)]), ["k"], rules,
+        delete_col="is_delete",
+    )
+    assert ok and v == 0
+    ok, v, audit = write_audit_publish(
+        spark, path, batch([(1, "a", True)]), ["k"], rules,
+        delete_col="is_delete",
+    )
+    assert ok and v == 1
+    assert [r.n_violations for r in audit] == [0]
+    assert read_merged(spark, path).count() == 0
