@@ -596,3 +596,75 @@ def sssp_distances(
         .cast("long")
         .alias("dist"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — UNNORMALIZED integer
+    form: h₀ = 1, then aₖ(v) = Σ over in-edges of hₖ₋₁(u) and
+    hₖ(u) = Σ over out-edges of aₖ(v).  Skipping the usual L2
+    normalization keeps every score an exact BIGINT (the same
+    eigenvector direction — rankings identical), so the result is
+    bit-reproducible on any engine and SQL-oracle-able; callers wanting
+    normalized scores divide by the max at the end.  Magnitudes grow by
+    ~(max degree)² per iteration — with int64 headroom that bounds
+    ``iterations`` to a handful on dense graphs, which is also where
+    HITS converges for ranking purposes.
+
+    Reference parity: the reference stack ships no graph analytics; this
+    extends the PageRank/PPR family (pagerank above) with the classic
+    bipartite-reinforcement scorer over the same encoded triple graph.
+
+    Scale shape: per half-step, ONE shuffle join of edges against the
+    current score vector and one grouped sum — the same contribution
+    pattern as :func:`pagerank`; edges are deduped and pre-partitioned
+    on the join key once.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_sum = (
+            e.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy("d")
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auth = nodes.join(
+            a_sum.withColumnRenamed("d", "node"), "node", "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("authority"),
+        )
+        h_sum = (
+            e.join(
+                auth.select(
+                    F.col("node").alias("d"), F.col("authority")
+                ),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.sum("authority").alias("_h"))
+        )
+        hub = nodes.join(
+            h_sum.withColumnRenamed("s", "node"), "node", "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hub"),
+        )
+    return nodes.join(auth, "node").join(hub, "node").select(
+        "node", "authority", "hub"
+    )

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_tensors_spark.io.readers import load_table
-from spark_tensors_spark.operators.graph import pagerank, triangle_counts
+from spark_tensors_spark.operators.graph import (
+    hits_scores,
+    pagerank,
+    triangle_counts,
+)
 from spark_tensors_spark.queries.kg import TRIPLES_CTE, _encoded
 
 PR_ITERATIONS = 5
@@ -704,7 +708,73 @@ ORDER BY node_id
 """
 
 
+HITS_ITERATIONS = 2
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the encoded KG edge list
+    (`operators/graph.hits_scores`): unnormalized integer power
+    iteration — exact BIGINT scores, oracle-unrollable — reporting the
+    top 25 authorities (ties by node id).  Top-k plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    scores = hits_scores(
+        enc.select("s_id", "o_id"), "s_id", "o_id",
+        iterations=HITS_ITERATIONS,
+    )
+    return (
+        scores.select(
+            F.col("node").alias("node_id"), "authority", "hub"
+        )
+        .orderBy(F.col("authority").desc(), "node_id")
+        .limit(25)
+    )
+
+
+def _hits_oracle() -> str:
+    half_steps = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, HITS_ITERATIONS + 1):
+        half_steps.append(
+            f"""a{i} AS (
+    SELECT n.node,
+           CAST(COALESCE(SUM(h.hub), 0) AS BIGINT) AS authority
+    FROM nodes n
+    LEFT JOIN edges e ON e.o_id = n.node
+    LEFT JOIN {prev_h} h ON h.node = e.s_id
+    GROUP BY n.node
+)"""
+        )
+        half_steps.append(
+            f"""h{i} AS (
+    SELECT n.node,
+           CAST(COALESCE(SUM(a.authority), 0) AS BIGINT) AS hub
+    FROM nodes n
+    LEFT JOIN edges e ON e.s_id = n.node
+    LEFT JOIN a{i} a ON a.node = e.o_id
+    GROUP BY n.node
+)"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    steps_sql = ",\n".join(half_steps)
+    return f"""{TRIPLES_CTE},
+edges AS (SELECT DISTINCT s_id, o_id FROM triples_encoded),
+nodes AS (
+    SELECT s_id AS node FROM edges
+    UNION SELECT o_id FROM edges
+),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+{steps_sql}
+SELECT a.node AS node_id, a.authority, h.hub
+FROM {prev_a} a JOIN {prev_h} h ON h.node = a.node
+ORDER BY a.authority DESC, node_id
+LIMIT 25
+"""
+
+
 QUERIES = {
+    "graph_hits": graph_hits,
     "kg_pagerank": kg_pagerank,
     "graph_sssp": graph_sssp,
     "graph_ppr": graph_ppr,
@@ -718,6 +788,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_hits": _hits_oracle(),
     "kg_pagerank": _pagerank_oracle(),
     "graph_sssp": _sssp_oracle(),
     "graph_ppr": _ppr_oracle(),

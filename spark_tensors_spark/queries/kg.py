@@ -606,7 +606,53 @@ def kg_q14_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.orderBy("s", "p", "o")
 
 
+def kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style dataset statistics (W3C VoID property partitions —
+    the `void:propertyPartition` / `void:triples` / `void:distinct-
+    Subjects` / `void:distinctObjects` vocabulary): one row per
+    predicate plus a '*' dataset-total row.  The profile every RDF
+    store publishes about a loaded graph; the reference's loaders
+    (`rdfio.py:42-50`) expose no equivalent summary.
+
+    Scale: one groupBy over the triples with two COUNT(DISTINCT)s
+    (Catalyst plans a single expand + two-phase hash agg, map-side
+    partials included) plus the same agg globally — no window, no
+    join."""
+    raw, _ent, _rel, _enc = _encoded(spark, sf_dir)
+    per = raw.groupBy(F.col("p").alias("predicate")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.countDistinct("o").alias("n_objects"),
+    )
+    total = raw.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.countDistinct("o").alias("n_objects"),
+    ).select(F.lit("*").alias("predicate"), "n_triples", "n_subjects", "n_objects")
+    return per.unionByName(total).orderBy("predicate")
+
+
+_VOID_STATS_SQL = f"""{TRIPLES_CTE}
+SELECT predicate, n_triples, n_subjects, n_objects FROM (
+    SELECT p AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects,
+           CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+    FROM triples_raw
+    GROUP BY p
+    UNION ALL
+    SELECT '*',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT s) AS BIGINT),
+           CAST(COUNT(DISTINCT o) AS BIGINT)
+    FROM triples_raw
+)
+ORDER BY predicate
+"""
+
+
 QUERIES = {
+    "kg_void_stats": kg_void_stats,
     "kg_two_hop_paths": kg_two_hop_paths,
     "kg_q14_bucketed_roundtrip": kg_q14_bucketed_roundtrip,
     "kg_salted_degree": kg_salted_degree,
@@ -719,6 +765,7 @@ ranked AS (
 """
 
 ORACLES = {
+    "kg_void_stats": _VOID_STATS_SQL,
     # the bucketed-id round trip must reproduce the raw triples exactly
     # (ids themselves are engine-internal and never surface)
     "kg_q14_bucketed_roundtrip": TRIPLES_CTE

@@ -816,7 +816,193 @@ def q25_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("relation", "n_child", "n_orphans").orderBy("relation")
 
 
+def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional two-nation trade
+    — supplier-nation × customer-nation revenue by ship year.  The
+    6-table join q24 (Q5 shape) lacks: the SAME dimension (nation)
+    joined twice under different roles, with a cross-pair predicate.
+
+    Scale shape: nation is filtered to the two names AT THE SCAN and
+    explicitly broadcast into supplier and customer, shrinking both to
+    2/25 of their rows BEFORE the fact joins; lineitem⋈orders is the
+    one unavoidable big shuffle (orderkey), and AQE is left to choose
+    broadcast vs shuffle for the pre-shrunk supplier/customer sides —
+    at 100 TB those are 100M-row subsets, broadcastable by neither.
+    Revenue accumulates in DECIMAL(18,6) per the q1 money doctrine.
+    """
+    names = [f"NATION_{i}" for i in range(10)]
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(names)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q26_VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name LIKE 'NATION!__' ESCAPE '!') s
+  ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN (SELECT c_custkey, n_name AS cust_nation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name LIKE 'NATION!__' ESCAPE '!') c
+  ON o.o_custkey = c.c_custkey
+WHERE s.supp_nation <> c.cust_nation
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q27_fastss_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (entity resolution): all customer-name pairs
+    within Levenshtein distance 1, found WITHOUT an all-pairs compare —
+    the FastSS / SymSpell deletion-neighborhood algorithm (Bocek et al.
+    2007): each name expands to itself plus every delete-one-character
+    variant (len+1 rows), candidates are pairs sharing ANY variant
+    (covers every substitution, insertion, and deletion), and only
+    candidates pay the exact levenshtein verify.
+
+    Scale shape: an O(n·L) explode and an equi-join on the variant
+    string — shuffle-partitioned by variant, no quadratic term; the
+    verify runs on candidate pairs only (bucket sizes are bounded by
+    alphabet × name-template collisions, not by n).  Output is the 100
+    lexicographically-smallest verified pairs plus the total pair
+    count, so result size is bounded at any SF.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.sequence(F.lit(0), F.length("c_name"))
+        ).alias("_i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("_i") == 0, F.col("c_name"))
+        .otherwise(
+            F.concat(
+                F.expr("substr(c_name, 1, _i - 1)"),
+                F.expr("substr(c_name, _i + 1)"),
+            )
+        )
+        .alias("v"),
+    )
+    left = variants.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("name_a"),
+        "v",
+    )
+    right = variants.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("name_b"),
+        "v",
+    )
+    pairs = (
+        left.join(right, "v")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .localCheckpoint()  # two consumers (top-k + count): one compute
+    )
+    total = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_total")
+    )
+    # distributed top-k (TakeOrderedAndProject) × broadcast 1-row count
+    # — never a single-partition global window over all pairs
+    return (
+        pairs.orderBy("name_a", "name_b")
+        .limit(100)
+        .crossJoin(F.broadcast(total))
+    )
+
+
+Q27_FASTSS_NAME_PAIRS_SQL = """
+WITH exploded AS (
+    SELECT c_custkey, c_name,
+           unnest(range(0, length(c_name) + 1)) AS i
+    FROM customer
+),
+variants AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN i = 0 THEN c_name
+                ELSE substr(c_name, 1, CAST(i AS INTEGER) - 1)
+                     || substr(c_name, CAST(i AS INTEGER) + 1)
+           END AS v
+    FROM exploded
+),
+pairs AS (
+    SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+    FROM variants a
+    JOIN variants b ON a.v = b.v AND a.c_custkey < b.c_custkey
+),
+verified AS (
+    SELECT name_a, name_b FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 1
+)
+SELECT name_a, name_b,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs_total
+FROM verified
+ORDER BY name_a, name_b
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q26_volume_shipping": q26_volume_shipping,
+    "q27_fastss_name_pairs": q27_fastss_name_pairs,
     "q24_local_supplier_revenue": q24_local_supplier_revenue,
     "q25_fk_orphans": q25_fk_orphans,
     "q23_portable_sql": q23_portable_sql,
@@ -897,6 +1083,8 @@ LEFT JOIN (SELECT DISTINCT {parent_k} FROM {parent_t}) p
 ) + "\nORDER BY relation"
 
 ORACLES = {
+    "q26_volume_shipping": Q26_VOLUME_SHIPPING_SQL,
+    "q27_fastss_name_pairs": Q27_FASTSS_NAME_PAIRS_SQL,
     "q24_local_supplier_revenue": Q24_LOCAL_SUPPLIER_REVENUE_SQL,
     "q25_fk_orphans": Q25_FK_ORPHANS_SQL,
     "q23_portable_sql": Q23_PORTABLE_SQL,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_tensors_spark.io.readers import load_table
 from spark_tensors_spark.operators.temporal import (
@@ -1775,7 +1776,378 @@ FROM events
 """
 
 
+# ------------------------------------------------------- r8 additions
+
+_3D_US = 259_200_000_000  # 3-day attribution window, µs
+_EV_DUR_US = 300_000_000  # synthetic event duration for the sweep line
+_T0_SEC = 1_704_067_200  # 2024-01-01 UTC — centers the regression x
+
+
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its value
+    EQUALLY across the user's click/view touches in the preceding 3
+    days; report credited revenue per touch type.  Both directions are
+    value-range window frames over ONE per-user time sort — no
+    purchase×touch join materializes: a purchase counts its touches
+    with a past-looking frame, a touch collects its purchases' shares
+    with the symmetric future-looking frame (t gets credit from p iff
+    p ∈ (t, t+3d] ⟺ t ∈ [p−3d, p)).
+
+    Float doctrine: the per-purchase share is ONE double division on
+    identical inputs, quantized to DECIMAL(18,12) before the window
+    SUM so accumulation is exact and order-free (the Adamic-Adar
+    pattern).  Scale: single shuffle on user_id; frames are bounded by
+    the 3-day window, never whole-history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    is_purch = F.col("event_type") == "purchase"
+    base = ev.withColumn("n_t", is_touch.cast("int")).withColumn(
+        "is_p", is_purch
+    )
+    w_past = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-_3D_US, -1)
+    )
+    w_future = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(1, _3D_US)
+    )
+    shared = base.withColumn(
+        "n_touch", F.sum("n_t").over(w_past)
+    ).withColumn(
+        "share",
+        F.when(
+            F.col("is_p") & (F.col("n_touch") > 0),
+            (
+                F.col("val").cast("double")
+                / F.col("n_touch").cast("double")
+            ).cast("decimal(18,12)"),
+        ),
+    )
+    credited = shared.withColumn(
+        "credit", F.sum("share").over(w_future)
+    ).filter(is_touch)
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("credit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_credited"),
+            F.coalesce(
+                F.sum("credit").cast("double"), F.lit(0.0)
+            ).alias("revenue_credited"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_ATTRIBUTION_LINEAR_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t_us,
+           CAST(value AS DECIMAL(18,2)) AS val,
+           CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+           END AS n_t,
+           event_type = 'purchase' AS is_p
+    FROM events
+),
+shared AS (
+    SELECT *,
+           CASE WHEN is_p AND n_touch > 0
+                THEN CAST(CAST(val AS DOUBLE) / CAST(n_touch AS DOUBLE)
+                          AS DECIMAL(18,12))
+           END AS share
+    FROM (
+        SELECT *,
+               SUM(n_t) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   RANGE BETWEEN {_3D_US} PRECEDING AND 1 PRECEDING
+               ) AS n_touch
+        FROM base
+    )
+),
+credited AS (
+    SELECT *,
+           SUM(share) OVER (
+               PARTITION BY user_id ORDER BY t_us
+               RANGE BETWEEN 1 FOLLOWING AND {_3D_US} FOLLOWING
+           ) AS credit
+    FROM shared
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_credited,
+       COALESCE(CAST(SUM(credit) AS DOUBLE), CAST(0.0 AS DOUBLE))
+           AS revenue_credited
+FROM credited
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) instead of mean/σ — immune to the outliers it
+    hunts.  Medians are DISCRETE lower medians (the element at rank
+    ⌊(n+1)/2⌋ in the value sort): an actual data double, no
+    interpolation arithmetic, so both engines agree bit-for-bit and
+    the 3×MAD threshold compare can never straddle an ulp.
+
+    Scale: two per-type sort windows (the honest exact-median cost;
+    `approx_percentile` is the documented sketch path at 100 TB) and
+    two broadcast joins of a 5-row median table back to the facts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_r", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_r") == F.expr("(_n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _lower_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _lower_median(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("dev") > 3.0 * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_ANOMALY_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, value AS med
+    FROM (SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+    WHERE r = (n + 1) // 2
+),
+dev AS (
+    SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+    FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+    SELECT event_type, dev AS mad
+    FROM (SELECT event_type, dev,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY dev) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev)
+    WHERE r = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med) AS med,
+       MIN(a.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad a ON a.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+def ev_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend: closed-form OLS slope of value (cents)
+    against time (seconds since 2024-01-01) from ONE pass of five
+    sufficient statistics — n, Σx, Σy, Σxy, Σx² — all EXACT integers
+    (time is centered so Σx² stays far inside int64; cents come from a
+    DECIMAL(18,2) snap × 100).  The slope then evaluates a fixed
+    double-op tree on identical int64 inputs, so the unrounded double
+    hash-matches cross-engine.  Scale: one map-side-combinable hash
+    aggregate; no window, no sort, no join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            # integer division, NOT floor(double /): a double quotient
+            # can round up across an integer boundary
+            F.expr("unix_micros(ts) div 1000000") - _T0_SEC
+        ).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return (
+        s.filter((F.col("n") >= 10) & (den > 0))
+        .select(
+            "user_id",
+            "n",
+            (num / den).alias("slope_cents_per_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_USER_TREND_SQL = f"""
+WITH pts AS (
+    SELECT user_id,
+           epoch_us(ts) // 1000000 - {_T0_SEC} AS x,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS slope_cents_per_sec
+FROM s
+WHERE n >= 10
+  AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+ORDER BY user_id
+"""
+
+
+def ev_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrency per event type via the classic SWEEP LINE: each
+    event is a half-open 5-minute interval [ts, ts+300s); explode to
+    ±1 boundary deltas, pre-aggregate the net delta per (type,
+    timestamp) — which makes the running sum tie-free, since each
+    order key is unique within its partition — and take the max of the
+    running sum plus the earliest time it is reached.
+
+    Half-open semantics fall out of the pre-aggregation: summing the
+    net delta AT t yields the concurrency on [t, next boundary), so an
+    interval ending exactly where another starts never overlaps it.
+    Scale: one shuffle on event_type + an ordered window over DISTINCT
+    boundary timestamps (≪ rows); 100 TB path partitions the sweep by
+    (type, coarse time bucket) with per-bucket carry-in, same algebra.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    deltas = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_us").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    (F.col("t_us") + _EV_DUR_US).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("b"),
+    ).select("event_type", F.col("b.t").alias("t"), F.col("b.d").alias("d"))
+    net = deltas.groupBy("event_type", "t").agg(
+        F.sum("d").cast("long").alias("nd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.withColumn("run", F.sum("nd").over(w))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("run").alias("c"), (-F.col("t")).alias("nt")
+                )
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            F.col("m.c").alias("max_concurrency"),
+            (-F.col("m.nt")).alias("at_t_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_INTERVAL_OVERLAP_SQL = f"""
+WITH deltas AS (
+    SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT event_type, epoch_us(ts) + {_EV_DUR_US} AS t, -1 AS d
+    FROM events
+),
+net AS (
+    SELECT event_type, t, CAST(SUM(d) AS BIGINT) AS nd
+    FROM deltas GROUP BY event_type, t
+),
+run AS (
+    SELECT event_type, t,
+           SUM(nd) OVER (PARTITION BY event_type ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS run
+    FROM net
+),
+mx AS (
+    SELECT event_type, MAX(run) AS max_concurrency
+    FROM run GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(m.max_concurrency AS BIGINT) AS max_concurrency,
+       MIN(r.t) AS at_t_us
+FROM run r
+JOIN mx m ON m.event_type = r.event_type AND r.run = m.max_concurrency
+GROUP BY r.event_type, m.max_concurrency
+ORDER BY r.event_type
+"""
+
+
 QUERIES = {
+    "ev_attribution_linear": ev_attribution_linear,
+    "ev_anomaly_mad": ev_anomaly_mad,
+    "ev_user_trend": ev_user_trend,
+    "ev_interval_overlap": ev_interval_overlap,
     "ev_wap_publish": ev_wap_publish,
     "ev_missing_hours": ev_missing_hours,
     "ev_delta_join": ev_delta_join,
@@ -1808,6 +2180,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_attribution_linear": EV_ATTRIBUTION_LINEAR_SQL,
+    "ev_anomaly_mad": EV_ANOMALY_MAD_SQL,
+    "ev_user_trend": EV_USER_TREND_SQL,
+    "ev_interval_overlap": EV_INTERVAL_OVERLAP_SQL,
     "ev_wap_publish": EV_WAP_PUBLISH_SQL,
     "ev_missing_hours": EV_MISSING_HOURS_SQL,
     "ev_delta_join": EV_DELTA_JOIN_SQL,

@@ -70,3 +70,34 @@ def test_sssp_agrees_with_bfs_on_unit_weights(spark):
     ss = {r.node: r.dist
           for r in sssp_distances(ew, seeds, max_rounds=5).collect()}
     assert bfs == ss
+
+
+def test_hits_hand_case(spark):
+    """Star graph: hub center pointing at 3 leaves, plus one leaf→leaf
+    edge.  Hand-computed two unnormalized iterations:
+    edges: c→x, c→y, c→z, x→y.
+    h0=1 all. a1 = indeg: x=1, y=2, z=1, c=0.
+    h1: c = a1(x)+a1(y)+a1(z) = 4; x = a1(y) = 2; y=0; z=0.
+    a2: x = h1(c) = 4; y = h1(c)+h1(x) = 6; z = h1(c) = 4; c = 0.
+    h2: c = 4+6+4 = 14; x = a2(y) = 6; y=0; z=0.
+    """
+    from spark_tensors_spark.operators.graph import hits_scores
+
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("c", "x"), ("c", "y"), ("c", "z"), ("x", "y")],
+            columns=["s", "d"],
+        )
+    )
+    got = {
+        r.node: (r.authority, r.hub)
+        for r in hits_scores(edges, "s", "d", iterations=2).collect()
+    }
+    assert got == {
+        "c": (0, 14),
+        "x": (4, 6),
+        "y": (6, 0),
+        "z": (4, 0),
+    }

@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     # 1-row (total, n_keys) scalar cross-joined into the hot-key
     # threshold comparison
     "ev_skew_split_join",
+    # 1-row total-pair-count scalar cross-joined onto the bounded
+    # top-100 verified fuzzy pairs
+    "q27_fastss_name_pairs",
     # |event_types|² pair enumeration (≤ 25 rows each side); everything
     # downstream of the pair frame is sketch-sized (≤ k rows per type)
     "ev_kmv_user_overlap",
