@@ -651,13 +651,17 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.filter(F.col("user_id") % 25 == 0)
         )
         out_dir = os.path.join(root, "out")
-
-        def write_batch(df, batch_id):
-            df.write.mode("append").parquet(out_dir)
+        # batch-id-partition overwrite, NOT mode("append"): a replayed
+        # uncommitted batch would duplicate rows and inflate n_events
+        from spark_tensors_spark.streaming.sinks import (
+            write_idempotent_batch,
+        )
 
         q = (
             labeled.writeStream.outputMode("update")
-            .foreachBatch(write_batch)
+            .foreachBatch(
+                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+            )
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .trigger(availableNow=True)
             .start()
