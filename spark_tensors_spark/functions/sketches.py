@@ -371,3 +371,113 @@ def cms_cells_sql(value_expr: str, depth: int = CMS_DEPTH, width: int = CMS_WIDT
         for j in range(depth)
     ]
     return "\n    UNION ALL\n    ".join(branches)
+
+
+# ------------------------------------------------------------ histogram
+
+HIST_LO = 0.0
+HIST_WIDTH = 8.0
+HIST_BINS = 80
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: list[str],
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group fixed-bin integer histogram sketch —
+    DataFrame(*group_cols, hist_bin, cnt), ≤ ``n_bins`` rows per group.
+
+    bin = clamp(floor((value − lo) / width), 0, n_bins−1): a pure
+    scan-side codegen expression on the identical IEEE double in any
+    engine, so the sketch itself is value-oracle-able — unlike KLL/
+    t-digest whose compaction paths are engine-specific.  Fixed bands
+    (not NTILE) for the same reason doc_quality_histogram uses them: a
+    decile funnels 100 TB through one window task and moves when the
+    corpus grows; a fixed band is one hash aggregate and stable.
+
+    The state is MERGEABLE (hist(A∪B) = bin-wise cnt sum — commutative,
+    associative, map-side combinable), so it composes with the
+    incremental snapshot / streaming-MV machinery
+    (operators/incremental.py) as the quantile answer those count/sum/
+    min/max snapshots were missing: quantiles read out of the merged
+    state with bin resolution (±width/2), never a history rescan.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    b = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("hist_bin"))
+        .groupBy(*group_cols, "hist_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge histogram states onto coarser keys (e.g. hourly → daily):
+    bin-wise count sum, one hash aggregate over ≤ n_bins·groups rows."""
+    return (
+        sketches.groupBy(*group_cols, "hist_bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantiles_from_histogram(
+    sketch: DataFrame,
+    group_cols: list[str],
+    percents: list[int],
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """Quantile read-out from a (possibly merged) histogram sketch: for
+    each integer percent p, the smallest bin whose cumulative count
+    reaches ceil(p·N/100) — computed as the INTEGER (N·p + 99) div 100,
+    so the rank is exact cross-engine (no float ceil).  Emits
+    (*group_cols, p, n_total, hist_bin, upper_edge) where upper_edge =
+    lo + (bin+1)·width bounds the true quantile from above within one
+    bin width.
+
+    One cumulative window per group ordered by bin (≤ n_bins rows per
+    group — the window input is sketch-sized, never data-sized).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("hist_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(wn)
+    )
+    outs = []
+    for p in percents:
+        # (N·p + 99) // 100: N·p ≤ ~1e7 is double-exact and the true
+        # quotient is ≥ 0.01 away from any other integer, so the
+        # float floor equals the integer floor-div on both engines
+        target = F.floor((F.col("_n") * p + 99) / F.lit(100)).cast("long")
+        hit = cum.filter(F.col("_cum") >= target)
+        outs.append(
+            hit.groupBy(*group_cols, "_n")
+            .agg(F.min("hist_bin").alias("hist_bin"))
+            .select(
+                *group_cols,
+                F.lit(p).cast("long").alias("p"),
+                F.col("_n").cast("long").alias("n_total"),
+                "hist_bin",
+                (
+                    F.lit(float(lo))
+                    + (F.col("hist_bin") + 1) * F.lit(float(width))
+                ).alias("upper_edge"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -67,3 +67,37 @@ def write_audit_publish(
         return True, new_v, audit
     shutil.rmtree(stage, ignore_errors=True)
     return False, None, audit
+
+
+def rollback_to_version(path: str, version: int) -> int:
+    """The third verb of the governance story: REVERT a bad-but-
+    published version by publishing a copy of ``_v=<version>`` as the
+    NEWEST version — readers move back without manual surgery, history
+    stays intact (the bad version remains addressable for forensics /
+    time travel, exactly like Iceberg's rollback-creates-a-new-snapshot
+    semantics, never a destructive delete).
+
+    The copy is staged under the invisible ``wap_stage.`` namespace and
+    renamed into place, so a crash mid-rollback leaves readers on the
+    current version with only an ignorable stage dir behind.  No audit
+    re-runs: the target version already passed its audit when it was
+    first published.
+
+    This store versions by physical directory, so rollback costs one
+    file-level copy of the target snapshot (no recompute, no shuffle);
+    a manifest-pointer layout (Iceberg/Delta) would make it O(1) — see
+    SCALE.md on merge.py's full-rewrite cliff, which this inherits.
+    """
+    vs = _versions(path)
+    if version not in vs:
+        raise ValueError(
+            f"version {version} not in committed versions {vs}"
+        )
+    new_v = vs[-1] + 1
+    stage = os.path.join(path, f"wap_stage._v={new_v}")
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.copytree(os.path.join(path, f"_v={version}"), stage)
+    final = os.path.join(path, f"_v={new_v}")
+    shutil.rmtree(final, ignore_errors=True)  # crashed retry leftover
+    os.rename(stage, final)
+    return new_v

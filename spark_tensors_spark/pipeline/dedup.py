@@ -436,6 +436,70 @@ def embedding_near_dups_bucketed(
     )
 
 
+def semantic_dedup(
+    codes_df: DataFrame,
+    centroids,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means cluster assignment, then near-duplicate detection ONLY
+    within a cluster — the cluster partition turns the N² dedup into
+    Σ cluster², and at production K (∝ √N or larger) clusters stay
+    small as the corpus grows.
+
+    A vector is REMOVED when a smaller-id vector in the same cluster
+    has cosine ≥ ``threshold`` (the deterministic pairwise variant of
+    SemDeDup's greedy keep-one rule: the minimum id of every dup group
+    always survives; unlike the greedy sequential rule this needs no
+    per-cluster ordering pass, just the self-join).  Returns one row
+    per removed vector: (cluster_id, removed_id, kept_id = smallest
+    qualifying smaller-id neighbour, n_dups = how many such
+    neighbours).
+
+    With integer ``codes`` (int8 quantization) and integer
+    ``centroids`` the assignment is exact (``similarity.kmeans_assign``
+    scan-side codegen) and the cosine ``dot/sqrt(na²·nb²)`` is computed
+    on exact-integer dot products — bit-identical cross-engine
+    UNROUNDED, so the declared query is fully value-oracled.
+
+    Scale shape: one scan for assignment (no shuffle), one
+    cluster-keyed self-join (shuffle on cluster_id; skew = an
+    oversized cluster, mitigated upstream by raising K exactly as
+    SemDeDup prescribes), one aggregate over the qualifying pairs.
+    """
+    from spark_tensors_spark.functions.columns import cosine_col
+    from spark_tensors_spark.pipeline.similarity import kmeans_assign
+
+    assigned = kmeans_assign(
+        codes_df.select(id_col, codes_col), centroids,
+        codes_col=codes_col,
+    )
+    left = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(codes_col).alias("va"),
+    )
+    right = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(codes_col).alias("vb"),
+    )
+    pairs = (
+        left.join(right, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_col("va", "vb") >= F.lit(float(threshold)))
+    )
+    return (
+        pairs.groupBy("cluster_id", F.col("id_b").alias("removed_id"))
+        .agg(
+            F.min("id_a").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

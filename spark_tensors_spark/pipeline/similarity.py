@@ -753,31 +753,24 @@ def mmr_rerank(
     )
 
 
-def kmeans_lloyd_step(
+def kmeans_assign(
     codes_df: DataFrame,
-    n_clusters: int,
-    dim: int,
+    centroids,
     codes_col: str = "codes",
+    out_col: str = "cluster_id",
 ) -> DataFrame:
-    """One Lloyd iteration of k-means over integer code vectors against
-    the deterministic integer `pseudo_centroids`: assign every vector
-    to its nearest centroid by EXACT integer squared-L2 (ties break to
-    the smaller cluster id via lexicographic struct-least), then emit
-    the per-(cluster, dim) member count / code sum / mean — the updated
-    centroid, with the mean as the only float (one BIGINT/BIGINT IEEE
-    division, identical cross-engine).
-
-    Scale shape: the assignment is pure scan-side whole-stage codegen
-    (K×d literal arithmetic per row, no Python, no shuffle); the update
-    is one posexplode + hash aggregate whose map-side combine bounds
-    the shuffle at K·d rows per partition regardless of corpus size.
-    Iterating = re-calling with the emitted means re-quantized; the
-    declared query gates one step exactly.
+    """Assign every integer code vector to its nearest centroid by
+    EXACT integer squared-L2 (ties break to the smaller cluster id via
+    lexicographic struct-least).  ``centroids`` is a K×d integer array
+    embedded as literals, so the assignment is pure scan-side
+    whole-stage codegen — K×d arithmetic per row, no Python, no
+    shuffle, no broadcast join: the centroid table rides inside the
+    task binary exactly the way a production Lloyd iteration ships its
+    (tiny) centroids to every executor.
     """
-    cents = pseudo_centroids(n_clusters, dim).astype(int)
     dist_structs = []
-    for k in range(n_clusters):
-        arr = F.array(*[F.lit(int(v)) for v in cents[k]])
+    for k in range(len(centroids)):
+        arr = F.array(*[F.lit(int(v)) for v in centroids[k]])
         d2 = F.aggregate(
             F.zip_with(
                 F.col(codes_col), arr, lambda x, c: (x - c) * (x - c)
@@ -789,7 +782,35 @@ def kmeans_lloyd_step(
             F.struct(d2.alias("d2"), F.lit(k).cast("long").alias("k"))
         )
     best = F.least(*dist_structs)
-    assigned = codes_df.withColumn("cluster_id", best["k"])
+    return codes_df.withColumn(out_col, best["k"])
+
+
+def kmeans_lloyd_step(
+    codes_df: DataFrame,
+    n_clusters: int,
+    dim: int,
+    codes_col: str = "codes",
+    centroids=None,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over integer code vectors against
+    integer centroids (default: the deterministic `pseudo_centroids`):
+    assign every vector to its nearest centroid by EXACT integer
+    squared-L2 (ties break to the smaller cluster id via lexicographic
+    struct-least), then emit the per-(cluster, dim) member count /
+    code sum / mean — the updated centroid, with the mean as the only
+    float (one BIGINT/BIGINT IEEE division, identical cross-engine).
+
+    Scale shape: the assignment is pure scan-side whole-stage codegen
+    (K×d literal arithmetic per row, no Python, no shuffle); the update
+    is one posexplode + hash aggregate whose map-side combine bounds
+    the shuffle at K·d rows per partition regardless of corpus size.
+    Iterating = re-calling with the emitted means re-quantized
+    (:func:`kmeans_lloyd_iters`); the declared `emb_kmeans_step` query
+    gates one step exactly.
+    """
+    if centroids is None:
+        centroids = pseudo_centroids(n_clusters, dim).astype(int)
+    assigned = kmeans_assign(codes_df, centroids, codes_col=codes_col)
     ex = assigned.select(
         "cluster_id", F.posexplode(codes_col).alias("dim", "code")
     )
@@ -807,3 +828,58 @@ def kmeans_lloyd_step(
             (F.col("sum_code") / F.col("n")).alias("mean_code"),
         )
     )
+
+
+def kmeans_lloyd_iters(
+    codes_df: DataFrame,
+    n_clusters: int,
+    dim: int,
+    iters: int = 2,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Multiple Lloyd iterations with the centroid means RE-QUANTIZED
+    to integers between rounds — the iterative-DataFrame checkpoint
+    discipline under a full value oracle: each round is one
+    :func:`kmeans_lloyd_step` job whose K·d-row result is collected to
+    the driver (bounded: 8×64 rows, the same class as the 36-row
+    moment table), re-quantized as ``floor(mean + 0.5)`` — written
+    EXACTLY this way, not banker's/half-away ``round()``, so Python,
+    Spark and any SQL oracle agree on .5 ties — and re-embedded as
+    next-round literals.  That collect-and-rebroadcast loop is the
+    production shape of distributed k-means (MLlib does the same:
+    centroids are driver state, data never re-shuffles), so unlike a
+    join-against-centroids plan nothing here grows with the corpus.
+
+    Empty clusters keep their previous centroid (no members → no mean
+    → carry forward), the standard Lloyd convention.
+
+    Returns the FINAL iteration's (cluster_id, dim, n, sum_code,
+    mean_code) update table; only that last emission is float.
+    """
+    import math
+
+    cents = [
+        [int(v) for v in row]
+        for row in pseudo_centroids(n_clusters, dim).astype(int)
+    ]
+    codes_df = codes_df.persist()
+    try:
+        step = None
+        for _ in range(iters):
+            step = kmeans_lloyd_step(
+                codes_df, n_clusters, dim,
+                codes_col=codes_col, centroids=cents,
+            )
+            rows = step.collect()  # bounded: K·d rows
+            nxt = [list(c) for c in cents]
+            for r in rows:
+                nxt[r["cluster_id"]][r["dim"]] = int(
+                    math.floor(r["mean_code"] + 0.5)
+                )
+            cents = nxt
+        # re-derive the final step lazily so the returned plan is a
+        # live DataFrame (the loop's collect() was the iteration
+        # barrier, as in any driver-coordinated Lloyd loop)
+        return step
+    finally:
+        codes_df.unpersist()

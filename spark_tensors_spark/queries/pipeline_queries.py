@@ -871,6 +871,43 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations under the full value oracle
+    (`similarity.kmeans_lloyd_iters`): round 1 assigns against the
+    integer pseudo-centroids, the K·d mean table is collected (bounded
+    driver state, the MLlib centroid-loop shape), re-quantized as
+    floor(mean+0.5) — the one tie rule Python/Spark/DuckDB all agree
+    on — and re-embedded as round-2 scan literals; empty clusters
+    carry their centroid forward.  Gates the iterative-DataFrame
+    checkpoint discipline end-to-end: the oracle replays both rounds
+    in MATERIALIZED CTEs (the r6 DuckDB CTE re-expansion gotcha), and
+    every assignment is exact-integer squared-L2 so only the final
+    emission's mean is float."""
+    codes = _int8_codes(spark, sf_dir)
+    return similarity.kmeans_lloyd_iters(codes, 8, 64, iters=2).orderBy(
+        "cluster_id", "dim"
+    )
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`pipeline/dedup.semantic_dedup`):
+    k-means cluster assignment (16 integer pseudo-centroids, exact
+    scan-side squared-L2) then near-dup ONLY within a cluster — the
+    cluster partition turns N² into Σ cluster², the published
+    SemDeDup recipe for web-scale corpora.  A vector is removed when a
+    smaller-id same-cluster vector has cosine ≥ 0.35 (the synthetic
+    embeddings have no true near-dups, max cos ≈ 0.6, so the declared
+    threshold is set where the rule fires — same machinery); emits
+    (cluster_id, removed_id, kept_id, n_dups).  Integer dot products →
+    the UNROUNDED cosine compare is bit-identical cross-engine (r5
+    dyadic doctrine)."""
+    codes = _int8_codes(spark, sf_dir)
+    cents = similarity.pseudo_centroids(16, 64).astype(int)
+    return dedup.semantic_dedup(
+        codes, cents, threshold=0.35, id_col="vec_id", codes_col="codes"
+    ).orderBy("cluster_id", "removed_id")
+
+
 def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality-score histogram in fixed 0.05 bands: band id =
     floor(quality·20) — deliberately NOT a global NTILE, which would
@@ -1236,6 +1273,8 @@ QUERIES = {
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "emb_int8_quantize": emb_int8_quantize,
     "emb_kmeans_step": emb_kmeans_step,
+    "emb_kmeans_iters": emb_kmeans_iters,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "doc_quality_histogram": doc_quality_histogram,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
@@ -1851,6 +1890,89 @@ FROM ex
 GROUP BY cluster_id, dim
 ORDER BY cluster_id, dim
 """,
+    # two Lloyd rounds, centroids re-quantized floor(mean+0.5) between
+    # rounds; q/m1/carr MATERIALIZED (r6 CTE re-expansion gotcha);
+    # empty clusters carry the pseudo-centroid forward (COALESCE)
+    "emb_kmeans_iters": """
+WITH v AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, vd,
+           list_max(list_transform(vd, x -> abs(x))) AS maxabs
+    FROM v
+),
+q AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(vd, x -> CASE WHEN maxabs = 0 THEN 0
+               ELSE CAST(greatest(-127, least(127,
+                    round(x * 127 / maxabs))) AS BIGINT) END) AS codes
+    FROM s
+),
+d1 AS (
+    SELECT vec_id, codes, CAST(cc.k AS BIGINT) AS k,
+           list_sum(list_transform(range(64), j ->
+               (codes[CAST(j AS INT) + 1]
+                - ((cc.k * 37 + j * 13 + 11) % 161 - 80))
+               * (codes[CAST(j AS INT) + 1]
+                  - ((cc.k * 37 + j * 13 + 11) % 161 - 80)))) AS d2
+    FROM q CROSS JOIN (SELECT UNNEST(range(8)) AS k) cc
+),
+a1 AS (
+    SELECT vec_id, codes, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d1 QUALIFY rn = 1
+),
+m1 AS MATERIALIZED (
+    SELECT k AS cluster_id, j AS dim,
+           COUNT(*) AS n, SUM(code) AS s
+    FROM (SELECT a.k, t.j,
+                 a.codes[CAST(t.j AS INT) + 1] AS code
+          FROM a1 a CROSS JOIN range(64) t(j))
+    GROUP BY 1, 2
+),
+c2 AS (
+    SELECT g.k, g.j,
+           COALESCE(
+               CAST(floor(CAST(m.s AS DOUBLE) / m.n + 0.5) AS BIGINT),
+               (g.k * 37 + g.j * 13 + 11) % 161 - 80) AS cent
+    FROM (SELECT kk.k, jj.j
+          FROM range(8) kk(k) CROSS JOIN range(64) jj(j)) g
+    LEFT JOIN m1 m ON m.cluster_id = g.k AND m.dim = g.j
+),
+carr AS MATERIALIZED (
+    SELECT k, list(cent ORDER BY j) AS cent FROM c2 GROUP BY k
+),
+d2r AS (
+    SELECT q.vec_id, q.codes, carr.k,
+           list_sum(list_transform(range(64), j ->
+               (q.codes[CAST(j AS INT) + 1]
+                - carr.cent[CAST(j AS INT) + 1])
+               * (q.codes[CAST(j AS INT) + 1]
+                  - carr.cent[CAST(j AS INT) + 1]))) AS d2
+    FROM q CROSS JOIN carr
+),
+a2 AS (
+    SELECT vec_id, codes, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d2r QUALIFY rn = 1
+),
+ex AS (
+    SELECT a.k AS cluster_id, t.j AS dim,
+           a.codes[CAST(t.j AS INT) + 1] AS code
+    FROM a2 a CROSS JOIN range(64) t(j)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code
+FROM ex
+GROUP BY cluster_id, dim
+ORDER BY cluster_id, dim
+""",
     "emb_int8_quantize": """
         WITH v AS (
             SELECT vec_id,
@@ -2255,6 +2377,44 @@ ORDER BY cluster_id, dim
         )
         SELECT query_id, nn_id, dist, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    # SemDeDup: 16-pseudo-centroid assignment (exact integer L2²) then
+    # within-cluster cosine on exact-integer dots, compare UNROUNDED
+    "emb_semantic_dedup": _ANN_CODES_CTE + """,
+        celld AS (
+            SELECT vec_id, codes, CAST(cc.k AS BIGINT) AS k,
+                   list_sum(list_transform(range(64), j ->
+                       (codes[CAST(j AS INT) + 1]
+                        - ((cc.k * 37 + j * 13 + 11) % 161 - 80))
+                       * (codes[CAST(j AS INT) + 1]
+                          - ((cc.k * 37 + j * 13 + 11) % 161 - 80))))
+                       AS d2
+            FROM q CROSS JOIN (SELECT UNNEST(range(16)) AS k) cc
+        ),
+        a AS (
+            SELECT vec_id, codes, k AS cluster_id,
+                   CAST(list_sum(list_transform(codes, x -> x * x))
+                        AS BIGINT) AS n2
+            FROM (SELECT vec_id, codes, k,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, k) AS rn
+                  FROM celld) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT l.cluster_id, l.vec_id AS id_a, r.vec_id AS id_b,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       l.codes[CAST(j AS INT) + 1]
+                       * r.codes[CAST(j AS INT) + 1])) AS DOUBLE)
+                   / SQRT(CAST(l.n2 * r.n2 AS DOUBLE)) AS cos
+            FROM a l JOIN a r
+              ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+        )
+        SELECT cluster_id, id_b AS removed_id,
+               MIN(id_a) AS kept_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM pairs WHERE cos >= 0.35
+        GROUP BY cluster_id, id_b
+        ORDER BY cluster_id, removed_id
     """,
     # bucketed near-dup on int8 codes + pseudo_planes(8, 64): bucket
     # bits and the three dot products are exact integers; the cosine is

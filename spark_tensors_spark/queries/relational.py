@@ -1000,7 +1000,130 @@ LIMIT 100
 """
 
 
+def q28_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer→orders with a predicate ON THE JOIN (exclude urgent
+    orders — stands in for Q13's comment filter; a WHERE would drop
+    zero-order customers, the point of the query), count per customer
+    INCLUDING zeros, then histogram the counts.
+
+    Scale shape: the join shuffles on custkey once; the first count is
+    map-side combinable; the second aggregate is tiny (distinct order
+    counts).  Customers with no orders survive via the left join —
+    never an anti-join + union."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q28_CUST_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q29_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the available columns (no commit/receipt dates): count each
+    RETURNED line ('R') of a finished order ('F') whose order drew
+    lines from ≥ 2 distinct suppliers but where THIS supplier is the
+    only one with a return — Q21's EXISTS (another supplier on the
+    order) + NOT EXISTS (another supplier also failed) pair.
+
+    Scale shape: the correlated sub-queries are rewritten as ONE
+    per-order aggregate (distinct suppliers, distinct returning
+    suppliers) joined back to the returned lines — two shuffles on
+    orderkey total, where the textbook double self-join pays three and
+    skews on hot orders.  Supplier lookup broadcasts; top-20 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li_f = li.join(
+        orders_f, li["l_orderkey"] == orders_f["o_orderkey"]
+    ).drop("o_orderkey")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    waiting = (
+        li_f.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        waiting.join(F.broadcast(supp), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q29_WAITING_SUPPLIER_SQL = """
+WITH li_f AS (
+    SELECT l_orderkey, l_suppkey, l_returnflag
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                               THEN l_suppkey END) AS n_ret_supp
+    FROM li_f GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM li_f
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE l_returnflag = 'R' AND n_supp >= 2 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q28_cust_distribution": q28_cust_distribution,
+    "q29_waiting_supplier": q29_waiting_supplier,
     "q26_volume_shipping": q26_volume_shipping,
     "q27_fastss_name_pairs": q27_fastss_name_pairs,
     "q24_local_supplier_revenue": q24_local_supplier_revenue,
@@ -1083,6 +1206,8 @@ LEFT JOIN (SELECT DISTINCT {parent_k} FROM {parent_t}) p
 ) + "\nORDER BY relation"
 
 ORACLES = {
+    "q28_cust_distribution": Q28_CUST_DISTRIBUTION_SQL,
+    "q29_waiting_supplier": Q29_WAITING_SUPPLIER_SQL,
     "q26_volume_shipping": Q26_VOLUME_SHIPPING_SQL,
     "q27_fastss_name_pairs": Q27_FASTSS_NAME_PAIRS_SQL,
     "q24_local_supplier_revenue": Q24_LOCAL_SUPPLIER_REVENUE_SQL,

@@ -785,6 +785,113 @@ ORDER BY day, event_type
 """
 
 
+def ev_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JOIN-VIEW maintenance (streaming/joinview.py): the
+    click⋈purchase join on (user_id, day) is kept current by the
+    delta-join rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB per micro-batch — the events
+    table is re-staged as a four-file source and streamed one file per
+    trigger, so several REAL micro-batches each contribute only their
+    delta-sized increment, and the final view (union of increments)
+    must equal the direct batch join, which is what the oracle states.
+    Exactly-once via batch-id partition overwrite + `_batch_id <
+    current` history reads (replay pinned in
+    tests/test_streaming_joinview.py)."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.joinview import (
+        read_join_view,
+        streaming_delta_join_view,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_jv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        src = os.path.join(root, "src")
+        # four-way re-stage => four micro-batches at 1 file/trigger
+        (
+            ev.withColumn("wk", F.dayofmonth("ts") % 4)
+            .repartition("wk")
+            .write.partitionBy("wk")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        with_day = stream.withColumn(
+            "day", F.date_trunc("day", F.col("ts"))
+        )
+        q = streaming_delta_join_view(
+            with_day,
+            split_a=lambda b: b.filter(
+                F.col("event_type") == "click"
+            ).select("user_id", "day", F.col("event_id").alias("a_id")),
+            split_b=lambda b: b.filter(
+                F.col("event_type") == "purchase"
+            ).select("user_id", "day", F.col("event_id").alias("b_id")),
+            on=["user_id", "day"],
+            root=os.path.join(root, "jv"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        view = read_join_view(
+            spark, os.path.join(root, "jv", "view")
+        )
+        out = (
+            view.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("a_id") + F.col("b_id")).alias("id_sum"),
+            )
+            .orderBy("day")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_JOIN_VIEW_SQL = """
+WITH a AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_id AS a_id
+    FROM events WHERE event_type = 'click'
+),
+b AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_id AS b_id
+    FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT a.user_id, a.day, a_id, b_id
+    FROM a JOIN b USING (user_id, day)
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(a_id + b_id) AS BIGINT) AS id_sum
+FROM j GROUP BY day ORDER BY day
+"""
+
+
 def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join — the enrichment pattern (click stream ⋈
     broadcast dimension): a readStream over the events table left-joins
@@ -1184,6 +1291,7 @@ ORDER BY user_id, session_idx
 
 QUERIES = {
     "ev_stream_mv_daily": ev_stream_mv_daily,
+    "ev_stream_join_view": ev_stream_join_view,
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
@@ -1205,6 +1313,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_stream_mv_daily": EV_STREAM_MV_DAILY_SQL,
+    "ev_stream_join_view": EV_STREAM_JOIN_VIEW_SQL,
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,

@@ -388,6 +388,67 @@ ORDER BY e.day_start
 """
 
 
+def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch (functions/sketches.histogram_sketch):
+    hourly fixed-bin integer histograms over event value, bin-wise
+    SUMMED into daily states — never a re-scan — then p50/p90/p99 read
+    out of the merged state (smallest bin reaching the exact integer
+    rank ceil(p·N/100)).  This is the quantile the incremental
+    count/sum/min/max snapshot family (operators/incremental.py) was
+    missing: exact percentiles (q12_percentiles) don't merge, a fixed-
+    band histogram does (hist(A∪B) = binwise sum), at ±bin-width
+    resolution.  Every count, rank and bin id is an exact integer, so
+    the sketch AND its read-out are fully value-oracled; fold parity
+    (whole == merge of hourly parts) is pinned in
+    tests/test_histogram_sketch.py."""
+    from spark_tensors_spark.functions.sketches import (
+        histogram_sketch,
+        merge_histogram_sketches,
+        quantiles_from_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "value",
+    )
+    hourly = histogram_sketch(ev, "value", ["day_start", "hour_start"])
+    daily = merge_histogram_sketches(hourly, ["day_start"])
+    return quantiles_from_histogram(
+        daily, ["day_start"], [50, 90, 99]
+    ).orderBy("day_start", "p")
+
+
+_EV_QUANTILE_SKETCH_SQL = """
+WITH b AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(least(79, greatest(0,
+                CAST(floor((value - 0.0) / 8.0) AS BIGINT)))
+                AS BIGINT) AS hist_bin
+    FROM events
+),
+h AS (
+    SELECT day_start, hist_bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+),
+c AS (
+    SELECT day_start, hist_bin, cnt,
+           SUM(cnt) OVER (PARTITION BY day_start
+                          ORDER BY hist_bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY day_start) AS n
+    FROM h
+)
+SELECT day_start,
+       CAST(pp.p AS BIGINT) AS p,
+       CAST(n AS BIGINT) AS n_total,
+       MIN(hist_bin) AS hist_bin,
+       0.0 + (MIN(hist_bin) + 1) * 8.0 AS upper_edge
+FROM c CROSS JOIN (SELECT UNNEST([50, 90, 99]) AS p) pp
+WHERE cum >= (n * pp.p + 99) // 100
+GROUP BY day_start, pp.p, n
+ORDER BY day_start, p
+"""
+
+
 def ev_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min-sketch frequency estimate, alongside
     their exact counts (functions/sketches.py count-min).  The sketch is
@@ -1776,6 +1837,73 @@ FROM events
 """
 
 
+def ev_wap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP ROLLBACK (`operators/wap.rollback_to_version`): v0 (first
+    ten days) and v1 (first twenty days) both publish under passing
+    audits, then v1 is regretted and the store is reverted to v0's
+    state — published as NEW version v2, Iceberg-style, so the bad
+    version stays addressable for forensics while readers move back.
+    The output mixes MEASURED protocol facts (3 committed versions,
+    rollback returned version id 2) with aggregates of the post-revert
+    read, which the oracle states as the day-1..10 slice of events —
+    if rollback ever left readers on v1 (or destroyed history) the
+    counts/version facts diverge."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.operators import wap
+    from spark_tensors_spark.operators.merge import _versions, read_merged
+    from spark_tensors_spark.operators.quality import not_null
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"wap_rb_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    cut1 = F.lit("2024-01-11").cast("timestamp")
+    cut2 = F.lit("2024-01-21").cast("timestamp")
+    rules = [not_null("event_id")]
+    ok1, _v0, _ = wap.write_audit_publish(
+        spark, root, ev.filter(F.col("ts") < cut1).drop("ts"),
+        ["event_id"], rules,
+    )
+    ok2, _v1, _ = wap.write_audit_publish(
+        spark, root, ev.filter(F.col("ts") < cut2).drop("ts"),
+        ["event_id"], rules,
+    )
+    rb_v = wap.rollback_to_version(root, 0)
+    n_versions = len(_versions(root))
+    final = read_merged(spark, root)  # latest = the revert copy of v0
+    out = final.agg(
+        F.count(F.lit(1)).alias("n_rows_final"),
+        F.sum(F.col("event_id") % 997).cast("bigint").alias("checksum"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(int(ok1) + int(ok2)).cast("long").alias("n_published"),
+        F.lit(rb_v).cast("long").alias("rollback_version"),
+    ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_WAP_ROLLBACK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_final,
+       CAST(SUM(event_id % 997) AS BIGINT) AS checksum,
+       CAST(3 AS BIGINT) AS n_versions,
+       CAST(2 AS BIGINT) AS n_published,
+       CAST(2 AS BIGINT) AS rollback_version
+FROM events
+WHERE ts < TIMESTAMP '2024-01-11'
+"""
+
+
 # ------------------------------------------------------- r8 additions
 
 _3D_US = 259_200_000_000  # 3-day attribution window, µs
@@ -2149,6 +2277,7 @@ QUERIES = {
     "ev_user_trend": ev_user_trend,
     "ev_interval_overlap": ev_interval_overlap,
     "ev_wap_publish": ev_wap_publish,
+    "ev_wap_rollback": ev_wap_rollback,
     "ev_missing_hours": ev_missing_hours,
     "ev_delta_join": ev_delta_join,
     "ev_skew_split_join": ev_skew_split_join,
@@ -2175,6 +2304,7 @@ QUERIES = {
     "ev_hll_users": ev_hll_users,
     "ev_hll_users_hourly": ev_hll_users_hourly,
     "ev_hll_rollup_day": ev_hll_rollup_day,
+    "ev_quantile_sketch": ev_quantile_sketch,
     "ev_cms_top_users": ev_cms_top_users,
     "ev_retention_weekly": ev_retention_weekly,
 }
@@ -2185,6 +2315,7 @@ ORACLES = {
     "ev_user_trend": EV_USER_TREND_SQL,
     "ev_interval_overlap": EV_INTERVAL_OVERLAP_SQL,
     "ev_wap_publish": EV_WAP_PUBLISH_SQL,
+    "ev_wap_rollback": EV_WAP_ROLLBACK_SQL,
     "ev_missing_hours": EV_MISSING_HOURS_SQL,
     "ev_delta_join": EV_DELTA_JOIN_SQL,
     "ev_skew_split_join": EV_SKEW_SPLIT_JOIN_SQL,
@@ -2211,6 +2342,7 @@ ORACLES = {
     "ev_hll_users": _hll_users_oracle(),
     "ev_hll_users_hourly": _hll_users_hourly_oracle(),
     "ev_hll_rollup_day": _hll_rollup_day_oracle(),
+    "ev_quantile_sketch": _EV_QUANTILE_SKETCH_SQL,
     "ev_cms_top_users": _cms_top_users_oracle(),
     "ev_retention_weekly": EV_RETENTION_WEEKLY_SQL,
 }

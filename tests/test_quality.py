@@ -123,3 +123,56 @@ def test_wap_publishes_empty_snapshot(spark, tmp_path):
     assert ok and v == 1
     assert [r.n_violations for r in audit] == [0]
     assert read_merged(spark, path).count() == 0
+
+
+def test_wap_rollback_reverts_and_keeps_history(spark, tmp_path):
+    """rollback_to_version publishes a COPY of the target as the newest
+    version: readers revert, the regretted version stays addressable,
+    and rolling back to a bad version id raises."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from spark_tensors_spark.operators.merge import _versions, read_merged
+    from spark_tensors_spark.operators.wap import (
+        rollback_to_version,
+        write_audit_publish,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    rules = [{"kind": "not_null", "column": "val"}]
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "val"]), "k long, val string"
+        )
+
+    ok, v, _ = write_audit_publish(
+        spark, path, batch([(1, "a"), (2, "b")]), ["k"], rules
+    )
+    assert ok and v == 0
+    ok, v, _ = write_audit_publish(
+        spark, path, batch([(2, "REGRET"), (3, "c")]), ["k"], rules
+    )
+    assert ok and v == 1
+
+    new_v = rollback_to_version(path, 0)
+    assert new_v == 2
+    assert _versions(path) == [0, 1, 2]
+    # readers are back on v0's state
+    assert {(r.k, r.val) for r in read_merged(spark, path).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # the regretted version remains addressable (time travel / forensics)
+    assert {
+        (r.k, r.val)
+        for r in spark.read.parquet(
+            os.path.join(path, "_v=1")
+        ).collect()
+    } == {(1, "a"), (2, "REGRET"), (3, "c")}
+    # no stage dirs left behind
+    assert not [d for d in os.listdir(path) if d.startswith("wap_stage.")]
+
+    with pytest.raises(ValueError):
+        rollback_to_version(path, 99)

@@ -1,0 +1,106 @@
+"""Streaming SCD2 maintenance (streaming/scd2.py): multi-batch fold
+equals the batch `history_table`, open versions absorb / close across
+batch boundaries, untouched keys carry over, and replay does not
+mutate the history."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from spark_tensors_spark.operators.scd2 import history_table
+from spark_tensors_spark.streaming.scd2 import (
+    read_history,
+    streaming_scd2,
+)
+
+COLS = ["k", "event_id", "attr", "t"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=COLS),
+        "k long, event_id long, attr string, t long",
+    ).selectExpr("k", "event_id", "attr", "timestamp_micros(t) AS ts")
+
+
+def _write(spark, d, rows, t0):
+    _df(spark, rows).coalesce(1).write.parquet(d)
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), (t0, t0))
+
+
+def _run(spark, src, table, ckpt):
+    stream = (
+        spark.readStream.schema(
+            "k long, event_id long, attr string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = streaming_scd2(
+        stream, table, ckpt, ["k"], ["attr"],
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    q.awaitTermination()
+
+
+def _state(spark, table):
+    return sorted(
+        (r.k, r.attr, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in read_history(spark, table).collect()
+    )
+
+
+def _batch_oracle(spark, rows):
+    return sorted(
+        (r.k, r.attr, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in history_table(
+            _df(spark, rows), ["k"], ["attr"],
+            ts_col="ts", order_tiebreak="event_id",
+        ).collect()
+    )
+
+
+# key 1: A,A (absorb across batches), then B (close + open new)
+# key 2: only batch 1 (untouched carry-over in batch 2)
+# key 3: appears only in batch 2
+B1 = [(1, 10, "A", 1_000), (1, 11, "A", 2_000), (2, 12, "X", 1_500)]
+B2 = [(1, 13, "A", 3_000), (1, 14, "B", 4_000), (3, 15, "Z", 3_500)]
+
+
+def test_multi_batch_equals_batch_history(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(spark, os.path.join(src, "b1"), B1, 1_700_000_000)
+    _write(spark, os.path.join(src, "b2"), B2, 1_700_000_001)
+    table, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    _run(spark, src, table, ckpt)
+    got = _state(spark, table)
+    assert got == _batch_oracle(spark, B1 + B2)
+    # the absorb case explicitly: key 1's first version still opens at
+    # t=1000 (batch 2's equal-attr rows did NOT restart it) and closes
+    # at the B change t=4000
+    assert (1, "A", 1_000, 4_000, False) in got
+    assert (1, "B", 4_000, -1, True) in got
+    # untouched key 2 carried over open
+    assert (2, "X", 1_500, -1, True) in got
+
+
+def test_restart_and_replay_do_not_mutate(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(spark, os.path.join(src, "b1"), B1, 1_700_000_000)
+    _write(spark, os.path.join(src, "b2"), B2, 1_700_000_001)
+    table, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    _run(spark, src, table, ckpt)
+    before = _state(spark, table)
+    # restart on the same checkpoint, no new data: no-op
+    _run(spark, src, table, ckpt)
+    assert _state(spark, table) == before
+    # full re-delivery (fresh checkpoint): batch-id guard skips both
+    _run(spark, src, table, str(tmp_path / "ckpt2"))
+    assert _state(spark, table) == before
