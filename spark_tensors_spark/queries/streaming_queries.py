@@ -869,6 +869,94 @@ def ev_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (streaming/scd2.py): the sampled
+    users' event_type history is maintained across four REAL
+    micro-batches (events re-staged into contiguous week files, mtimes
+    forced so the file source delivers them in event-time order — the
+    CDC arrival-order contract), with per-batch work bounded by
+    touched keys + batch rows, never a history recompute.  The final
+    history must equal the batch `history_table`, so this SHARES
+    ev_scd2_user_state's oracle — the streaming query gates the
+    incremental fold itself."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.scd2 import (
+        read_history,
+        streaming_scd2,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_scd2_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("user_id") % 5 == 0
+        ).select("event_id", "ts", "user_id", "event_type")
+        src = os.path.join(root, "src")
+        # CONTIGUOUS week buckets (not day%4): SCD2's cross-batch
+        # contract is per-key event-time monotone arrival
+        (
+            ev.withColumn(
+                "wk", ((F.dayofmonth("ts") - 1) / 8).cast("int")
+            )
+            .repartition("wk")
+            .write.partitionBy("wk")
+            .parquet(src)
+        )
+        # force mtime = week order so the file source triggers batches
+        # in event-time order
+        for d in sorted(os.listdir(src)):
+            if not d.startswith("wk="):
+                continue
+            wk = int(d.split("=")[1])
+            full = os.path.join(src, d)
+            for f in os.listdir(full):
+                os.utime(
+                    os.path.join(full, f),
+                    (1_700_000_000 + wk, 1_700_000_000 + wk),
+                )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        q = streaming_scd2(
+            stream,
+            table_path=os.path.join(root, "hist"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            key_cols=["user_id"],
+            attr_cols=["event_type"],
+            ts_col="ts",
+            tiebreak_col="event_id",
+        )
+        q.awaitTermination()
+        hist = read_history(spark, os.path.join(root, "hist"))
+        out = (
+            hist.select(
+                "user_id", "event_type", "valid_from_us",
+                "valid_to_us", "is_current",
+            )
+            .orderBy("user_id", "valid_from_us", "event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 EV_STREAM_JOIN_VIEW_SQL = """
 WITH a AS (
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1292,6 +1380,7 @@ ORDER BY user_id, session_idx
 QUERIES = {
     "ev_stream_mv_daily": ev_stream_mv_daily,
     "ev_stream_join_view": ev_stream_join_view,
+    "ev_stream_scd2": ev_stream_scd2,
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
@@ -1311,9 +1400,15 @@ QUERIES = {
     "ev_last3_per_user": ev_last3_per_user,
 }
 
+# ev_stream_scd2 SHARES the batch SCD2 oracle (stream == batch is the claim)
+from spark_tensors_spark.queries.temporal_queries import (  # noqa: E402
+    EV_SCD2_USER_STATE_SQL as _EV_STREAM_SCD2_SQL,
+)
+
 ORACLES = {
     "ev_stream_mv_daily": EV_STREAM_MV_DAILY_SQL,
     "ev_stream_join_view": EV_STREAM_JOIN_VIEW_SQL,
+    "ev_stream_scd2": _EV_STREAM_SCD2_SQL,
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
