@@ -238,6 +238,69 @@ def ngram_topk(
     )
 
 
+def skipgram_pairs_col(
+    text: Column | str = "text", window: int = 2
+) -> Column:
+    """word2vec-style (center, context) skip-gram pairs within
+    ±``window`` positions, as ONE scan-side codegen array expression
+    (sequence → nested transform → flatten) — both directions emitted,
+    no Python, no explode until the caller counts.  The training-pair
+    generator of embedding pipelines, ×(2·window) row expansion."""
+    toks = tokens_col(text)
+    # guard short docs: sequence(1, 0) is DESCENDING in Spark, and ANSI
+    # element_at throws out-of-range — so build pairs only when ≥ 2
+    # tokens, with try_element_at + a null filter for the tail offsets
+    fwd_raw = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.lit(window)),
+                lambda d: F.struct(
+                    F.try_element_at(toks, i.cast("int")).alias(
+                        "center"
+                    ),
+                    F.try_element_at(toks, (i + d).cast("int")).alias(
+                        "context"
+                    ),
+                ),
+            ),
+        )
+    )
+    fwd = F.filter(fwd_raw, lambda p: p["context"].isNotNull())
+    rev = F.transform(
+        fwd,
+        lambda p: F.struct(
+            p["context"].alias("center"), p["center"].alias("context")
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<center:string,context:string>>"
+    )
+    return F.when(F.size(toks) >= 2, F.concat(fwd, rev)).otherwise(
+        empty
+    )
+
+
+def skipgram_topk(
+    docs: DataFrame,
+    window: int = 2,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` skip-gram pairs by count (ties broken by
+    (center, context)) — scan-side pair expansion, one partial-agg
+    shuffle, TakeOrdered."""
+    pairs = docs.select(
+        F.explode(skipgram_pairs_col(text_col, window)).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "center", "context")
+        .limit(k)
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = 8,

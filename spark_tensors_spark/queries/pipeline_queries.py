@@ -1149,6 +1149,48 @@ def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.ngram_topk(docs, n=3, k=20)
 
 
+def doc_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style skip-gram training pairs (corpus.skipgram_topk):
+    every (center, context) word pair within ±2 positions, both
+    directions, counted corpus-wide, top-30 — the embedding-training
+    pair generator as pure scan-side codegen (sequence → nested
+    transform → flatten; no Python).  A Python UDTF producing the
+    identical pair stream is parity-pinned in tests/test_skipgrams.py
+    (§2.10 breadth) but stays OFF the declared plan: the codegen form
+    is the 100 TB path."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    return C.skipgram_topk(docs, window=2, k=30)
+
+
+DOC_SKIPGRAMS_SQL = """
+WITH toks AS (
+    SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+    FROM documents
+),
+fwd AS (
+    SELECT t[CAST(i AS INT)] AS center,
+           t[CAST(i + d AS INT)] AS context
+    FROM toks,
+         UNNEST(range(1, len(t) + 1)) AS ii(i),
+         UNNEST(range(1, 3)) AS dd(d)
+    WHERE i + d <= len(t)
+),
+pairs AS (
+    SELECT center, context FROM fwd
+    UNION ALL
+    SELECT context AS center, center AS context FROM fwd
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS c
+FROM pairs
+GROUP BY center, context
+ORDER BY c DESC, center, context
+LIMIT 30
+"""
+
+
 # ---------------------------------------------------------------- rows-only
 # (engine-specific signatures; semantics pytest-covered, no SQL oracle)
 
@@ -1273,6 +1315,7 @@ QUERIES = {
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "emb_int8_quantize": emb_int8_quantize,
     "emb_kmeans_step": emb_kmeans_step,
+    "doc_skipgrams": doc_skipgrams,
     "emb_kmeans_iters": emb_kmeans_iters,
     "emb_semantic_dedup": emb_semantic_dedup,
     "doc_quality_histogram": doc_quality_histogram,
@@ -2416,6 +2459,7 @@ ORDER BY cluster_id, dim
         GROUP BY cluster_id, id_b
         ORDER BY cluster_id, removed_id
     """,
+    "doc_skipgrams": DOC_SKIPGRAMS_SQL,
     # bucketed near-dup on int8 codes + pseudo_planes(8, 64): bucket
     # bits and the three dot products are exact integers; the cosine is
     # shipped UNROUNDED (identical expression tree dot/sqrt(na2*nb2) on

@@ -78,6 +78,51 @@ def ev_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props (SURVEY §1.2):
+    `parse_json` → binary VARIANT column → typed `try_variant_get`
+    shredding + `schema_of_variant`, all scan-side JVM — the
+    open-table-format answer to schemaless columns (vs
+    ev_props_json_stats' per-path get_json_object: VARIANT parses
+    once and serves every path from the binary encoding).  Groups by
+    k-decade bucket; n_schemas proves the inferred variant schema is
+    uniform — the oracle restates it with json_structure."""
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json("props"), "$.k", "long"
+        ).alias("k"),
+        F.schema_of_variant(F.parse_json("props")).alias("vschema"),
+    )
+    return (
+        shredded.groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum("k").alias("k_sum"),
+            F.countDistinct("vschema").alias("n_schemas"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+EV_PROPS_VARIANT_STATS_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_structure(props) AS vschema
+    FROM events
+)
+SELECT k % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(COUNT(DISTINCT vschema) AS BIGINT) AS n_schemas
+FROM s GROUP BY 1 ORDER BY k_bucket
+"""
+
+
 def ev_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly totals written through the idempotent foreachBatch writer
     (batch-id partition overwrite) and read back — the sink code path
@@ -1381,6 +1426,7 @@ QUERIES = {
     "ev_stream_mv_daily": ev_stream_mv_daily,
     "ev_stream_join_view": ev_stream_join_view,
     "ev_stream_scd2": ev_stream_scd2,
+    "ev_props_variant_stats": ev_props_variant_stats,
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
@@ -1409,6 +1455,7 @@ ORACLES = {
     "ev_stream_mv_daily": EV_STREAM_MV_DAILY_SQL,
     "ev_stream_join_view": EV_STREAM_JOIN_VIEW_SQL,
     "ev_stream_scd2": _EV_STREAM_SCD2_SQL,
+    "ev_props_variant_stats": EV_PROPS_VARIANT_STATS_SQL,
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
