@@ -456,28 +456,36 @@ def quantiles_from_histogram(
     cum = sketch.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
         "_n", F.sum("cnt").over(wn)
     )
-    outs = []
-    for p in percents:
-        # (N·p + 99) // 100: N·p ≤ ~1e7 is double-exact and the true
-        # quotient is ≥ 0.01 away from any other integer, so the
-        # float floor equals the integer floor-div on both engines
-        target = F.floor((F.col("_n") * p + 99) / F.lit(100)).cast("long")
-        hit = cum.filter(F.col("_cum") >= target)
-        outs.append(
-            hit.groupBy(*group_cols, "_n")
-            .agg(F.min("hist_bin").alias("hist_bin"))
-            .select(
-                *group_cols,
-                F.lit(p).cast("long").alias("p"),
-                F.col("_n").cast("long").alias("n_total"),
-                "hist_bin",
-                (
-                    F.lit(float(lo))
-                    + (F.col("hist_bin") + 1) * F.lit(float(width))
-                ).alias("upper_edge"),
-            )
+    # ONE window pass for every requested percent: explode the (tiny)
+    # percent list against the sketch-sized cum frame instead of
+    # re-running the window per p
+    x = cum.select(
+        *group_cols,
+        "hist_bin",
+        "_cum",
+        "_n",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in percents])
+        ).alias("p"),
+    )
+    # (N·p + 99) // 100: N·p ≤ ~1e7 is double-exact and the true
+    # quotient is ≥ 0.01 away from any other integer, so the float
+    # floor equals the integer floor-div on both engines
+    target = F.floor(
+        (F.col("_n") * F.col("p") + 99) / F.lit(100)
+    ).cast("long")
+    return (
+        x.filter(F.col("_cum") >= target)
+        .groupBy(*group_cols, "p", "_n")
+        .agg(F.min("hist_bin").alias("hist_bin"))
+        .select(
+            *group_cols,
+            F.col("p").cast("long").alias("p"),
+            F.col("_n").cast("long").alias("n_total"),
+            "hist_bin",
+            (
+                F.lit(float(lo))
+                + (F.col("hist_bin") + 1) * F.lit(float(width))
+            ).alias("upper_edge"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )

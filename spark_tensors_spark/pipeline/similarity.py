@@ -864,22 +864,22 @@ def kmeans_lloyd_iters(
     ]
     codes_df = codes_df.persist()
     try:
-        step = None
-        for _ in range(iters):
+        for it in range(iters):
             step = kmeans_lloyd_step(
                 codes_df, n_clusters, dim,
                 codes_col=codes_col, centroids=cents,
             )
-            rows = step.collect()  # bounded: K·d rows
+            if it == iters - 1:
+                # materialize the final K·d-row update while the codes
+                # are still cached; the caller's later actions read the
+                # checkpoint instead of re-running every iteration
+                return step.localCheckpoint()
+            rows = step.collect()  # bounded: K·d rows (the barrier)
             nxt = [list(c) for c in cents]
             for r in rows:
                 nxt[r["cluster_id"]][r["dim"]] = int(
                     math.floor(r["mean_code"] + 0.5)
                 )
             cents = nxt
-        # re-derive the final step lazily so the returned plan is a
-        # live DataFrame (the loop's collect() was the iteration
-        # barrier, as in any driver-coordinated Lloyd loop)
-        return step
     finally:
         codes_df.unpersist()
