@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from spark_tensors_spark.operators.scd2 import history_table
 from spark_tensors_spark.streaming.scd2 import (
@@ -104,3 +105,55 @@ def test_restart_and_replay_do_not_mutate(spark, tmp_path):
     # full re-delivery (fresh checkpoint): batch-id guard skips both
     _run(spark, src, table, str(tmp_path / "ckpt2"))
     assert _state(spark, table) == before
+
+
+def test_compress_is_idempotent_on_compressed_points(spark):
+    """Re-compressing a history's own change points must be a no-op —
+    the property the incremental merge relies on (stored rows ∪ batch
+    rows re-compress without disturbing settled history)."""
+    from spark_tensors_spark.streaming.scd2 import compress_change_points
+
+    raw = _df(
+        spark,
+        [(1, 1, "A", 1_000), (1, 2, "A", 2_000), (1, 3, "B", 3_000),
+         (2, 4, "X", 500), (2, 5, "Y", 900), (2, 6, "Y", 950)],
+    ).select(
+        "k", "attr",
+        F.col("event_id").cast("long").alias("tb"),
+        F.unix_micros("ts").alias("valid_from_us"),
+    )
+    once = compress_change_points(raw, ["k"], ["attr"])
+    twice = compress_change_points(
+        once.select("k", "attr", "tb", "valid_from_us"), ["k"], ["attr"]
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_quantile_bound_property(spark):
+    """Histogram-sketch quantiles bound the exact quantile within one
+    bin width (read-out returns the bin's UPPER edge)."""
+    import numpy as np
+
+    from spark_tensors_spark.functions.sketches import (
+        histogram_sketch,
+        quantiles_from_histogram,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.abs(rng.normal(100, 60, size=2_000))
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": 0, "v": vals}), "g long, v double"
+    )
+    sk = histogram_sketch(df, "v", ["g"], lo=0.0, width=8.0, n_bins=80)
+    out = {
+        r.p: r.upper_edge
+        for r in quantiles_from_histogram(
+            sk, ["g"], [50, 90, 99], lo=0.0, width=8.0
+        ).collect()
+    }
+    for p in (50, 90, 99):
+        exact = float(np.quantile(vals, p / 100, method="inverted_cdf"))
+        assert out[p] >= exact - 1e-9, (p, out[p], exact)
+        assert out[p] - 8.0 <= exact + 1e-9, (p, out[p], exact)
