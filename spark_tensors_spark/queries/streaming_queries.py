@@ -914,6 +914,96 @@ def ev_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained QUANTILES: the fixed-bin histogram
+    sketch is exactly a (key, bin)→count mergeable state, so the
+    existing streaming MV (`streaming/mv.streaming_agg_view`, keyed on
+    (day, hist_bin)) maintains it with ZERO new operator code — each
+    micro-batch folds bin counts, exactly-once via the batch-id-stamped
+    snapshot commits — and p50/p90/p99 read out of the final view with
+    `quantiles_from_histogram`.  This closes the quantile gap in the
+    incremental/streaming snapshot family end-to-end (batch form:
+    ev_quantile_sketch, whose oracle this SHARES — the stream fold must
+    equal the direct histogram)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_tensors_spark.functions.sketches import (
+        quantiles_from_histogram,
+    )
+    from spark_tensors_spark.streaming.mv import (
+        read_view,
+        streaming_agg_view,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_q_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        b = F.floor((F.col("value") - F.lit(0.0)) / F.lit(8.0))
+        rows = stream.select(
+            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            F.least(F.lit(79), F.greatest(F.lit(0), b))
+            .cast("long")
+            .alias("hist_bin"),
+        )
+        q = streaming_agg_view(
+            rows,
+            view_path=os.path.join(root, "view"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            key_cols=["day_start", "hist_bin"],
+            aggs={"cnt": ("count", "hist_bin")},
+        )
+        q.awaitTermination()
+        view = read_view(spark, os.path.join(root, "view"))
+        out = (
+            quantiles_from_histogram(
+                view.select(
+                    "day_start",
+                    "hist_bin",
+                    F.col("cnt").cast("long").alias("cnt"),
+                ),
+                ["day_start"],
+                [50, 90, 99],
+                lo=0.0,
+                width=8.0,
+            )
+            .orderBy("day_start", "p")
+            .localCheckpoint()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def ev_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintenance (streaming/scd2.py): the sampled
     users' event_type history is maintained across four REAL
@@ -1426,6 +1516,7 @@ QUERIES = {
     "ev_stream_mv_daily": ev_stream_mv_daily,
     "ev_stream_join_view": ev_stream_join_view,
     "ev_stream_scd2": ev_stream_scd2,
+    "ev_stream_quantile": ev_stream_quantile,
     "ev_props_variant_stats": ev_props_variant_stats,
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
@@ -1446,8 +1537,10 @@ QUERIES = {
     "ev_last3_per_user": ev_last3_per_user,
 }
 
-# ev_stream_scd2 SHARES the batch SCD2 oracle (stream == batch is the claim)
+# ev_stream_scd2 / ev_stream_quantile SHARE the batch oracles
+# (stream == batch is the claim)
 from spark_tensors_spark.queries.temporal_queries import (  # noqa: E402
+    _EV_QUANTILE_SKETCH_SQL as _EV_STREAM_QUANTILE_SQL,
     EV_SCD2_USER_STATE_SQL as _EV_STREAM_SCD2_SQL,
 )
 
@@ -1455,6 +1548,7 @@ ORACLES = {
     "ev_stream_mv_daily": EV_STREAM_MV_DAILY_SQL,
     "ev_stream_join_view": EV_STREAM_JOIN_VIEW_SQL,
     "ev_stream_scd2": _EV_STREAM_SCD2_SQL,
+    "ev_stream_quantile": _EV_STREAM_QUANTILE_SQL,
     "ev_props_variant_stats": EV_PROPS_VARIANT_STATS_SQL,
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
