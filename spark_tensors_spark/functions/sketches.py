@@ -405,6 +405,12 @@ def histogram_sketch(
     (operators/incremental.py) as the quantile answer those count/sum/
     min/max snapshots were missing: quantiles read out of the merged
     state with bin resolution (±width/2), never a history rescan.
+
+    NULL values land in a NULL bin (floor propagates NULL through
+    least/greatest identically on both engines); filter them upstream
+    if the quantile read-out should ignore them — NULL-bin ordering
+    inside the read-out window is engine-specific (Spark NULLS FIRST
+    vs DuckDB NULLS LAST).
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     b = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
