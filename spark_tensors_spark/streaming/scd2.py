@@ -100,6 +100,12 @@ def streaming_scd2(
         vs = _committed(table_path)
         if vs and batch_id <= vs[-1][1]:
             return  # replayed batch: already folded in
+        if batch_df.isEmpty():
+            # no touched keys -> the fold is the identity; skip the
+            # full-copy snapshot an empty batch would otherwise write
+            # (cdc.py's guard; replaying a skipped empty batch is a
+            # no-op either way)
+            return
         spark = batch_df.sparkSession
         new_pts = batch_df.select(
             *key_cols,

@@ -125,3 +125,33 @@ def test_crashed_history_write_cannot_leak_into_own_batch(spark, tmp_path):
     write_idempotent_batch(db, 0, os.path.join(root, "b"))
     _run(spark, src, root, ckpt)
     assert _pairs(spark, root) == [(5, 50, 51)]  # once, not twice
+
+
+def test_random_batch_splits_equal_direct_join(spark, tmp_path):
+    """Any partition of the input into ordered micro-batches yields the
+    same view as the direct join (seeded random split)."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(120):
+        side = rng.choice(["a", "b"])
+        rows.append((side, rng.randrange(12), 1000 + i))
+    cuts = sorted(rng.sample(range(1, 119), 3))
+    batches = [
+        rows[lo:hi]
+        for lo, hi in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for bi, batch in enumerate(batches):
+        _write(spark, os.path.join(src, f"b{bi}"), batch,
+               1_700_000_000 + bi)
+    root = str(tmp_path / "jv")
+    _run(spark, src, root, str(tmp_path / "ckpt"))
+    a = [(k, i) for s, k, i in rows if s == "a"]
+    b = [(k, i) for s, k, i in rows if s == "b"]
+    want = sorted(
+        (k, ai, bi_) for k, ai in a for k2, bi_ in b if k == k2
+    )
+    assert _pairs(spark, root) == want

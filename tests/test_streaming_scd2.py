@@ -157,3 +157,31 @@ def test_quantile_bound_property(spark):
         exact = float(np.quantile(vals, p / 100, method="inverted_cdf"))
         assert out[p] >= exact - 1e-9, (p, out[p], exact)
         assert out[p] - 8.0 <= exact + 1e-9, (p, out[p], exact)
+
+
+def test_random_batch_splits_equal_batch_history(spark, tmp_path):
+    """Any event-time-ordered partition of the change stream into
+    micro-batches folds to the batch history (seeded random cuts)."""
+    import random
+
+    rng = random.Random(23)
+    rows = sorted(
+        (
+            (rng.randrange(6), 100 + i,
+             rng.choice(["A", "B", "C"]), 1_000 * (i + 1))
+            for i in range(90)
+        ),
+        key=lambda r: r[3],
+    )
+    cuts = sorted(rng.sample(range(1, 89), 3))
+    batches = [
+        rows[lo:hi] for lo, hi in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for bi, batch in enumerate(batches):
+        _write(spark, os.path.join(src, f"b{bi}"), batch,
+               1_700_000_000 + bi)
+    table = str(tmp_path / "hist")
+    _run(spark, src, table, str(tmp_path / "ckpt"))
+    assert _state(spark, table) == _batch_oracle(spark, rows)
