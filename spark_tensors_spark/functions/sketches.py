@@ -412,6 +412,10 @@ def histogram_sketch(
     inside the read-out window is engine-specific (Spark NULLS FIRST
     vs DuckDB NULLS LAST).
     """
+    if n_bins < 1 or width <= 0:
+        raise ValueError(
+            f"need n_bins >= 1 and width > 0, got {n_bins}, {width}"
+        )
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     b = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).cast("long")

@@ -246,6 +246,10 @@ def skipgram_pairs_col(
     (sequence → nested transform → flatten) — both directions emitted,
     no Python, no explode until the caller counts.  The training-pair
     generator of embedding pipelines, ×(2·window) row expansion."""
+    if window < 1:
+        # sequence(1, 0) is DESCENDING in Spark — a 0 window would emit
+        # bogus d=0 self-pairs instead of an empty list
+        raise ValueError(f"window must be >= 1, got {window}")
     toks = tokens_col(text)
     # guard short docs: sequence(1, 0) is DESCENDING in Spark, and ANSI
     # element_at throws out-of-range — so build pairs only when ≥ 2

@@ -858,6 +858,8 @@ def kmeans_lloyd_iters(
     """
     import math
 
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     cents = [
         [int(v) for v in row]
         for row in pseudo_centroids(n_clusters, dim).astype(int)

@@ -43,7 +43,12 @@ def _read_store(
     """All rows committed by batches STRICTLY BEFORE ``below_batch``
     (partition-pruned on the `_batch_id` directory key); an empty
     frame with the template's schema if the store doesn't exist yet."""
-    if not os.path.isdir(path):
+    # a store whose batches were ALL empty holds only _SUCCESS (dynamic
+    # overwrite writes no empty partition) — parquet schema inference
+    # would fail on it, so treat it like a missing store
+    if not os.path.isdir(path) or not any(
+        d.startswith("_batch_id=") for d in os.listdir(path)
+    ):
         return template.limit(0)
     return (
         spark.read.parquet(path)
@@ -53,7 +58,15 @@ def _read_store(
 
 
 def read_join_view(spark: SparkSession, path: str) -> DataFrame:
-    """The maintained join view: union of all committed increments."""
+    """The maintained join view: union of all committed increments.
+    Raises FileNotFoundError while every processed batch has produced
+    zero join rows (there is no schema to read yet)."""
+    if not os.path.isdir(path) or not any(
+        d.startswith("_batch_id=") for d in os.listdir(path)
+    ):
+        raise FileNotFoundError(
+            f"join view at {path} has no committed increments yet"
+        )
     return spark.read.parquet(path).drop("_batch_id")
 
 

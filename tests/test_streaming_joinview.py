@@ -155,3 +155,18 @@ def test_random_batch_splits_equal_direct_join(spark, tmp_path):
         (k, ai, bi_) for k, ai in a for k2, bi_ in b if k == k2
     )
     assert _pairs(spark, root) == want
+
+
+def test_one_sided_early_batches(spark, tmp_path):
+    """A side that is EMPTY for the first batches leaves its history
+    store with only _SUCCESS (no partitions); later batches must treat
+    it as empty instead of failing parquet schema inference."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(spark, os.path.join(src, "b1"), [("a", 1, 10), ("a", 2, 11)],
+           1_700_000_000)
+    _write(spark, os.path.join(src, "b2"), [("b", 1, 20), ("b", 3, 21)],
+           1_700_000_001)
+    root = str(tmp_path / "jv")
+    _run(spark, src, root, str(tmp_path / "ckpt"))
+    assert _pairs(spark, root) == [(1, 10, 20)]
