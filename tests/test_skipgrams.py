@@ -97,3 +97,37 @@ def test_udtf_parity(spark):
         for a, b in [(r.p.center, r.p.context)]
     )
     assert got == want
+
+
+def test_fuzz_random_texts_match_python(spark):
+    """Seeded fuzz: 200 random texts (unicode tokens, runs of spaces,
+    leading/trailing whitespace, empty) — codegen pairs == python."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = ["a", "bb", "ccc", "Ω", "日本", "x1", "-", "''"]
+    texts = []
+    for _ in range(200):
+        n = rng.randrange(0, 8)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        sep = lambda: " " * rng.randrange(1, 4)
+        t = sep().join([""] + toks + [""]) if rng.random() < 0.3 else (
+            sep().join(toks)
+        )
+        texts.append(t)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.p.center, r.p.context)
+        for r in df.select(
+            "doc_id", F.explode(skipgram_pairs_col("text", 2)).alias("p")
+        ).collect()
+    )
+    want = sorted(
+        (i, a, b)
+        for i, t in enumerate(texts)
+        for a, b in _py_pairs(t, 2)
+    )
+    assert got == want
