@@ -89,18 +89,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf) if sf else None,
-            }
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf) if sf else None,
+    }
+    # Persist the complete per-query record (the driver's stdout capture
+    # keeps only the LAST 2000 chars — with 190 queries the full line is
+    # ~5.5 KB, so since round 2 the captured record never parsed).
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
         )
-    )
+        with open(out_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except Exception:
+        pass
+    # Full line first (humans / logs)...
+    print(json.dumps(full))
+    # ...then a FINAL line guaranteed to fit the 2000-char tail capture:
+    # same metric/value/errors/sf, "queries" trimmed to the slowest
+    # entries that keep the line under budget, with an explicit marker.
+    compact = dict(full)
+    compact["n_queries"] = len(timings)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    for name, secs in slowest:
+        kept[name] = round(secs, 2)
+        compact["queries"] = kept
+        compact["queries_truncated"] = len(kept) < len(timings)
+        if len(json.dumps(compact, separators=(",", ":"))) > 1800:
+            del kept[name]
+            compact["queries"] = kept
+            compact["queries_truncated"] = True
+            break
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     if errors:
         # JSON (with in-band errors) already emitted; exit non-zero so

@@ -773,7 +773,72 @@ LIMIT 25
 """
 
 
+WCC_ROUNDS = 7
+
+
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the encoded KG edge list —
+    the first graph question after PageRank ("how many islands?").
+    FORCES the distributed min-label-propagation + pointer-jumping
+    path (`pipeline/components.connected_components`,
+    driver_threshold=0), so the 100 TB implementation itself sits
+    under the value oracle (the doc_lsh_components_dist doctrine).
+
+    The oracle unrolls {WCC_ROUNDS} plain label-propagation rounds
+    (label_{{k+1}}(v) = min(label_k(v), min over neighbours
+    label_k(u))), which provably converges on THIS graph: every node
+    is ≤3 undirected hops from its region hub (order→customer→nation→
+    region), so any two nodes of a component are ≤6 hops apart and
+    round k holds the min label within k hops — 7 ≥ 6 rounds reach
+    the component minimum everywhere, at every scale factor."""
+    from spark_tensors_spark.pipeline import components
+
+    _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
+    edges = enc.select("s_id", "o_id").distinct()
+    cc = components.connected_components(
+        edges, "s_id", "o_id", driver_threshold=0
+    )
+    return (
+        cc.select(
+            F.col("node").alias("node_id"),
+            F.col("comp").alias("component_id"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _wcc_oracle() -> str:
+    its = []
+    prev = "l0"
+    for k in range(1, WCC_ROUNDS + 1):
+        its.append(
+            f"""l{k} AS MATERIALIZED (
+    SELECT n.node,
+           least(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+    FROM {prev} n
+    LEFT JOIN sym e ON e.u = n.node
+    LEFT JOIN {prev} p ON p.node = e.v
+    GROUP BY n.node, n.lbl
+)"""
+        )
+        prev = f"l{k}"
+    iters_sql = ",\n".join(its)
+    return f"""{TRIPLES_CTE},
+pairs AS (
+    SELECT DISTINCT s_id AS u, o_id AS v
+    FROM triples_encoded WHERE s_id <> o_id
+),
+sym AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+{iters_sql}
+SELECT node AS node_id, lbl AS component_id
+FROM {prev}
+ORDER BY node_id
+"""
+
+
 QUERIES = {
+    "graph_wcc": graph_wcc,
     "graph_hits": graph_hits,
     "kg_pagerank": kg_pagerank,
     "graph_sssp": graph_sssp,
@@ -788,6 +853,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_wcc": _wcc_oracle(),
     "graph_hits": _hits_oracle(),
     "kg_pagerank": _pagerank_oracle(),
     "graph_sssp": _sssp_oracle(),

@@ -168,10 +168,158 @@ def kge_generalization_metrics(
     return t.evaluate(test, known_triples=known)
 
 
+STEP_DIM = 8
+STEP_MARGIN = 4
+STEP_LR = 0.25  # power of two ⇒ dyadic-exact update
+
+
+def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full-batch TransE SGD step under a VALUE oracle — the
+    training loop itself (gather → margin filter → segment-sum → SGD
+    update, `TransE.scala:98-134` semantics with the L1 distance the
+    original TransE paper also trains) gated end-to-end, not just its
+    loss/metric outputs.  Integer pseudo-embeddings (the
+    kg_distmult_scores doctrine) + integer margin + power-of-two lr
+    make every intermediate — L1 norms, violation test, sign
+    gradients, summed grads, updated parameters — exact integer/dyadic
+    arithmetic, so DuckDB replays the whole step symbolically.
+
+    Output: every relation parameter slot, a deterministic 1/37 sample
+    of entity slots (old value, summed gradient, updated value), and a
+    1-row 'L' loss summary (n_triples, n_violations, total_loss)."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        transe_l1_loss_summary,
+        transe_l1_sgd_step,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    tri = (
+        enc.filter(F.col("s_id") % 7 == 3)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+    )
+    d_seq = F.sequence(F.lit(0), F.lit(STEP_DIM - 1))
+
+    def _emb(n_rows: int, a: int, b: int, m: int, c: int):
+        return spark.range(n_rows).select(
+            F.col("id"),
+            F.transform(
+                d_seq,
+                lambda d: (
+                    (F.col("id") * a + d * b) % m - c
+                ).cast("long"),
+            ).alias("vec"),
+        )
+
+    E = _emb(n_ent, 31, 17, 13, 6)
+    R = _emb(n_rel, 29, 23, 11, 5)
+    upd = transe_l1_sgd_step(
+        tri, E, R, dim=STEP_DIM, n_entities=n_ent,
+        margin=STEP_MARGIN, lr=STEP_LR,
+    )
+    out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
+    loss = transe_l1_loss_summary(
+        tri, E, R, dim=STEP_DIM, n_entities=n_ent, margin=STEP_MARGIN
+    ).select(
+        F.lit("L").alias("kind"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("d"),
+        F.col("n_triples").cast("long").alias("old_val"),
+        F.col("n_violations").alias("grad"),
+        F.col("total_loss").cast("double").alias("new_val"),
+    )
+    return out.unionByName(loss).orderBy("kind", "id", "d")
+
+
+def _transe_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    sv = "((s_id*31 + d*17) % 13) - 6"
+    pv = "((p_id*29 + d*23) % 11) - 5"
+    ov = "((o_id*31 + d*17) % 13) - 6"
+    nv = "((n_id*31 + d*17) % 13) - 6"
+    sgn = "CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END"
+    sp = sgn.format(x="(sv + pv - ov)")
+    sn = sgn.format(x="(sv + pv - nv)")
+    lr = f"CAST({STEP_LR!r} AS DOUBLE)"
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+n_rel AS MATERIALIZED (SELECT COUNT(*) AS n FROM relation_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % 7 = 3
+),
+dims AS (SELECT unnest(range({STEP_DIM})) AS d),
+g AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id, d,
+           {sv} AS sv, {pv} AS pv, {ov} AS ov, {nv} AS nv
+    FROM t CROSS JOIN dims
+),
+sc AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {STEP_MARGIN} + SUM(ABS(sv + pv - ov))
+                         - SUM(ABS(sv + pv - nv)) AS raw_loss
+    FROM g GROUP BY s_id, p_id, o_id, n_id
+),
+gv AS MATERIALIZED (
+    SELECT g.*
+    FROM g JOIN sc ON sc.s_id = g.s_id AND sc.p_id = g.p_id
+                  AND sc.o_id = g.o_id
+    WHERE sc.raw_loss > 0
+),
+contrib AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv
+    UNION ALL
+    SELECT 'E', o_id, d, -({sp}) FROM gv
+    UNION ALL
+    SELECT 'E', n_id, d, ({sn}) FROM gv
+    UNION ALL
+    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv
+),
+grads AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib GROUP BY kind, id, d
+),
+params AS MATERIALIZED (
+    -- dictionary ids are dense 0..n-1 by construction (ROW_NUMBER()-1)
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),
+upd AS (
+    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
+           p.val AS old_val,
+           COALESCE(c.gr, 0) AS grad,
+           p.val - {lr} * COALESCE(c.gr, 0) AS new_val
+    FROM params p
+    LEFT JOIN grads c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
+)
+SELECT kind, id, d, old_val, grad, new_val FROM upd
+WHERE kind = 'R' OR id % 37 = 0
+UNION ALL
+SELECT 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE) FROM sc)
+ORDER BY kind, id, d
+"""
+
+
 QUERIES = {
+    "kge_transe_step_exact": kge_transe_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
     "kge_rescal_train_metrics": kge_rescal_train_metrics,
     "kge_hole_train_metrics": kge_hole_train_metrics,
     "kge_generalization_metrics": kge_generalization_metrics,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "kge_transe_step_exact": _transe_step_oracle(),
+}

@@ -1,0 +1,133 @@
+"""Parity of train/exactstep.transe_l1_sgd_step against a pure-Python
+full-batch L1-TransE step (reference semantics: the gather → margin
+filter → backward → SGD update loop of `TransE.scala:98-134` with L1
+distance; violation-gated gradients as in `hole.py:22-42`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.train.exactstep import (
+    transe_l1_loss_summary,
+    transe_l1_sgd_step,
+)
+
+DIM = 4
+N_ENT = 9
+N_REL = 2
+MARGIN = 3
+LR = 0.5
+
+
+def _emb_e(i, d):
+    return (i * 31 + d * 17) % 13 - 6
+
+
+def _emb_r(i, d):
+    return (i * 29 + d * 23) % 11 - 5
+
+
+def _python_step(triples):
+    E = np.array(
+        [[_emb_e(i, d) for d in range(DIM)] for i in range(N_ENT)],
+        dtype=np.int64,
+    )
+    R = np.array(
+        [[_emb_r(i, d) for d in range(DIM)] for i in range(N_REL)],
+        dtype=np.int64,
+    )
+    gE = np.zeros_like(E)
+    gR = np.zeros_like(R)
+    n_viol = 0
+    total_loss = 0
+    for s, p, o in triples:
+        n = (o + 1 + p) % N_ENT
+        dp = E[s] + R[p] - E[o]
+        dn = E[s] + R[p] - E[n]
+        raw = MARGIN + np.abs(dp).sum() - np.abs(dn).sum()
+        total_loss += max(0, raw)
+        if raw > 0:
+            n_viol += 1
+            gE[s] += np.sign(dp) - np.sign(dn)
+            gE[o] += -np.sign(dp)
+            gE[n] += np.sign(dn)
+            gR[p] += np.sign(dp) - np.sign(dn)
+    newE = E - LR * gE
+    newR = R - LR * gR
+    return E, R, gE, gR, newE, newR, n_viol, total_loss
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    rng = np.random.RandomState(11)
+    triples = [
+        (int(rng.randint(N_ENT)), int(rng.randint(N_REL)),
+         int(rng.randint(N_ENT)))
+        for _ in range(40)
+    ]
+    triples = sorted(set(triples))
+    tri = spark.createDataFrame(
+        triples, "s_id long, p_id long, o_id long"
+    ).coalesce(1)
+    d_seq = F.sequence(F.lit(0), F.lit(DIM - 1))
+    E = spark.range(N_ENT).select(
+        "id",
+        F.transform(
+            d_seq, lambda d: ((F.col("id") * 31 + d * 17) % 13 - 6).cast("long")
+        ).alias("vec"),
+    )
+    R = spark.range(N_REL).select(
+        "id",
+        F.transform(
+            d_seq, lambda d: ((F.col("id") * 29 + d * 23) % 11 - 5).cast("long")
+        ).alias("vec"),
+    )
+    return triples, tri, E, R
+
+
+def test_step_matches_python_reference(spark, fixtures):
+    triples, tri, E, R = fixtures
+    _, _, gE, gR, newE, newR, _, _ = _python_step(triples)
+
+    out = transe_l1_sgd_step(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=MARGIN, lr=LR
+    ).collect()
+    assert len(out) == (N_ENT + N_REL) * DIM
+    for row in out:
+        if row.kind == "E":
+            assert row.old_val == _emb_e(row.id, row.d)
+            assert row.grad == gE[row.id][row.d]
+            assert row.new_val == newE[row.id][row.d]
+        else:
+            assert row.kind == "R"
+            assert row.old_val == _emb_r(row.id, row.d)
+            assert row.grad == gR[row.id][row.d]
+            assert row.new_val == newR[row.id][row.d]
+
+
+def test_loss_summary_matches_python_reference(spark, fixtures):
+    triples, tri, E, R = fixtures
+    *_, n_viol, total_loss = _python_step(triples)
+    row = transe_l1_loss_summary(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=MARGIN
+    ).collect()[0]
+    assert row.n_triples == len(triples)
+    assert row.n_violations == n_viol
+    assert row.total_loss == total_loss
+
+
+def test_untouched_parameters_unchanged(spark, fixtures):
+    """Entities no violating triple touches keep grad 0, new == old."""
+    triples, tri, E, R = fixtures
+    _, _, gE, _, _, _, _, _ = _python_step(triples)
+    untouched = [i for i in range(N_ENT) if not gE[i].any()]
+    out = transe_l1_sgd_step(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=MARGIN, lr=LR
+    )
+    rows = out.filter(
+        (F.col("kind") == "E") & F.col("id").isin(untouched)
+    ).collect()
+    assert len(rows) == len(untouched) * DIM
+    assert all(r.grad == 0 and r.new_val == r.old_val for r in rows)
