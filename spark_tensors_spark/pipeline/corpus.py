@@ -155,6 +155,70 @@ def bm25_topk(
     )
 
 
+def lm_perplexity(
+    docs: DataFrame,
+    train_mod: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): score each
+    document by its log-perplexity under a language model fitted on a
+    held-out slice of the corpus — high perplexity ⇒ unusual/noisy
+    text, the classic pre-training quality filter beyond heuristics.
+
+    Simplified honestly: a unigram LM with add-one smoothing over the
+    training slice's vocabulary (CCNet uses KenLM 5-gram; the fit →
+    score → filter pipeline shape is identical).  Train slice =
+    ``doc_id % train_mod == 0``; every other document is scored:
+
+        log_ppl(doc) = −(1/|doc|) Σ_w ln((cnt(w)+1) / (T + V + 1))
+
+    with cnt(w)=0 for out-of-vocabulary tokens.
+
+    Scale shape: the fit is ONE corpus aggregate over the train slice
+    (term counts); the model (vocab-sized, bounded) broadcasts to the
+    scoring scan, so the corpus token stream joins map-side and
+    shuffles only per-doc partial sums.  Cross-engine doctrine: every
+    per-token ln-contribution is DECIMAL(18,12)-snapped before the sum
+    (the bm25/adamic-adar ln doctrine).
+
+    Returns (id, n_tokens, log_ppl) for scored docs with ≥1 token.
+    """
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    d = docs.select(F.col(id_col), toks.alias("_tk"))
+    cnt = (
+        d.filter(F.col(id_col) % train_mod == 0)
+        .select(F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = cnt.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t_total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ev = d.filter(F.col(id_col) % train_mod != 0).select(
+        F.col(id_col), F.explode("_tk").alias("term")
+    )
+    lp = (
+        F.log(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1).cast("double"))
+        - F.log((F.col("t_total") + F.col("v") + 1).cast("double"))
+    ).cast("decimal(18,12)")
+    scored = (
+        ev.join(F.broadcast(cnt), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, lp.alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (-F.sum("lp")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("log_ppl"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 10,

@@ -1114,6 +1114,25 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bm25_topk(docs, BM25_TERMS, k=20)
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (`corpus.lm_perplexity`): unigram
+    add-one LM fitted on the doc_id%10==0 slice, every other document
+    scored by average negative token log-likelihood; the 20 most
+    perplexing (= most filterable) docs.  Fit = one aggregate; model
+    broadcasts to the scoring scan; per-token ln contributions
+    DECIMAL(18,12)-snapped (bm25 doctrine) so the oracle replays the
+    fit + score end-to-end."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    return (
+        C.lm_perplexity(docs, train_mod=10)
+        .orderBy(F.desc("log_ppl"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per-source mean/max repeated
     3-gram fraction and the count of repetitive docs — all computed
@@ -1326,6 +1345,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
@@ -2314,6 +2334,42 @@ ORDER BY cluster_id, dim
                ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    # unigram add-one LM fit (train slice) + per-token ln scoring,
+    # DECIMAL(18,12)-snapped contributions (bm25 doctrine)
+    "doc_lm_perplexity": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_TOKENS.replace("text", "COALESCE(text, '')")} AS tk
+            FROM documents
+        ),
+        cnt AS MATERIALIZED (
+            SELECT term, COUNT(*) AS c
+            FROM (SELECT UNNEST(tk) AS term FROM d WHERE doc_id % 10 = 0)
+            GROUP BY term
+        ),
+        stats AS MATERIALIZED (
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t_total,
+                   COUNT(*) AS v
+            FROM cnt
+        ),
+        ev AS (
+            SELECT doc_id, UNNEST(tk) AS term
+            FROM d WHERE doc_id % 10 <> 0
+        ),
+        scored AS (
+            SELECT e.doc_id,
+                   CAST(ln(COALESCE(c.c, 0) + CAST(1 AS DOUBLE))
+                        - ln(CAST(s.t_total + s.v + 1 AS DOUBLE))
+                   AS DECIMAL(18,12)) AS lp
+            FROM ev e
+            LEFT JOIN cnt c ON c.term = e.term
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS log_ppl
+        FROM scored GROUP BY doc_id
+        ORDER BY log_ppl DESC, doc_id LIMIT 20
     """,
     # PCA moment pass on int8 codes: count / per-dim sums / Gram upper
     # triangle — all exact BIGINTs
