@@ -1133,6 +1133,37 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer segmentation (`pipeline/unigram.py` —
+    SentencePiece's decode half, EM explicitly out of scope): Viterbi-
+    segment every distinct lowercase word under the FIXED formula-
+    defined integer-weight vocabulary; the 25 highest-scoring words
+    with their piece counts.  The dp fold is one codegen projection
+    (no UDF, no vocab join); the oracle replays it as a last-4-window
+    recursive CTE — integer weights make the whole decode exact."""
+    from spark_tensors_spark.pipeline.unigram import viterbi_segment_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce("text", F.lit("")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]{2,16}$"))
+        .distinct()
+    )
+    return (
+        viterbi_segment_stats(words)
+        .orderBy(F.desc("score"), F.asc("word"))
+        .limit(25)
+    )
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per-source mean/max repeated
     3-gram fraction and the count of repetitive docs — all computed
@@ -1346,6 +1377,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_unigram_encode_stats": doc_unigram_encode_stats,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
@@ -1549,6 +1581,58 @@ def _probe_list_expr(n_planes: int) -> str:
         "                                CAST(1 << CAST(i AS INT) "
         "AS BIGINT)))))"
     )
+
+
+def _unigram_oracle() -> str:
+    """Recursive-CTE replay of pipeline/unigram.viterbi_combined: the
+    recursion carries the last 4 dp values (d0 = dp[i] … d3 = dp[i-3]),
+    each step appends dp[i+1] = max over piece lengths k = 1..4 of
+    dp[i+1-k] + 64·weight(piece) − 1.  All integer arithmetic."""
+    from spark_tensors_spark.pipeline.unigram import SENTINEL
+
+    sent = f"CAST({SENTINEL} AS BIGINT)"
+    # piece of length k ends at position i+1: chars at i+2-k .. i+1
+    cl = "ascii(substr(word, i + 1, 1))"
+    cands = []
+    for k in range(1, 5):
+        c1 = f"ascii(substr(word, i + {2 - k}, 1))"
+        c2 = f"ascii(substr(word, i + {3 - k}, 1))"
+        if k == 1:
+            cands.append(f"d0 + (1 + {c1} % 5) * 64 - 1")
+        else:
+            w = f"(3 * {k} + ({c1} * 7 + {cl}) % 11)"
+            vocab = f"({c1} * 5 + {c2} * 3 + {cl} * 2 + {k}) % 3 = 0"
+            cands.append(
+                f"CASE WHEN i >= {k - 1} AND {vocab}"
+                f" THEN d{k - 1} + {w} * 64 - 1 ELSE {sent} END"
+            )
+    best = "GREATEST(" + ", ".join(cands) + ")"
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT DISTINCT term AS word
+            FROM (SELECT UNNEST(list_filter(
+                      string_split(COALESCE(text, ''), ' '),
+                      t -> t <> '')) AS term
+                  FROM documents)
+            WHERE regexp_matches(term, '^[a-z]{{2,16}}$')
+        ),
+        r AS (
+            SELECT word, 0 AS i, CAST(0 AS BIGINT) AS d0,
+                   {sent} AS d1, {sent} AS d2, {sent} AS d3
+            FROM words
+            UNION ALL
+            SELECT word, i + 1, {best}, d0, d1, d2
+            FROM r WHERE i < len(word)
+        ),
+        fin AS (
+            SELECT word, d0 AS c, 64 - d0 % 64 AS np
+            FROM r WHERE i = len(word)
+        )
+        SELECT word, CAST((c + np) / 64 AS BIGINT) AS score,
+               CAST(np AS BIGINT) AS n_pieces
+        FROM fin
+        ORDER BY score DESC, word LIMIT 25
+    """
 
 
 ORACLES = {
@@ -2335,6 +2419,9 @@ ORDER BY cluster_id, dim
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
+    # unigram-LM Viterbi decode: last-4-window recursive CTE replays
+    # the Spark side's zero-seeded dp fold — all integer arithmetic
+    "doc_unigram_encode_stats": _unigram_oracle(),
     # unigram add-one LM fit (train slice) + per-token ln scoring,
     # DECIMAL(18,12)-snapped contributions (bm25 doctrine)
     "doc_lm_perplexity": f"""
