@@ -406,11 +406,13 @@ def histogram_sketch(
     min/max snapshots were missing: quantiles read out of the merged
     state with bin resolution (±width/2), never a history rescan.
 
-    NULL values land in a NULL bin (floor propagates NULL through
-    least/greatest identically on both engines); filter them upstream
-    if the quantile read-out should ignore them — NULL-bin ordering
-    inside the read-out window is engine-specific (Spark NULLS FIRST
-    vs DuckDB NULLS LAST).
+    NULL values land in a NULL bin — preserved EXPLICITLY, because
+    Spark's least/greatest SKIP nulls: without the guard,
+    greatest(0, floor(NULL)) silently clamps every NULL into bin 0,
+    inflating bin-0 counts, n_total, and every quantile read out of
+    the sketch.  Filter NULLs upstream if the quantile read-out should
+    ignore them — NULL-bin ordering inside the read-out window is
+    engine-specific (Spark NULLS FIRST vs DuckDB NULLS LAST).
     """
     if n_bins < 1 or width <= 0:
         raise ValueError(
@@ -419,6 +421,7 @@ def histogram_sketch(
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     b = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).cast("long")
+    b = F.when(v.isNull(), F.lit(None).cast("long")).otherwise(b)
     return (
         df.select(*group_cols, b.alias("hist_bin"))
         .groupBy(*group_cols, "hist_bin")

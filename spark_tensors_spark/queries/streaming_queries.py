@@ -1376,6 +1376,169 @@ ORDER BY user_id, session_idx
 """
 
 
+LATE_DELAY_MS = 30 * 60 * 1000  # withWatermark("ts", "30 minutes")
+_JAN1_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_LATE_BUCKET_US = 648_000 * 1_000_000  # absolute 7.5-day arrival buckets
+_LATE_MARGIN_US = 4 * 3600 * 1_000_000  # straggler exclusion margin
+
+
+def ev_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA OBSERVABILITY: per finalized event-time window, how
+    many rows the watermark admitted vs dropped — the audit every
+    production pipeline runs next to its watermarked aggs (the drop
+    semantics were only test-pinned before; this puts them under the
+    driver's value oracle).
+
+    A replayable OUT-OF-ORDER stream: events bucket into four absolute
+    7.5-day arrival batches (an absolute-time expression, never
+    dayofmonth, so staging stays monotone on any horizon); 'straggler'
+    rows (event_id % 17 == 0) arrive TWO batches late.  The stream
+    runs a real watermarked hourly tumbling count in append mode (one
+    file per trigger, mtime-pinned order); the audit joins its
+    admitted counts against the staged totals.
+
+    Determinism under Spark's RACY watermark plumbing (pinned
+    empirically this round, /tmp-repro series): the late-row filter
+    applies the committed watermark with a ONE-OR-TWO-batch lag
+    (observed both on identical input), and filters on the row's
+    WINDOW END, not its timestamp.  The design makes every row's fate
+    invariant under lag ∈ {1,2} × rule ∈ {ts, window-end}: a kept
+    straggler satisfies hour_end(ts) ≤ (on-time running max of its
+    origin bucket, ms floor) − delay — enforced by EXCLUDING stragglers
+    within 4 h of their bucket end (data-verified: min slack ≈ 3.8 h at
+    sf0.1, window 1 h + delay 0.5 h) — so it drops under every variant,
+    while on-time rows always sit above any candidate watermark.  The
+    oracle therefore states the invariant outcome: kept stragglers
+    drop, on-time rows admit, and a window emits iff it has an
+    admitted row and its end ≤ final watermark (global max event ms −
+    delay)."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.streaming.sinks import write_idempotent_batch
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"stream_late_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        us = F.unix_micros(F.col("ts"))
+        straggler = F.col("event_id") % 17 == 0
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 25 == 1)
+            .filter(
+                ~(
+                    straggler
+                    & (
+                        (us - _JAN1_US) % _LATE_BUCKET_US
+                        >= _LATE_BUCKET_US - _LATE_MARGIN_US
+                    )
+                )
+            )
+            .select("event_id", "user_id", "ts")
+        )
+        batch_col = (
+            F.expr(f"(unix_micros(ts) - {_JAN1_US}) div {_LATE_BUCKET_US}")
+            + F.when(straggler, F.lit(2)).otherwise(F.lit(0))
+        )
+        staged = ev.withColumn("_b", batch_col).persist()
+        src = os.path.join(root, "src")
+        for b in range(6):
+            staged.filter(F.col("_b") == b).drop("_b").coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"p{b}"))
+        # file source orders micro-batches by modification time
+        for i in range(6):
+            part = os.path.join(src, f"p{i}")
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        admitted = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_admitted"))
+            .select(F.col("w.start").alias("hour_ts"), "n_admitted")
+        )
+        out_dir = os.path.join(root, "out")
+        q = (
+            admitted.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir).drop("_batch_id")
+        totals = staged.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(F.count(F.lit(1)).alias("n_total"))
+        out = (
+            got.join(totals, "hour_ts")
+            .select(
+                "hour_ts",
+                "n_total",
+                "n_admitted",
+                (F.col("n_total") - F.col("n_admitted")).alias("n_dropped"),
+            )
+            .orderBy("hour_ts")
+            .localCheckpoint()
+        )
+        staged.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_STREAM_LATE_AUDIT_SQL = f"""
+WITH src AS (
+    SELECT event_id, user_id, ts,
+           CAST(epoch_us(ts) AS BIGINT) AS us,
+           event_id % 17 = 0 AS straggler
+    FROM events WHERE user_id % 25 = 1
+),
+kept AS MATERIALIZED (
+    SELECT * FROM src
+    WHERE NOT (straggler AND (us - {_JAN1_US}) % {_LATE_BUCKET_US}
+                             >= {_LATE_BUCKET_US} - {_LATE_MARGIN_US})
+),
+-- final committed watermark: global max event ms (floor) − delay;
+-- dropped rows still feed the max (the watermark node observes rows
+-- before the stateful operator filters them)
+finwm AS (
+    SELECT (MAX(us) // 1000 - {LATE_DELAY_MS}) * 1000 AS wm_us FROM kept
+),
+tot AS (
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN straggler THEN 1 ELSE 0 END) AS n_drop
+    FROM kept GROUP BY 1
+)
+SELECT hour_ts,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_total - n_drop AS BIGINT) AS n_admitted,
+       CAST(n_drop AS BIGINT) AS n_dropped
+FROM tot CROSS JOIN finwm
+WHERE n_total - n_drop > 0
+  AND epoch_us(hour_ts) + 3600000000 <= wm_us
+ORDER BY hour_ts
+"""
+
+
 def ev_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (`streaming/cdc.py`): a REAL readStream
     over the events table feeds `foreachBatch` micro-batches into the
@@ -1521,6 +1684,7 @@ QUERIES = {
     "ev_stream_enrich": ev_stream_enrich,
     "ev_stream_session_ttl": ev_stream_session_ttl,
     "ev_stream_merge": ev_stream_merge,
+    "ev_stream_late_audit": ev_stream_late_audit,
     "ev_stream_sessionize": ev_stream_sessionize,
     "emb_stream_ivf_assign": emb_stream_ivf_assign,
     "ev_stream_hll_hourly": ev_stream_hll_hourly,
@@ -1553,6 +1717,7 @@ ORACLES = {
     "ev_stream_enrich": EV_STREAM_ENRICH_SQL,
     "ev_stream_session_ttl": EV_STREAM_SESSION_TTL_SQL,
     "ev_stream_merge": EV_STREAM_MERGE_SQL,
+    "ev_stream_late_audit": EV_STREAM_LATE_AUDIT_SQL,
     "ev_stream_sessionize": EV_STREAM_SESSIONIZE_SQL,
     "emb_stream_ivf_assign": _stream_ivf_assign_oracle(),
     "ev_stream_hll_hourly": _stream_hll_hourly_oracle(),

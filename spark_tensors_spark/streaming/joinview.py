@@ -8,7 +8,10 @@ per micro-batch, only the join rows that batch contributes,
 
 so the view is the UNION of per-batch increments — never a history ×
 history re-join.  The history side of each term is key-filtered by the
-delta's join keys (partition/bucket-pruned lookup under real storage).
+OTHER side's delta join keys before the join (a broadcast semi-join —
+delta key sets are batch-sized — which under partitioned/bucketed
+storage becomes a pruned lookup; on flat files it still caps the rows
+entering the join at history-rows-with-live-keys).
 
 Exactly-once: join increments ARE replay-idempotent by construction —
 every write is keyed by its batch id (`sinks.write_idempotent_batch`
@@ -97,6 +100,15 @@ def streaming_delta_join_view(
             db = split_b(batch_df)
             a_old = _read_store(spark, a_store, batch_id, da)
             b_old = _read_store(spark, b_store, batch_id, db)
+            # key-filter each history by the OTHER side's delta keys:
+            # a_old only ever joins ΔB (and b_old only ΔA), so the
+            # semi-join is result-preserving and delta-key-sized
+            a_old = a_old.join(
+                F.broadcast(db.select(*on).distinct()), on, "left_semi"
+            )
+            b_old = b_old.join(
+                F.broadcast(da.select(*on).distinct()), on, "left_semi"
+            )
             inc = delta_join_increment(a_old, b_old, da, db, on)
             # increment FIRST: its read side (_batch_id < current)
             # must never see this batch's own history append

@@ -44,6 +44,32 @@ def _committed(path: str) -> list[tuple[int, int]]:
     return sorted(out)
 
 
+def prune_versions(path: str, keep_last: int) -> None:
+    """Reclaim superseded snapshot versions: keep the newest
+    ``keep_last`` COMMITTED versions, delete older committed ones and
+    dead incomplete dirs below the newest committed version (crash
+    leftovers — a writer only ever writes newest+1, so a complete
+    newer version proves them dead; above-newest incompletes are left
+    alone, same rule as operators/merge.vacuum).  Without pruning,
+    snapshot storage grows O(batches × state): the compute per batch
+    is delta-sized but each commit is a full snapshot."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    vs = _committed(path)
+    if not vs:
+        return
+    newest = vs[-1][0]
+    keep = {v for v, _ in vs[-keep_last:]}
+    for d in os.listdir(path):
+        m = _VDIR.match(d)
+        if not m:
+            continue
+        v = int(m.group(1))
+        complete = os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        if (complete and v not in keep) or (not complete and v < newest):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def read_view(spark: SparkSession, path: str) -> DataFrame:
     """The latest committed state of the view."""
     vs = _committed(path)
@@ -59,9 +85,13 @@ def streaming_agg_view(
     checkpoint_dir: str,
     key_cols: list[str],
     aggs: dict[str, tuple[str, str]],
+    keep_last: int | None = None,
 ) -> StreamingQuery:
     """Start an availableNow stream maintaining the aggregate view at
-    ``view_path``; read it back with :func:`read_view`."""
+    ``view_path``; read it back with :func:`read_view`.  Pass
+    ``keep_last`` to prune superseded snapshot versions after each
+    commit (storage otherwise grows O(batches × state); opt-in so
+    history readers keep their versions)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         vs = _committed(view_path)
@@ -80,6 +110,8 @@ def streaming_agg_view(
         out = os.path.join(view_path, f"_v={new_v}__b={batch_id}")
         shutil.rmtree(out, ignore_errors=True)
         merged.write.mode("overwrite").parquet(out)
+        if keep_last is not None:
+            prune_versions(view_path, keep_last)
 
     return (
         updates.writeStream.foreachBatch(_apply)

@@ -9,9 +9,12 @@ untouched; for TOUCHED keys the stored change points (one per history
 row — the compressed representation is itself a change-point set) are
 unioned with the batch's raw rows and re-compressed, so an open
 version absorbs an unchanged-attribute continuation, closes at the
-first changed row, and new versions chain after it.  Work per batch =
-one window over (touched-key history + batch rows): delta-KEY-sized,
-never history-sized.
+first changed row, and new versions chain after it.  COMPUTE per
+batch = one window over (touched-key history + batch rows) —
+delta-KEY-sized; the COMMIT, like streaming/mv.py's, is a full
+snapshot write (history-sized I/O per batch), and superseded
+snapshots accrete unless ``keep_last`` pruning is enabled
+(`streaming/mv.prune_versions`).
 
 Ordering contract (same as cdc.py's CDC apply): per key, event time
 must not move backwards ACROSS batches — arrival order is the
@@ -91,10 +94,13 @@ def streaming_scd2(
     attr_cols: list[str],
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    keep_last: int | None = None,
 ) -> StreamingQuery:
     """Start an availableNow stream maintaining the SCD2 history of
     ``attr_cols`` per ``key_cols`` at ``table_path``; read it back
-    with :func:`read_history`."""
+    with :func:`read_history`.  Pass ``keep_last`` to prune superseded
+    snapshot versions after each commit (storage otherwise grows
+    O(batches × history); opt-in so history readers keep versions)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         vs = _committed(table_path)
@@ -135,6 +141,10 @@ def streaming_scd2(
         out = os.path.join(table_path, f"_v={new_v}__b={batch_id}")
         shutil.rmtree(out, ignore_errors=True)
         hist.write.mode("overwrite").parquet(out)
+        if keep_last is not None:
+            from spark_tensors_spark.streaming.mv import prune_versions
+
+            prune_versions(table_path, keep_last)
 
     return (
         updates.writeStream.foreachBatch(_apply)

@@ -94,3 +94,15 @@ def test_quantile_from_merged_equals_from_whole(spark):
         map(tuple, quantiles_from_histogram(merged, ["g"], [50, 99]).collect())
     )
     assert a == b
+
+
+def test_null_values_get_a_null_bin_not_bin_zero(spark):
+    """Spark's greatest() skips NULLs, so an unguarded clamp would
+    silently funnel NULL values into bin 0 (inflating its count and
+    every quantile) — the sketch must keep them in a NULL bin."""
+    rows = [(1, 0, 0.5), (1, 0, None), (1, 1, None), (1, 1, 700.0)]
+    df = _df(spark, rows)
+    h = _hist(histogram_sketch(df, "v", ["g"], LO, WIDTH, BINS))
+    assert h[(1, 0)] == 1          # only the real 0.5 lands in bin 0
+    assert h[(1, BINS - 1)] == 1   # clamp-high unaffected
+    assert h[(1, None)] == 2       # NULLs preserved, not clamped
