@@ -442,6 +442,10 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    max_cluster: int | None = None,
+    sub_planes: int = 4,
+    seed: int = 7,
+    planes=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means cluster assignment, then near-duplicate detection ONLY
@@ -465,29 +469,69 @@ def semantic_dedup(
     UNROUNDED, so the declared query is fully value-oracled.
 
     Scale shape: one scan for assignment (no shuffle), one
-    cluster-keyed self-join (shuffle on cluster_id; skew = an
-    oversized cluster, mitigated upstream by raising K exactly as
-    SemDeDup prescribes), one aggregate over the qualifying pairs.
+    cluster-keyed self-join (shuffle on cluster_id), one aggregate
+    over the qualifying pairs.  The self-join's skew case — ONE GIANT
+    CLUSTER — is guarded in code, not just prescribed: pass
+    ``max_cluster`` and any cluster larger than it is LSH-sub-bucketed
+    (``sub_planes`` hyperplanes over the same codes), so its join key
+    becomes (cluster, bucket) and the worst per-key fan-in drops by
+    ~2^sub_planes.  Like every LSH family member this trades recall
+    inside oversized clusters (guarded pairs ⊆ unguarded pairs — the
+    property test pins it); raising K remains the SemDeDup-prescribed
+    first mitigation, the guard is the backstop when the data refuses
+    to cluster evenly.
     """
     from spark_tensors_spark.functions.columns import cosine_col
-    from spark_tensors_spark.pipeline.similarity import kmeans_assign
+    from spark_tensors_spark.pipeline.similarity import (
+        kmeans_assign,
+        lsh_buckets,
+    )
 
+    if max_cluster is not None and max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1, got {max_cluster}")
     assigned = kmeans_assign(
         codes_df.select(id_col, codes_col), centroids,
         codes_col=codes_col,
     )
+    if max_cluster is None:
+        assigned = assigned.withColumn("_sb", F.lit(0).cast("long"))
+    else:
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("_csz")
+        )
+        # K rows — broadcast, no extra shuffle of the corpus side
+        assigned = assigned.join(F.broadcast(sizes), "cluster_id")
+        small = assigned.filter(F.col("_csz") <= max_cluster).withColumn(
+            "_sb", F.lit(0).cast("long")
+        )
+        big = assigned.filter(F.col("_csz") > max_cluster)
+        sub = lsh_buckets(
+            big.select(id_col, codes_col),
+            n_planes=sub_planes,
+            seed=seed,
+            id_col=id_col,
+            vec_col=codes_col,
+            planes=planes,
+        ).select(
+            F.col(id_col), (F.col("bucket") + 1).alias("_sb")
+        )  # +1 keeps oversized-cluster buckets disjoint from small's 0
+        assigned = small.drop("_csz").unionByName(
+            big.join(sub, id_col).drop("_csz")
+        )
     left = assigned.select(
         F.col("cluster_id"),
+        F.col("_sb"),
         F.col(id_col).alias("id_a"),
         F.col(codes_col).alias("va"),
     )
     right = assigned.select(
         F.col("cluster_id"),
+        F.col("_sb"),
         F.col(id_col).alias("id_b"),
         F.col(codes_col).alias("vb"),
     )
     pairs = (
-        left.join(right, "cluster_id")
+        left.join(right, ["cluster_id", "_sb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_col("va", "vb") >= F.lit(float(threshold)))
     )

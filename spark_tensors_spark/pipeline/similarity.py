@@ -532,6 +532,10 @@ def lsh_buckets(
     integer :func:`pseudo_planes` for oracle-exact bucketing)."""
     if planes is None:
         first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:  # empty input: nothing to bucket
+            return emb.select(
+                F.col(id_col), F.lit(0).cast("long").alias("bucket")
+            )
         dim = int(first["d"])
         planes = (
             _hash_uniform(seed, np.arange(n_planes), dim) * 2 - 1

@@ -1036,11 +1036,18 @@ def ev_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % 5 == 0
         ).select("event_id", "ts", "user_id", "event_type")
         src = os.path.join(root, "src")
-        # CONTIGUOUS week buckets (not day%4): SCD2's cross-batch
-        # contract is per-key event-time monotone arrival
+        # CONTIGUOUS ABSOLUTE-TIME buckets (not day%4, and not
+        # dayofmonth, which re-wraps every calendar month — a
+        # multi-month horizon would deliver a later month's early days
+        # first and silently break the per-key event-time-monotone
+        # arrival contract): floor(µs since epoch / 8 days) is
+        # monotone on ANY horizon
         (
             ev.withColumn(
-                "wk", ((F.dayofmonth("ts") - 1) / 8).cast("int")
+                "wk",
+                F.expr(
+                    f"unix_micros(ts) div {8 * 86_400 * 1_000_000}"
+                ),
             )
             .repartition("wk")
             .write.partitionBy("wk")

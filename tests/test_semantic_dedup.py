@@ -90,3 +90,58 @@ def test_assignment_tie_breaks_to_smaller_cluster(spark):
     )
     got = kmeans_assign(df, cents).collect()[0].cluster_id
     assert got == 0
+
+
+def test_max_cluster_guard_is_a_subset_of_unguarded(spark):
+    """The skew guard (LSH sub-bucketing of oversized clusters) may
+    only LOSE candidate pairs, never invent them: every guarded
+    removal must appear unguarded, with a kept_id that is a real
+    qualifying smaller-id neighbour (kept_id >= the unguarded min)."""
+    rng = np.random.default_rng(123)
+    mat = _codes(rng, 120)
+    cents = pseudo_centroids(K, DIM)
+    df = _spark_df(spark, mat)
+    tau = 0.35
+
+    unguarded = {
+        r.removed_id: (r.cluster_id, r.kept_id, r.n_dups)
+        for r in semantic_dedup(df, cents, threshold=tau).collect()
+    }
+    guarded_rows = semantic_dedup(
+        df, cents, threshold=tau, max_cluster=8, sub_planes=3
+    ).collect()
+    # with 120 vecs over 4 clusters, max_cluster=8 forces the
+    # sub-bucket path on every oversized cluster
+    assert len(guarded_rows) <= len(unguarded)
+    _, brute_removed = _brute(mat, cents, tau)
+    for r in guarded_rows:
+        assert r.removed_id in unguarded
+        cl, kept_min, ndups = unguarded[r.removed_id]
+        assert r.cluster_id == cl
+        assert r.kept_id >= kept_min
+        assert r.n_dups <= ndups
+        # kept_id must be a genuine qualifying neighbour
+        a, b = mat[r.kept_id], mat[r.removed_id]
+        na = a / np.linalg.norm(a)
+        nb = b / np.linalg.norm(b)
+        assert float(na @ nb) >= tau
+        assert r.kept_id < r.removed_id
+
+
+def test_max_cluster_guard_noop_when_clusters_small(spark):
+    """A max_cluster larger than every cluster must change nothing."""
+    rng = np.random.default_rng(5)
+    mat = _codes(rng, 60)
+    cents = pseudo_centroids(K, DIM)
+    df = _spark_df(spark, mat)
+    base = sorted(
+        (r.cluster_id, r.removed_id, r.kept_id, r.n_dups)
+        for r in semantic_dedup(df, cents, threshold=0.35).collect()
+    )
+    guarded = sorted(
+        (r.cluster_id, r.removed_id, r.kept_id, r.n_dups)
+        for r in semantic_dedup(
+            df, cents, threshold=0.35, max_cluster=10_000
+        ).collect()
+    )
+    assert base == guarded
