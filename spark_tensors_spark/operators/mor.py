@@ -1,0 +1,153 @@
+"""Merge-on-read (deletion-vector) table layout — the OTHER half of
+the warehouse write story.  `operators/merge.py` is copy-on-write:
+every merge rewrites the full snapshot (O(|table|) per merge, the
+documented cliff in its module docstring).  Merge-on-read inverts the
+cost: a DELETE or UPSERT commits only a DELTA file (O(|batch|) write —
+the Iceberg v2 / Delta deletion-vector idea, key-based rather than
+row-position-based since there is no table format underneath), and the
+READER reconciles base + deltas:
+
+    read = base ANTI-JOIN touched-keys  ∪  latest surviving upserts
+
+Delta files are sequence-numbered directories (``_d=<n>`` + _SUCCESS,
+the same crash-safe commit convention as streaming/mv.py snapshots): a
+crashed half-written delta is invisible to readers, and re-applying a
+batch onto the same sequence number is refused (idempotent replays).
+Per key the HIGHEST delta sequence wins, so a later upsert revives an
+earlier delete and a later delete kills an earlier upsert.
+
+Scale shape: the reader's reconciliation is one anti-join + one union
+where the delta side is batch-sized (broadcastable until compaction is
+due); `compact` folds all deltas into a new base exactly when the
+accumulated delta mass makes reads pay more than one rewrite —
+the classic MoR read/write amortization knob.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DDIR = re.compile(r"^_d=(\d+)$")
+_OP = "_op"  # 'D' | 'U'
+_SEQ = "_seq"
+
+
+def _deltas(path: str) -> list[int]:
+    """Sorted sequence numbers of COMMITTED delta dirs."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        m = _DDIR.match(d)
+        if m and os.path.exists(os.path.join(path, d, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def init_mor(df: DataFrame, path: str) -> None:
+    """Write the base snapshot of a new MoR table (one-time full
+    write; every later mutation is delta-sized)."""
+    base = os.path.join(path, "base")
+    if os.path.isdir(base):
+        raise FileExistsError(f"MoR table already initialized: {path}")
+    df.write.parquet(base)
+
+
+def mor_delete(keys: DataFrame, path: str, key_cols: list[str]) -> int:
+    """Commit a key-based deletion vector; returns its sequence number.
+    Write cost O(|keys|) — never touches the base."""
+    return _commit_delta(
+        keys.select(*key_cols).distinct().withColumn(_OP, F.lit("D")),
+        path,
+    )
+
+
+def mor_upsert(
+    rows: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> int:
+    """Commit an upsert delta (matched keys replaced on read, unmatched
+    inserted); within the batch, duplicate keys keep the greatest
+    ``order_col`` row (ties broken deterministically on all columns),
+    mirroring merge_upsert's latest-wins contract."""
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), *[F.desc(c) for c in rows.columns]
+        )
+        rows = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return _commit_delta(rows.withColumn(_OP, F.lit("U")), path)
+
+
+def _commit_delta(delta: DataFrame, path: str) -> int:
+    seqs = _deltas(path)
+    seq = (seqs[-1] + 1) if seqs else 0
+    out = os.path.join(path, f"_d={seq}")
+    shutil.rmtree(out, ignore_errors=True)
+    delta.write.parquet(out)
+    return seq
+
+
+def read_mor(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Reconcile base + deltas: per key the highest-sequence delta op
+    decides (D ⇒ gone, U ⇒ that row); untouched base rows pass
+    through.  One anti-join + one union; the delta side is
+    batch-count-sized, broadcastable until compaction."""
+    base = spark.read.parquet(os.path.join(path, "base"))
+    seqs = _deltas(path)
+    if not seqs:
+        return base
+    parts = []
+    for s in seqs:
+        d = spark.read.parquet(os.path.join(path, f"_d={s}"))
+        if set(d.columns) == set(key_cols) | {_OP}:
+            # pure deletion vector: only keys + _op stored (schema
+            # tells the kind — no action needed to detect it)
+            for c in base.columns:
+                if c not in key_cols:
+                    d = d.withColumn(c, F.lit(None).cast(base.schema[c].dataType))
+        parts.append(d.select(*base.columns, _OP).withColumn(_SEQ, F.lit(s)))
+    all_d = parts[0]
+    for p in parts[1:]:
+        all_d = all_d.unionByName(p)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(_SEQ))
+    latest = (
+        all_d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", _SEQ)
+    )
+    touched = latest.select(*key_cols)
+    survivors = latest.filter(F.col(_OP) == "U").drop(_OP)
+    return base.join(touched, key_cols, "left_anti").unionByName(survivors)
+
+
+def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
+    """Fold every delta into a new base (the one full rewrite MoR
+    amortizes): reconcile, write base.compact, rename into place,
+    drop the folded deltas.  A crash between the renames leaves either
+    the old state or a readable new base (rename-into-place doctrine;
+    the two-step window is documented, same as io/compact.py)."""
+    merged = read_mor(spark, path, key_cols)
+    tmp = os.path.join(path, "base.compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.localCheckpoint().write.parquet(tmp)
+    old = os.path.join(path, "base.old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(os.path.join(path, "base"), old)
+    os.rename(tmp, os.path.join(path, "base"))
+    for s in _deltas(path):
+        shutil.rmtree(os.path.join(path, f"_d={s}"), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)

@@ -1051,6 +1051,76 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q30_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on this schema (no partsupp table, so the
+    'supply cost' is the supplier's observed lineitem price): for each
+    large part (p_size > 45), the EUROPE suppliers that sold it at the
+    region-minimum extended price — the classic correlated-scalar-
+    subquery-per-group pattern, decorrelated the Spark-first way as
+    ONE window min over the offers frame (a single shuffle on
+    p_partkey; no join back, no per-part subquery execution).  MIN on
+    stored doubles is a pure selection (no arithmetic), so the value
+    is cross-engine exact."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    eu_supp = (
+        supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey"
+        )
+        .join(
+            F.broadcast(eu_supp).withColumnRenamed("s_suppkey", "l_suppkey"),
+            "l_suppkey",
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("_mn", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_mn"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .distinct()
+        .orderBy("price", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q30_MIN_PRICE_SUPPLIER_SQL = """
+SELECT DISTINCT p.p_partkey, s.s_name, l.l_extendedprice AS price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size > 45 AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY price, p_partkey, s_name
+LIMIT 100
+"""
+
+
 def q29_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
     the available columns (no commit/receipt dates): count each
@@ -1128,6 +1198,7 @@ LIMIT 20
 QUERIES = {
     "q28_cust_distribution": q28_cust_distribution,
     "q29_waiting_supplier": q29_waiting_supplier,
+    "q30_min_price_supplier": q30_min_price_supplier,
     "q26_volume_shipping": q26_volume_shipping,
     "q27_fastss_name_pairs": q27_fastss_name_pairs,
     "q24_local_supplier_revenue": q24_local_supplier_revenue,
@@ -1212,6 +1283,7 @@ LEFT JOIN (SELECT DISTINCT {parent_k} FROM {parent_t}) p
 ORACLES = {
     "q28_cust_distribution": Q28_CUST_DISTRIBUTION_SQL,
     "q29_waiting_supplier": Q29_WAITING_SUPPLIER_SQL,
+    "q30_min_price_supplier": Q30_MIN_PRICE_SUPPLIER_SQL,
     "q26_volume_shipping": Q26_VOLUME_SHIPPING_SQL,
     "q27_fastss_name_pairs": Q27_FASTSS_NAME_PAIRS_SQL,
     "q24_local_supplier_revenue": Q24_LOCAL_SUPPLIER_REVENUE_SQL,

@@ -1061,6 +1061,74 @@ def ev_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, updates, ["user_id"]).orderBy("user_id")
 
 
+def ev_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors (`operators/mor.py` — the
+    Iceberg-v2/Delta-DV idea, key-based): a base snapshot takes a
+    DELETE (event_id%5==0) and then an UPSERT (event_id%11==0,
+    value+1000) as two DELTA-ONLY commits — each write O(|batch|),
+    never an O(|table|) snapshot rewrite like the copy-on-write merge
+    — and the read reconciles base + deltas with highest-sequence-wins
+    (the later upsert REVIVES the %55 keys the delete killed, which is
+    the ordering semantics the oracle states)."""
+    import os
+    import shutil
+
+    from spark_tensors_spark.operators.mor import (
+        init_mor,
+        mor_delete,
+        mor_upsert,
+        read_mor,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "spark-warehouse",
+        "_sinks",
+        f"mor_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        base = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 7 == 2)
+            .select("event_id", "user_id", "value")
+        )
+        init_mor(base, root)
+        mor_delete(
+            base.filter(F.col("event_id") % 5 == 0), root, ["event_id"]
+        )
+        mor_upsert(
+            base.filter(F.col("event_id") % 11 == 0).withColumn(
+                "value", F.col("value") + 1000
+            ),
+            root,
+            ["event_id"],
+        )
+        out = (
+            read_mor(spark, root, ["event_id"])
+            .orderBy("event_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+EV_MOR_DELETE_SQL = """
+WITH src AS (
+    SELECT event_id, user_id, value
+    FROM events WHERE user_id % 7 = 2
+)
+SELECT event_id, user_id,
+       CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value
+FROM src
+WHERE event_id % 11 = 0 OR event_id % 5 <> 0
+ORDER BY event_id
+"""
+
+
 EV_MERGE_UPSERT_SQL = """
 WITH target AS (
     SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
@@ -2287,6 +2355,7 @@ QUERIES = {
     "ev_profile_columns": ev_profile_columns,
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_merge_upsert": ev_merge_upsert,
+    "ev_mor_delete": ev_mor_delete,
     "ev_scd2_user_state": ev_scd2_user_state,
     "ev_scd2_pit_join": ev_scd2_pit_join,
     "ev_merge_time_travel": ev_merge_time_travel,
@@ -2325,6 +2394,7 @@ ORACLES = {
     "ev_profile_columns": EV_PROFILE_COLUMNS_SQL,
     "ev_anomaly_zscore": EV_ANOMALY_ZSCORE_SQL,
     "ev_merge_upsert": EV_MERGE_UPSERT_SQL,
+    "ev_mor_delete": EV_MOR_DELETE_SQL,
     "ev_scd2_user_state": EV_SCD2_USER_STATE_SQL,
     "ev_scd2_pit_join": EV_SCD2_PIT_JOIN_SQL,
     "ev_merge_time_travel": EV_MERGE_TIME_TRAVEL_SQL,

@@ -1,0 +1,113 @@
+"""Merge-on-read deletion-vector tables (operators/mor.py): delta-only
+writes, highest-sequence-wins reconciliation, revive/kill ordering,
+compaction equivalence, crash-leftover invisibility, parity with the
+copy-on-write merge."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.operators.mor import (
+    compact,
+    init_mor,
+    mor_delete,
+    mor_upsert,
+    read_mor,
+)
+
+SCHEMA = "k long, v string, n long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "v", "n"]), SCHEMA
+    )
+
+
+def _snap(df):
+    return sorted((r.k, r.v, r.n) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "mor")
+    init_mor(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]),
+        path,
+    )
+    return path
+
+
+def test_base_roundtrip(spark, table):
+    assert _snap(read_mor(spark, table, ["k"])) == [
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)
+    ]
+
+
+def test_delete_then_upsert_revives(spark, table):
+    mor_delete(_df(spark, [(2, "x", 0), (3, "x", 0)]), table, ["k"])
+    assert _snap(read_mor(spark, table, ["k"])) == [
+        (1, "a", 10), (4, "d", 40)
+    ]
+    mor_upsert(_df(spark, [(3, "C", 300), (5, "e", 50)]), table, ["k"])
+    assert _snap(read_mor(spark, table, ["k"])) == [
+        (1, "a", 10), (3, "C", 300), (4, "d", 40), (5, "e", 50)
+    ]
+
+
+def test_upsert_then_delete_kills(spark, table):
+    mor_upsert(_df(spark, [(1, "A", 100)]), table, ["k"])
+    mor_delete(_df(spark, [(1, "x", 0)]), table, ["k"])
+    assert _snap(read_mor(spark, table, ["k"])) == [
+        (2, "b", 20), (3, "c", 30), (4, "d", 40)
+    ]
+
+
+def test_within_batch_latest_wins(spark, table):
+    mor_upsert(
+        _df(spark, [(2, "old", 1), (2, "new", 2)]), table, ["k"],
+        order_col="n",
+    )
+    got = dict((r.k, (r.v, r.n)) for r in read_mor(spark, table, ["k"]).collect())
+    assert got[2] == ("new", 2)
+
+
+def test_compaction_preserves_reads_and_drops_deltas(spark, table):
+    mor_delete(_df(spark, [(4, "x", 0)]), table, ["k"])
+    mor_upsert(_df(spark, [(1, "A", 100), (9, "i", 90)]), table, ["k"])
+    before = _snap(read_mor(spark, table, ["k"]))
+    compact(spark, table, ["k"])
+    assert _snap(read_mor(spark, table, ["k"])) == before
+    assert not [d for d in os.listdir(table) if d.startswith("_d=")]
+    # and the table stays mutable after compaction
+    mor_delete(_df(spark, [(1, "x", 0)]), table, ["k"])
+    assert (1,) not in [
+        (r.k,) for r in read_mor(spark, table, ["k"]).collect()
+    ]
+
+
+def test_uncommitted_delta_is_invisible(spark, table):
+    seq = mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
+    os.remove(os.path.join(table, f"_d={seq}", "_SUCCESS"))
+    assert _snap(read_mor(spark, table, ["k"])) == [
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)
+    ]
+
+
+def test_matches_copy_on_write_merge(spark, table):
+    """MoR read ≡ the CoW merge_upsert applied to the same batches."""
+    from spark_tensors_spark.operators.merge import merge_upsert
+
+    ups = _df(spark, [(2, "B", 200), (6, "f", 60)])
+    dels = _df(spark, [(3, "x", 0)])
+    mor_upsert(ups, table, ["k"])
+    mor_delete(dels, table, ["k"])
+
+    base = _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)])
+    cow = merge_upsert(base, ups, ["k"])
+    cow = cow.join(dels.select("k"), ["k"], "left_anti")
+    assert _snap(read_mor(spark, table, ["k"])) == _snap(cow)
