@@ -51,6 +51,38 @@ def rank_candidates(
     return scored.withColumn("r", F.rank().over(w).cast("long"))
 
 
+def rank_of_true_agg(
+    cands: DataFrame,
+    group_cols: tuple[str, ...] = ("s_id", "p_id", "o_id"),
+    score_col: str = "score",
+    cand_col: str = "c_id",
+    true_score_col: str = "true_score",
+    true_cand_col: str = "o_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Rank of the TRUE candidate with NO per-group sort: r = 1 +
+    count of strictly-better candidates under (score, cand-id-asc
+    tiebreak) — one map-side-combinable aggregate.
+
+    This is the 100×-scale ranking mechanism: `rank_candidates`'s
+    window puts a whole candidate group in one task (fine for full
+    leaderboards), and `rank_against_all_entities*` ships a driver-
+    collected matrix (fine to FB15k size, capped by
+    MAX_CLOSURE_MATRIX_FLOATS) — but link-prediction METRICS only need
+    the true candidate's rank, and counting better candidates
+    distributes perfectly at any entity count.  The true candidate
+    itself is never "better" than itself, so it needs no exclusion.
+    Gated end-to-end (broadcast-cross-join scoring + this aggregate)
+    by `kge_transe_rank_join`.
+    """
+    s, ts = F.col(score_col), F.col(true_score_col)
+    first = s < ts if ascending else s > ts
+    better = first | ((s == ts) & (F.col(cand_col) < F.col(true_cand_col)))
+    return cands.groupBy(*group_cols).agg(
+        (F.lit(1) + F.sum(better.cast("long"))).cast("long").alias("r")
+    )
+
+
 def filter_known_candidates(
     scored: DataFrame,
     known: DataFrame,

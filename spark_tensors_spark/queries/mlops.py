@@ -313,7 +313,92 @@ ORDER BY kind, id, d
 """
 
 
+RANK_MOD = 999
+RANK_RES = 3
+
+
+def _dist_terms(s: str, p: str, c: str) -> str:
+    """Unrolled L1 TransE distance Σ_d |e(s,d)+r(p,d)−e(c,d)| on the
+    integer pseudo-embeddings — ONE inline expression string valid in
+    both Spark SQL and DuckDB (pure codegen, no gather join)."""
+    terms = []
+    for d in range(STEP_DIM):
+        e_s = f"(({s}*31 + {d}*17) % 13 - 6)"
+        r_p = f"(({p}*29 + {d}*23) % 11 - 5)"
+        e_c = f"(({c}*31 + {d}*17) % 13 - 6)"
+        terms.append(f"ABS({e_s} + {r_p} - {e_c})")
+    return " + ".join(terms)
+
+
+def kge_transe_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction ranking at ENTITY SCALE with no driver-collected
+    matrix, no closure, no per-group sort — the mechanism that survives
+    100× entity growth (`kg/eval.rank_of_true_agg`): the test triples
+    broadcast-cross-join the full entity id range, every candidate is
+    scored by an INLINE codegen L1-TransE distance on the integer
+    pseudo-embeddings, and the true object's rank is one map-side-
+    combinable aggregate (1 + count of strictly-better candidates,
+    ties to the smaller id).  Candidate generation against all
+    entities is the J7 eval-expansion semantics (`hole.py:394-399`);
+    the oracle replays score + rank symbolically."""
+    from spark_tensors_spark.queries.kg import _encoded
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    from spark_tensors_spark.kg.eval import rank_of_true_agg
+
+    dist_true = F.expr(_dist_terms("s_id", "p_id", "o_id"))
+    test = (
+        enc.filter(F.col("s_id") % RANK_MOD == RANK_RES)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+        .withColumn("true_d", dist_true.cast("long"))
+    )
+    cands = F.broadcast(test).crossJoin(
+        spark.range(n_ent).select(F.col("id").alias("c_id"))
+    ).withColumn(
+        "d", F.expr(_dist_terms("s_id", "p_id", "c_id")).cast("long")
+    )
+    return (
+        rank_of_true_agg(
+            cands,
+            group_cols=("s_id", "p_id", "o_id"),
+            score_col="d",
+            cand_col="c_id",
+            true_score_col="true_d",
+            true_cand_col="o_id",
+            ascending=True,
+        )
+        .orderBy("s_id", "p_id", "o_id")
+    )
+
+
+def _transe_rank_join_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    return f"""{TRIPLES_CTE},
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           {_dist_terms("s_id", "p_id", "o_id")} AS true_d
+    FROM triples_encoded WHERE s_id % {RANK_MOD} = {RANK_RES}
+),
+cand AS (SELECT id AS c_id FROM entity_dict)
+SELECT t.s_id, t.p_id, t.o_id,
+       CAST(1 + SUM(CASE WHEN d < true_d
+                         OR (d = true_d AND c_id < o_id)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS r
+FROM (
+    SELECT t.*, c_id,
+           {_dist_terms("t.s_id", "t.p_id", "c_id")} AS d
+    FROM t CROSS JOIN cand
+) t
+GROUP BY t.s_id, t.p_id, t.o_id
+ORDER BY s_id, p_id, o_id
+"""
+
+
 QUERIES = {
+    "kge_transe_rank_join": kge_transe_rank_join,
     "kge_transe_step_exact": kge_transe_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
     "kge_rescal_train_metrics": kge_rescal_train_metrics,
@@ -322,4 +407,5 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "kge_transe_step_exact": _transe_step_oracle(),
+    "kge_transe_rank_join": _transe_rank_join_oracle(),
 }
