@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "doc_tfidf_top_terms",
     # two 1-row statistics (N, Σdl) cross-joined into the BM25 scoring
     "doc_bm25_topk",
+    # 1-row LM statistics (T, V) cross-joined into the per-token scorer
+    "doc_lm_perplexity",
     # 1-row global-average-balance scalar cross-joined into the filter
     "q22_sales_opportunity",
     # declared all-pairs baseline, oracle-bounded to vec_id < 300; the
@@ -49,6 +51,10 @@ BNLJ_ALLOWED = {
     "kg_q19_metrics",
     "kg_q19_filtered_ranks",
     "kg_q19_filtered_metrics",
+    # candidate generation against ALL entities IS the semantics: the
+    # tiny test-triple side broadcasts, the entity range stays
+    # distributed — the intended 100×-scale ranking plan
+    "kge_transe_rank_join",
 }
 
 
