@@ -1,0 +1,76 @@
+"""rank_of_true_agg (the sort-free scale path) must agree with
+rank_candidates' window rank on the true candidate, for random scored
+candidate sets including score ties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tensors_spark.kg.eval import rank_candidates, rank_of_true_agg
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_agg_rank_equals_window_rank_of_true(spark, seed):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(12):  # 12 query groups
+        n = int(rng.integers(5, 40))
+        # small integer scores force plenty of ties
+        scores = rng.integers(0, 6, size=n)
+        true_c = int(rng.integers(n))
+        for c in range(n):
+            rows.append((g, c, int(scores[c]), true_c, int(scores[true_c])))
+    pdf = pd.DataFrame(
+        rows, columns=["s_id", "c_id", "score", "true_c", "true_score"]
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "s_id long, c_id long, score long, true_c long, true_score long",
+    )
+
+    # window path: rank all candidates, keep the true one
+    win = (
+        rank_candidates(
+            df, group_cols=("s_id",), score_col="score", cand_col="c_id"
+        )
+        .filter(F.col("c_id") == F.col("true_c"))
+        .select("s_id", "r")
+    )
+    win_r = {r.s_id: r.r for r in win.collect()}
+
+    agg = rank_of_true_agg(
+        df,
+        group_cols=("s_id",),
+        score_col="score",
+        cand_col="c_id",
+        true_score_col="true_score",
+        true_cand_col="true_c",
+        ascending=False,
+    )
+    agg_r = {r.s_id: r.r for r in agg.collect()}
+    assert agg_r == win_r
+
+
+def test_agg_rank_ascending_orientation(spark):
+    """ascending=True ranks by smaller-is-better (distances)."""
+    pdf = pd.DataFrame(
+        {
+            "s_id": [0, 0, 0],
+            "c_id": [0, 1, 2],
+            "score": [5, 2, 9],  # distances; true candidate is c=0 (5)
+            "true_c": [0, 0, 0],
+            "true_score": [5, 5, 5],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "s_id long, c_id long, score long, true_c long, true_score long"
+    )
+    r = rank_of_true_agg(
+        df, group_cols=("s_id",), score_col="score", cand_col="c_id",
+        true_score_col="true_score", true_cand_col="true_c",
+        ascending=True,
+    ).collect()[0].r
+    assert r == 2  # only the distance-2 candidate beats the true one
