@@ -116,6 +116,12 @@ def main() -> None:
     # entries that keep the line under budget, with an explicit marker.
     compact = dict(full)
     compact["n_queries"] = len(timings)
+    compact["n_errors"] = len(errors)
+    # errors must be bounded too (each message is up to 500 chars —
+    # four failures would alone overflow the tail capture): keep 60
+    # chars per message, and if the error dict is still what overflows,
+    # shrink it name by name below.
+    compact["errors"] = {n: m[:60] for n, m in errors.items()}
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
     for name, secs in slowest:
@@ -127,6 +133,11 @@ def main() -> None:
             compact["queries"] = kept
             compact["queries_truncated"] = True
             break
+    err_names = sorted(compact["errors"], key=lambda n: -len(compact["errors"][n]))
+    for name in err_names:
+        if len(json.dumps(compact, separators=(",", ":"))) <= 1800:
+            break
+        del compact["errors"][name]  # n_errors still records the count
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     if errors:

@@ -11,10 +11,12 @@ READER reconciles base + deltas:
 
 Delta files are sequence-numbered directories (``_d=<n>`` + _SUCCESS,
 the same crash-safe commit convention as streaming/mv.py snapshots): a
-crashed half-written delta is invisible to readers, and re-applying a
-batch onto the same sequence number is refused (idempotent replays).
-Per key the HIGHEST delta sequence wins, so a later upsert revives an
-earlier delete and a later delete kills an earlier upsert.
+crashed half-written delta is invisible to readers, and replay-driven
+callers (foreachBatch-style) pass an explicit ``seq`` — re-committing
+an already-committed sequence number is a NO-OP, so a replayed batch
+can neither duplicate nor reorder history.  Per key the HIGHEST delta
+sequence wins, so a later upsert revives an earlier delete and a later
+delete kills an earlier upsert.
 
 Scale shape: the reader's reconciliation is one anti-join + one union
 where the delta side is batch-sized (broadcastable until compaction is
@@ -59,12 +61,20 @@ def init_mor(df: DataFrame, path: str) -> None:
     df.write.parquet(base)
 
 
-def mor_delete(keys: DataFrame, path: str, key_cols: list[str]) -> int:
+def mor_delete(
+    keys: DataFrame,
+    path: str,
+    key_cols: list[str],
+    seq: int | None = None,
+) -> int:
     """Commit a key-based deletion vector; returns its sequence number.
-    Write cost O(|keys|) — never touches the base."""
+    Write cost O(|keys|) — never touches the base.  Pass ``seq`` from a
+    replayable source (e.g. the foreachBatch batch id): re-committing
+    an already-committed sequence is a no-op."""
     return _commit_delta(
         keys.select(*key_cols).distinct().withColumn(_OP, F.lit("D")),
         path,
+        seq,
     )
 
 
@@ -73,26 +83,33 @@ def mor_upsert(
     path: str,
     key_cols: list[str],
     order_col: str | None = None,
+    seq: int | None = None,
 ) -> int:
     """Commit an upsert delta (matched keys replaced on read, unmatched
     inserted); within the batch, duplicate keys keep the greatest
-    ``order_col`` row (ties broken deterministically on all columns),
-    mirroring merge_upsert's latest-wins contract."""
-    if order_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(order_col), *[F.desc(c) for c in rows.columns]
-        )
-        rows = (
-            rows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    return _commit_delta(rows.withColumn(_OP, F.lit("U")), path)
+    ``order_col`` row — and with no order_col the greatest row under
+    an all-columns-desc order (merge_upsert's contract: within-batch
+    dedupe is ALWAYS deterministic, never left to partition order).
+    Pass ``seq`` from a replayable source; re-committing an
+    already-committed sequence is a no-op."""
+    order = [F.desc(order_col)] if order_col is not None else []
+    w = Window.partitionBy(*key_cols).orderBy(
+        *order, *[F.desc(c) for c in rows.columns]
+    )
+    rows = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return _commit_delta(rows.withColumn(_OP, F.lit("U")), path, seq)
 
 
-def _commit_delta(delta: DataFrame, path: str) -> int:
+def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
     seqs = _deltas(path)
-    seq = (seqs[-1] + 1) if seqs else 0
+    if seq is None:
+        seq = (seqs[-1] + 1) if seqs else 0
+    elif seq in seqs:
+        return seq  # replayed batch: already committed, a no-op
     out = os.path.join(path, f"_d={seq}")
     shutil.rmtree(out, ignore_errors=True)
     delta.write.parquet(out)

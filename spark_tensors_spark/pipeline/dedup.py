@@ -505,6 +505,19 @@ def semantic_dedup(
             "_sb", F.lit(0).cast("long")
         )
         big = assigned.filter(F.col("_csz") > max_cluster)
+        if planes is None:
+            # the vector dim is already known from the centroids —
+            # build the hyperplanes HERE so lsh_buckets never runs its
+            # dim-probe .first(), which would execute the whole
+            # assignment + size-count pipeline as an extra eager job
+            import numpy as np
+
+            from spark_tensors_spark.pipeline.similarity import (
+                _hash_uniform,
+            )
+
+            dim = int(np.asarray(centroids).shape[1])
+            planes = _hash_uniform(seed, np.arange(sub_planes), dim) * 2 - 1
         sub = lsh_buckets(
             big.select(id_col, codes_col),
             n_planes=sub_planes,

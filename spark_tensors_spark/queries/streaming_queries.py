@@ -1455,6 +1455,19 @@ def ev_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(straggler, F.lit(2)).otherwise(F.lit(0))
         )
         staged = ev.withColumn("_b", batch_col).persist()
+        # loud guard on the staging assumption instead of a silent cap:
+        # every row must land in one of the 6 staged arrival batches
+        # (data before the Jan-1 anchor or past the 30-day horizon
+        # would otherwise be counted in totals but never streamed)
+        rng = staged.agg(
+            F.min("_b").alias("lo"), F.max("_b").alias("hi")
+        ).first()
+        if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] > 5):
+            raise ValueError(
+                "ev_stream_late_audit: events horizon falls outside the "
+                f"staged bucket range 0..5 (got {rng['lo']}..{rng['hi']}); "
+                "adjust _JAN1_US/_LATE_BUCKET_US for this dataset"
+            )
         src = os.path.join(root, "src")
         for b in range(6):
             staged.filter(F.col("_b") == b).drop("_b").coalesce(

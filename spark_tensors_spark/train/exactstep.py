@@ -39,6 +39,54 @@ def _isign(col):
     )
 
 
+def _gather_and_score(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    relation_emb: DataFrame,
+    n_entities: int,
+    margin: int,
+) -> DataFrame:
+    """Shared gather + scoring pipeline: deterministic corruption,
+    three entity joins + one relation join, per-dim differences and
+    the raw margin loss — the single source both the SGD step and the
+    loss summary derive from (they must never drift apart)."""
+    t = triples.select(
+        "s_id",
+        "p_id",
+        "o_id",
+        ((F.col("o_id") + 1 + F.col("p_id")) % F.lit(n_entities)).alias(
+            "n_id"
+        ),
+    )
+    e = entity_emb.select(F.col("id"), F.col("vec"))
+    r = relation_emb.select(F.col("id"), F.col("vec"))
+    g = (
+        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
+        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("pv")), "p_id")
+        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
+        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
+    )
+    dp = F.zip_with(
+        F.zip_with("sv", "pv", lambda a, b: a + b), "ov", lambda a, b: a - b
+    )
+    dn = F.zip_with(
+        F.zip_with("sv", "pv", lambda a, b: a + b), "nv", lambda a, b: a - b
+    )
+    zero = F.lit(0).cast("long")
+    l1 = lambda arr: F.aggregate(  # noqa: E731 — local plumbing
+        F.transform(arr, lambda x: F.abs(x)), zero, lambda acc, x: acc + x
+    )
+    return g.select(
+        "s_id",
+        "p_id",
+        "o_id",
+        "n_id",
+        dp.alias("dp"),
+        dn.alias("dn"),
+        (F.lit(margin) + l1(dp) - l1(dn)).alias("raw_loss"),
+    )
+
+
 def transe_l1_sgd_step(
     triples: DataFrame,
     entity_emb: DataFrame,
@@ -67,45 +115,10 @@ def transe_l1_sgd_step(
       (exact dyadic DOUBLE).  Covers every parameter slot of the two
       embedding tables (grad 0 where no violating triple touches it).
     """
-    t = triples.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        ((F.col("o_id") + 1 + F.col("p_id")) % F.lit(n_entities)).alias(
-            "n_id"
-        ),
-    )
-
-    e = entity_emb.select(F.col("id"), F.col("vec"))
-    r = relation_emb.select(F.col("id"), F.col("vec"))
-
-    # gather: three entity joins + one relation join (J-family shape)
-    g = (
-        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
-        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("pv")), "p_id")
-        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
-        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
-    )
-
-    dp = F.zip_with(
-        F.zip_with("sv", "pv", lambda a, b: a + b), "ov", lambda a, b: a - b
-    )
-    dn = F.zip_with(
-        F.zip_with("sv", "pv", lambda a, b: a + b), "nv", lambda a, b: a - b
+    scored = _gather_and_score(
+        triples, entity_emb, relation_emb, n_entities, margin
     )
     zero = F.lit(0).cast("long")
-    l1 = lambda arr: F.aggregate(  # noqa: E731 — local plumbing
-        F.transform(arr, lambda x: F.abs(x)), zero, lambda acc, x: acc + x
-    )
-    scored = g.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        "n_id",
-        dp.alias("dp"),
-        dn.alias("dn"),
-        (F.lit(margin) + l1(dp) - l1(dn)).alias("raw_loss"),
-    )
 
     # margin filter: gradients flow only through violations (P4 shape)
     viol = scored.filter(F.col("raw_loss") > 0)
@@ -156,9 +169,11 @@ def transe_l1_sgd_step(
         )
     )
 
-    params = e.select(
+    params = entity_emb.select(
         F.lit("E").alias("kind"), "id", "vec"
-    ).unionByName(r.select(F.lit("R").alias("kind"), "id", "vec"))
+    ).unionByName(
+        relation_emb.select(F.lit("R").alias("kind"), "id", "vec")
+    )
 
     merged = params.join(grads, ["kind", "id"], "left")
     out = merged.select(
@@ -198,35 +213,10 @@ def transe_l1_loss_summary(
     margin: int = 4,
 ) -> DataFrame:
     """1-row (n_triples, n_violations, total_loss) for the SAME step —
-    total_loss = Σ max(0, margin + ‖·‖₁ − ‖·‖₁), exact BIGINT."""
-    t = triples.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        ((F.col("o_id") + 1 + F.col("p_id")) % F.lit(n_entities)).alias(
-            "n_id"
-        ),
-    )
-    e = entity_emb
-    r = relation_emb
-    g = (
-        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
-        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("pv")), "p_id")
-        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
-        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
-    )
-    dp = F.zip_with(
-        F.zip_with("sv", "pv", lambda a, b: a + b), "ov", lambda a, b: a - b
-    )
-    dn = F.zip_with(
-        F.zip_with("sv", "pv", lambda a, b: a + b), "nv", lambda a, b: a - b
-    )
-    zero = F.lit(0).cast("long")
-    l1 = lambda arr: F.aggregate(  # noqa: E731
-        F.transform(arr, lambda x: F.abs(x)), zero, lambda acc, x: acc + x
-    )
-    scored = g.select(
-        (F.lit(margin) + l1(dp) - l1(dn)).alias("raw_loss")
+    total_loss = Σ max(0, margin + ‖·‖₁ − ‖·‖₁), exact BIGINT.  Derives
+    from the same _gather_and_score pipeline as the SGD step."""
+    scored = _gather_and_score(
+        triples, entity_emb, relation_emb, n_entities, margin
     )
     return scored.agg(
         F.count(F.lit(1)).alias("n_triples"),

@@ -111,3 +111,25 @@ def test_matches_copy_on_write_merge(spark, table):
     cow = merge_upsert(base, ups, ["k"])
     cow = cow.join(dels.select("k"), ["k"], "left_anti")
     assert _snap(read_mor(spark, table, ["k"])) == _snap(cow)
+
+
+def test_explicit_seq_replay_is_a_noop(spark, table):
+    """foreachBatch-style callers pass the batch id as seq: replaying
+    an already-committed sequence must change nothing — in particular
+    it must NOT land after later commits and resurrect deleted rows."""
+    s0 = mor_upsert(_df(spark, [(2, "B", 200)]), table, ["k"], seq=10)
+    s1 = mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"], seq=11)
+    assert (s0, s1) == (10, 11)
+    before = _snap(read_mor(spark, table, ["k"]))
+    assert (2, "B", 200) not in before  # deleted by seq 11
+    # crash-and-retry of the upsert batch: same seq -> no-op
+    assert mor_upsert(_df(spark, [(2, "B", 200)]), table, ["k"], seq=10) == 10
+    assert _snap(read_mor(spark, table, ["k"])) == before
+
+
+def test_within_batch_dedupe_deterministic_without_order_col(spark, table):
+    """Duplicate keys in one upsert batch must resolve deterministically
+    even with order_col=None (all-columns-desc tiebreak)."""
+    mor_upsert(_df(spark, [(3, "p", 1), (3, "q", 1)]), table, ["k"])
+    got = dict((r.k, r.v) for r in read_mor(spark, table, ["k"]).collect())
+    assert got[3] == "q"  # greatest under all-columns-desc

@@ -113,7 +113,6 @@ def test_max_cluster_guard_is_a_subset_of_unguarded(spark):
     # with 120 vecs over 4 clusters, max_cluster=8 forces the
     # sub-bucket path on every oversized cluster
     assert len(guarded_rows) <= len(unguarded)
-    _, brute_removed = _brute(mat, cents, tau)
     for r in guarded_rows:
         assert r.removed_id in unguarded
         cl, kept_min, ndups = unguarded[r.removed_id]
