@@ -23,6 +23,16 @@ where the delta side is batch-sized (broadcastable until compaction is
 due); `compact` folds all deltas into a new base exactly when the
 accumulated delta mass makes reads pay more than one rewrite —
 the classic MoR read/write amortization knob.
+
+Concurrency contract (same as merge.py): SINGLE WRITER.  Delta commits
+and `compact` must not run concurrently with each other — `compact`
+folds and deletes exactly the delta set it captured up front, so a
+delta committed mid-compaction by another writer would survive unfolded
+(correct), but two concurrent compactions or a compaction racing the
+rename window corrupt the layout.  Concurrent READERS are safe at any
+point: `read_mor` falls back to ``base.old`` during compact's
+two-rename window, and re-reading already-folded deltas is idempotent
+(delete ⇒ anti-join no-op, upsert ⇒ replaces identical rows).
 """
 
 from __future__ import annotations
@@ -38,6 +48,45 @@ from pyspark.sql.window import Window
 _DDIR = re.compile(r"^_d=(\d+)$")
 _OP = "_op"  # 'D' | 'U'
 _SEQ = "_seq"
+_RESERVED = (_OP, _SEQ, "_rn")
+
+
+def _check_reserved(cols, what: str) -> None:
+    """``_op``/``_seq``/``_rn`` are internal reconciliation columns; a
+    user table carrying one would silently corrupt the merge (duplicate
+    ``_op`` projections, a pure-delete delta misclassified by its
+    schema).  Fail loudly instead."""
+    clash = sorted(set(cols) & set(_RESERVED))
+    if clash:
+        raise ValueError(
+            f"MoR {what} uses reserved internal column name(s) {clash}; "
+            f"rename them (reserved: {list(_RESERVED)})"
+        )
+
+
+def _base_dir(path: str) -> str:
+    """The readable base: ``base/``, or ``base.old/`` inside compact's
+    two-rename crash window (base already renamed away, new base not
+    yet in place — the deltas are still present then, so base.old +
+    deltas reconstruct the exact pre-compaction state)."""
+    base = os.path.join(path, "base")
+    if os.path.isdir(base):
+        return base
+    old = os.path.join(path, "base.old")
+    if os.path.isdir(old):
+        return old
+    return base  # let the parquet reader raise its usual error
+
+
+def _recover(path: str) -> None:
+    """Writer-side crash recovery: if a previous ``compact`` died
+    between its two renames, reinstate ``base.old`` as ``base``.
+    Only the single writer may call this (a reader renaming would race
+    the compactor)."""
+    base = os.path.join(path, "base")
+    old = os.path.join(path, "base.old")
+    if not os.path.isdir(base) and os.path.isdir(old):
+        os.rename(old, base)
 
 
 def _deltas(path: str) -> list[int]:
@@ -55,6 +104,7 @@ def _deltas(path: str) -> list[int]:
 def init_mor(df: DataFrame, path: str) -> None:
     """Write the base snapshot of a new MoR table (one-time full
     write; every later mutation is delta-sized)."""
+    _check_reserved(df.columns, "base table")
     base = os.path.join(path, "base")
     if os.path.isdir(base):
         raise FileExistsError(f"MoR table already initialized: {path}")
@@ -92,6 +142,7 @@ def mor_upsert(
     dedupe is ALWAYS deterministic, never left to partition order).
     Pass ``seq`` from a replayable source; re-committing an
     already-committed sequence is a no-op."""
+    _check_reserved(rows.columns, "upsert batch")
     order = [F.desc(order_col)] if order_col is not None else []
     w = Window.partitionBy(*key_cols).orderBy(
         *order, *[F.desc(c) for c in rows.columns]
@@ -117,14 +168,25 @@ def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
 
 
 def read_mor(
-    spark: SparkSession, path: str, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    seqs: list[int] | None = None,
 ) -> DataFrame:
     """Reconcile base + deltas: per key the highest-sequence delta op
     decides (D ⇒ gone, U ⇒ that row); untouched base rows pass
     through.  One anti-join + one union; the delta side is
-    batch-count-sized, broadcastable until compaction."""
-    base = spark.read.parquet(os.path.join(path, "base"))
-    seqs = _deltas(path)
+    batch-count-sized, broadcastable until compaction.
+
+    ``seqs`` pins the exact delta set to fold (``compact`` passes the
+    set it captured BEFORE materializing, so a delta committed while
+    the fold runs is never deleted unfolded); readers leave it None.
+    Reads stay correct inside compact's rename window via the
+    ``base.old`` fallback (see `_base_dir`)."""
+    base = spark.read.parquet(_base_dir(path))
+    _check_reserved(base.columns, "base table")
+    if seqs is None:
+        seqs = _deltas(path)
     if not seqs:
         return base
     parts = []
@@ -152,12 +214,20 @@ def read_mor(
 
 
 def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
-    """Fold every delta into a new base (the one full rewrite MoR
-    amortizes): reconcile, write base.compact, rename into place,
-    drop the folded deltas.  A crash between the renames leaves either
-    the old state or a readable new base (rename-into-place doctrine;
-    the two-step window is documented, same as io/compact.py)."""
-    merged = read_mor(spark, path, key_cols)
+    """Fold the CURRENT delta set into a new base (the one full rewrite
+    MoR amortizes): capture the committed delta seqs, reconcile exactly
+    that set, write base.compact, rename into place, drop exactly the
+    folded deltas.  Crash safety: a crash between the two renames
+    leaves ``base.old`` + the unfolded deltas — readers fall back to it
+    transparently (`_base_dir`) and the next writer call repairs the
+    layout (`_recover`); a crash during delta deletion leaves a new
+    base plus already-folded deltas, which re-fold idempotently.  A
+    delta committed between the capture and the cleanup (single-writer
+    contract aside) is neither folded NOR deleted — it survives for the
+    next read/compact."""
+    _recover(path)
+    seqs = _deltas(path)  # captured ONCE: fold and delete exactly these
+    merged = read_mor(spark, path, key_cols, seqs=seqs)
     tmp = os.path.join(path, "base.compact")
     shutil.rmtree(tmp, ignore_errors=True)
     merged.localCheckpoint().write.parquet(tmp)
@@ -165,6 +235,6 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     shutil.rmtree(old, ignore_errors=True)
     os.rename(os.path.join(path, "base"), old)
     os.rename(tmp, os.path.join(path, "base"))
-    for s in _deltas(path):
+    for s in seqs:
         shutil.rmtree(os.path.join(path, f"_d={s}"), ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)

@@ -64,8 +64,20 @@ def viterbi_combined(word: Column) -> Column:
             else:
                 add = _piece_w(p, k) * 64 - 1
                 valid = (i >= k) & _piece_in_vocab(p, k)
+            # defensive clamp: for i < k the index i-k+1 is ≤ 0 —
+            # element_at(arr, 0) is a runtime error in Spark and a
+            # negative index silently reads from the END — today only
+            # CASE WHEN's lazy evaluation of the `valid` gate keeps the
+            # bad index from evaluating, which any refactor that hoists
+            # `prev` (or engine-side CSE) would break.  The clamp makes
+            # the expression total; when(valid, ...) stays the semantic
+            # guard (a clamped read is always discarded).
             prev = F.coalesce(
-                F.element_at(acc, (i - F.lit(k) + 1).cast("int")), sent
+                F.element_at(
+                    acc,
+                    F.greatest(F.lit(1), (i - F.lit(k) + 1)).cast("int"),
+                ),
+                sent,
             )
             cands.append(F.when(valid, prev + add).otherwise(sent))
         return F.concat(acc, F.array(F.greatest(*cands)))

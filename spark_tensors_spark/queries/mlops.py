@@ -313,6 +313,307 @@ ORDER BY kind, id, d
 """
 
 
+RESCAL_DIM = 4
+HOLE_DIM = 8
+PAIR_MARGIN = 2
+
+
+def _pseudo_E(spark, n_rows: int, dim: int):
+    """Integer pseudo entity embeddings E(id,d) = ((id·31+d·17) mod 13) − 6
+    (the kg_distmult_scores doctrine — exact, symbolically replayable)."""
+    d_seq = F.sequence(F.lit(0), F.lit(dim - 1))
+    return spark.range(n_rows).select(
+        "id",
+        F.transform(
+            d_seq, lambda d: ((F.col("id") * 31 + d * 17) % 13 - 6).cast("long")
+        ).alias("vec"),
+    )
+
+
+def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full-batch RESCAL SGD step under a VALUE oracle — the
+    bilinear training loop itself (gather → margin filter →
+    segment-sum → SGD update; score sᵀWₚo of `holek.py:136-150`,
+    pairwise margin objective of `kge/hole.py:145-147`) gated
+    end-to-end.  Integer pseudo-parameters + integer margin +
+    power-of-two lr make every intermediate — Wₚo / Wₚᵀs products,
+    bilinear scores, violation test, gradients (incl. the d×d
+    relation-matrix gradient s⊗(o⁻−o⁺)), updated values — exact
+    integer/dyadic arithmetic DuckDB replays symbolically.
+
+    Output: every relation-matrix slot (kind 'W', slot d = i·dim+j),
+    a 1/37 sample of entity slots, and a 1-row 'L' loss summary."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        rescal_bilinear_sgd_step,
+        rescal_loss_summary,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    tri = (
+        enc.filter(F.col("s_id") % 7 == 5)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+    )
+    d = RESCAL_DIM
+    E = _pseudo_E(spark, n_ent, d)
+    w_seq = F.sequence(F.lit(0), F.lit(d * d - 1))
+    W = spark.range(n_rel).select(
+        "id",
+        F.transform(
+            w_seq,
+            lambda s: (
+                (F.col("id") * 19 + F.floor(s / d) * 7 + (s % d) * 3) % 9 - 4
+            ).cast("long"),
+        ).alias("vec"),
+    )
+    upd = rescal_bilinear_sgd_step(
+        tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN, lr=STEP_LR
+    )
+    out = upd.filter((F.col("kind") == "W") | (F.col("id") % 37 == 0))
+    loss = rescal_loss_summary(
+        tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN
+    ).select(
+        F.lit("L").alias("kind"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("d"),
+        F.col("n_triples").cast("long").alias("old_val"),
+        F.col("n_violations").alias("grad"),
+        F.col("total_loss").cast("double").alias("new_val"),
+    )
+    return out.unionByName(loss).orderBy("kind", "id", "d")
+
+
+def _rescal_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = RESCAL_DIM
+    lr = f"CAST({STEP_LR!r} AS DOUBLE)"
+    es = "((s_id*31 + di*17) % 13 - 6)"
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % 7 = 5
+),
+dims AS (SELECT unnest(range({d})) AS d),
+prod AS MATERIALIZED (
+    SELECT t.*, i.d AS di, j.d AS dj,
+           ((p_id*19 + i.d*7 + j.d*3) % 9 - 4) AS w,
+           ((s_id*31 + i.d*17) % 13 - 6) AS es_i,
+           ((o_id*31 + j.d*17) % 13 - 6) AS eo_j,
+           ((n_id*31 + j.d*17) % 13 - 6) AS en_j
+    FROM t CROSS JOIN dims i CROSS JOIN dims j
+),
+uv AS MATERIALIZED (
+    -- per (triple, i): (Wₚo⁺)ᵢ and (Wₚo⁻)ᵢ
+    SELECT s_id, p_id, o_id, n_id, di,
+           SUM(w * eo_j) AS up, SUM(w * en_j) AS un
+    FROM prod GROUP BY s_id, p_id, o_id, n_id, di
+),
+vv AS MATERIALIZED (
+    -- per (triple, j): (Wₚᵀs)ⱼ
+    SELECT s_id, p_id, o_id, n_id, dj, SUM(es_i * w) AS v
+    FROM prod GROUP BY s_id, p_id, o_id, n_id, dj
+),
+sc AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {PAIR_MARGIN} - SUM({es} * up) + SUM({es} * un) AS raw_loss
+    FROM uv GROUP BY s_id, p_id, o_id, n_id
+),
+contrib AS MATERIALIZED (
+    SELECT 'E' AS kind, u.s_id AS id, u.di AS d, (u.un - u.up) AS gr
+    FROM uv u JOIN sc ON sc.s_id = u.s_id AND sc.p_id = u.p_id
+                     AND sc.o_id = u.o_id
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'E', v.o_id, v.dj, -v.v
+    FROM vv v JOIN sc ON sc.s_id = v.s_id AND sc.p_id = v.p_id
+                     AND sc.o_id = v.o_id
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'E', v.n_id, v.dj, v.v
+    FROM vv v JOIN sc ON sc.s_id = v.s_id AND sc.p_id = v.p_id
+                     AND sc.o_id = v.o_id
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'W', p.p_id, p.di * {d} + p.dj, p.es_i * (p.en_j - p.eo_j)
+    FROM prod p JOIN sc ON sc.s_id = p.s_id AND sc.p_id = p.p_id
+                       AND sc.o_id = p.o_id
+    WHERE sc.raw_loss > 0
+),
+grads AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib GROUP BY kind, id, d
+),
+params AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'W', id, i.d * {d} + j.d,
+           CAST(((id*19 + i.d*7 + j.d*3) % 9) - 4 AS BIGINT)
+    FROM (SELECT id FROM relation_dict)
+    CROSS JOIN dims i CROSS JOIN dims j
+),
+upd AS (
+    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
+           p.val AS old_val,
+           COALESCE(c.gr, 0) AS grad,
+           p.val - {lr} * COALESCE(c.gr, 0) AS new_val
+    FROM params p
+    LEFT JOIN grads c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
+)
+SELECT kind, id, d, old_val, grad, new_val FROM upd
+WHERE kind = 'W' OR id % 37 = 0
+UNION ALL
+SELECT 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE) FROM sc)
+ORDER BY kind, id, d
+"""
+
+
+def kge_hole_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full-batch HolE SGD step under a VALUE oracle — the
+    holographic training loop (score r·ccorr(s,o), `hole.py:19-20`;
+    pairwise margin objective + violation gating, `hole.py:22-58`)
+    gated end-to-end.  ccorr/cconv are stated by their index algebra
+    (exact BIGINT on the integer pseudo-embeddings — the same sums the
+    production FFT kernels compute, parity-pinned in
+    tests/test_kernels.py), so DuckDB replays the full step: the two
+    correlation vectors, both scores, the violation filter, all four
+    gradient families, and the dyadic update.
+
+    Output: every relation slot, a 1/37 sample of entity slots, and a
+    1-row 'L' loss summary."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        hole_ccorr_sgd_step,
+        hole_loss_summary,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    tri = (
+        enc.filter(F.col("s_id") % 7 == 1)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+    )
+    d = HOLE_DIM
+    E = _pseudo_E(spark, n_ent, d)
+    d_seq = F.sequence(F.lit(0), F.lit(d - 1))
+    R = spark.range(n_rel).select(
+        "id",
+        F.transform(
+            d_seq, lambda k: ((F.col("id") * 29 + k * 23) % 11 - 5).cast("long")
+        ).alias("vec"),
+    )
+    upd = hole_ccorr_sgd_step(
+        tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN, lr=STEP_LR
+    )
+    out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
+    loss = hole_loss_summary(
+        tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN
+    ).select(
+        F.lit("L").alias("kind"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("d"),
+        F.col("n_triples").cast("long").alias("old_val"),
+        F.col("n_violations").alias("grad"),
+        F.col("total_loss").cast("double").alias("new_val"),
+    )
+    return out.unionByName(loss).orderBy("kind", "id", "d")
+
+
+def _hole_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = HOLE_DIM
+    lr = f"CAST({STEP_LR!r} AS DOUBLE)"
+    rk = "((p_id*29 + k*23) % 11 - 5)"
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % 7 = 1
+),
+dims AS (SELECT unnest(range({d})) AS d),
+corr AS MATERIALIZED (
+    -- per (triple, k): ccorr(s,o⁺)ₖ, ccorr(s,o⁻)ₖ, ccorr(r,o⁺)ₖ,
+    -- ccorr(r,o⁻)ₖ and cconv(s,r)ₖ — one i-sum each
+    SELECT s_id, p_id, o_id, n_id, ck.d AS k,
+           SUM(((s_id*31 + i.d*17) % 13 - 6)
+             * ((o_id*31 + ((i.d + ck.d) % {d})*17) % 13 - 6)) AS cp,
+           SUM(((s_id*31 + i.d*17) % 13 - 6)
+             * ((n_id*31 + ((i.d + ck.d) % {d})*17) % 13 - 6)) AS cn,
+           SUM(((p_id*29 + i.d*23) % 11 - 5)
+             * ((o_id*31 + ((i.d + ck.d) % {d})*17) % 13 - 6)) AS rp,
+           SUM(((p_id*29 + i.d*23) % 11 - 5)
+             * ((n_id*31 + ((i.d + ck.d) % {d})*17) % 13 - 6)) AS rn,
+           SUM(((s_id*31 + i.d*17) % 13 - 6)
+             * ((p_id*29 + ((ck.d - i.d + {d}) % {d})*23) % 11 - 5)) AS cv
+    FROM t CROSS JOIN dims ck CROSS JOIN dims i
+    GROUP BY s_id, p_id, o_id, n_id, ck.d
+),
+sc AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {PAIR_MARGIN} - SUM({rk} * cp) + SUM({rk} * cn) AS raw_loss
+    FROM corr GROUP BY s_id, p_id, o_id, n_id
+),
+gv AS MATERIALIZED (
+    SELECT c.* FROM corr c
+    JOIN sc ON sc.s_id = c.s_id AND sc.p_id = c.p_id AND sc.o_id = c.o_id
+    WHERE sc.raw_loss > 0
+),
+contrib AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, k AS d, (rn - rp) AS gr FROM gv
+    UNION ALL
+    SELECT 'E', o_id, k, -cv FROM gv
+    UNION ALL
+    SELECT 'E', n_id, k, cv FROM gv
+    UNION ALL
+    SELECT 'R', p_id, k, (cn - cp) FROM gv
+),
+grads AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib GROUP BY kind, id, d
+),
+params AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),
+upd AS (
+    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
+           p.val AS old_val,
+           COALESCE(c.gr, 0) AS grad,
+           p.val - {lr} * COALESCE(c.gr, 0) AS new_val
+    FROM params p
+    LEFT JOIN grads c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
+)
+SELECT kind, id, d, old_val, grad, new_val FROM upd
+WHERE kind = 'R' OR id % 37 = 0
+UNION ALL
+SELECT 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE) FROM sc)
+ORDER BY kind, id, d
+"""
+
+
 RANK_MOD = 999
 RANK_RES = 3
 
@@ -400,6 +701,8 @@ ORDER BY s_id, p_id, o_id
 QUERIES = {
     "kge_transe_rank_join": kge_transe_rank_join,
     "kge_transe_step_exact": kge_transe_step_exact,
+    "kge_rescal_step_exact": kge_rescal_step_exact,
+    "kge_hole_step_exact": kge_hole_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
     "kge_rescal_train_metrics": kge_rescal_train_metrics,
     "kge_hole_train_metrics": kge_hole_train_metrics,
@@ -407,5 +710,7 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "kge_transe_step_exact": _transe_step_oracle(),
+    "kge_rescal_step_exact": _rescal_step_oracle(),
+    "kge_hole_step_exact": _hole_step_oracle(),
     "kge_transe_rank_join": _transe_rank_join_oracle(),
 }

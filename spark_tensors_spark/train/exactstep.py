@@ -1,26 +1,35 @@
-"""Exact-arithmetic distributed TransE training step.
+"""Exact-arithmetic distributed KGE training steps (TransE, RESCAL,
+HolE).
 
-One FULL-BATCH SGD step of margin-ranking TransE with **L1 distance**
-(the other distance the original TransE paper trains with), expressed
-entirely as DataFrame operations — gather (join), margin filter,
-per-parameter segment-sum, SGD update — with NO Python evaluator in
-the plan.  Reference semantics mirrored: the gather → margin loss →
-backward → update loop of `TransE.scala:98-134` (L2Similarity there;
-L1 here) and the violation-gated gradient flow of `hole.py:22-42`.
+One FULL-BATCH SGD step per model, expressed entirely as DataFrame
+operations — gather (join), margin filter, per-parameter segment-sum,
+SGD update — with NO Python evaluator in the plan.  Reference
+semantics mirrored: the gather → margin loss → backward → update loop
+of `TransE.scala:98-134` (L2Similarity there; L1 here), the bilinear
+RESCAL score sᵀWₚo of `kge/hole.py:145-147` / keras `holek.py:136-150`,
+the holographic score r·ccorr(s,o) of `hole.py:19-20`, and the
+violation-gated gradient flow of `hole.py:22-42` (the reference's
+margin-ranking objective, margin configs at `kge/hole.py:459`).
 
-Why L1 + integers: on integer embeddings the L1 distance, the margin
-test, and every gradient component (a difference of signs) are exact
-BIGINT arithmetic, and with a power-of-two learning rate the updated
-parameters are exact dyadic doubles — so the whole step is
-bit-reproducible across engines and can sit under a DuckDB value
-oracle (the EWMA α=½ / histogram-rank doctrine applied to training).
+Why integers: on integer embeddings the L1 distance (TransE), the
+bilinear form (RESCAL), the circular-correlation score (HolE), the
+margin test, and every gradient component are exact BIGINT arithmetic,
+and with a power-of-two learning rate the updated parameters are exact
+dyadic doubles — so each whole step is bit-reproducible across engines
+and can sit under a DuckDB value oracle (the EWMA α=½ /
+histogram-rank doctrine applied to training).  HolE needs no FFT for
+this: ccorr/cconv are stated by their index algebra
+(ccorr(a,b)ₖ = Σᵢ aᵢ·b₍ᵢ₊ₖ₎ mod d, cconv(a,b)ₖ = Σᵢ aᵢ·b₍ₖ₋ᵢ₎ mod d),
+the same sums the production FFT kernels (`functions/kernels.py`)
+compute in O(d log d) — parity between the two is property-tested in
+tests/test_kernels.py.
 
 At 100 TB scale this is the shape that matters: embeddings live in a
-TABLE (never a driver matrix), the three entity gathers + one relation
-gather are shuffle joins on the id key, the gradient aggregation is
-one map-side-combinable groupBy, and the update is a join-merge
-projection — the same topology as `train/joinmerge.py`'s float
-trainer, with no collect anywhere.
+TABLE (never a driver matrix), the entity/relation gathers are
+shuffle joins on the id key, the gradient aggregation is one
+map-side-combinable groupBy per parameter kind, and the update is a
+join-merge projection — the same topology as `train/joinmerge.py`'s
+float trainer, with no collect anywhere.
 """
 
 from __future__ import annotations
@@ -202,6 +211,411 @@ def transe_l1_sgd_step(
         ).alias("new_val"),
     )
     return out
+
+
+def _dseq(dim: int):
+    return F.sequence(F.lit(0), F.lit(dim - 1))
+
+
+def _dot(a, b):
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+
+
+def _matvec(w, x, dim: int, transpose: bool = False):
+    """(W·x)ᵢ = Σⱼ w[i·d+j]·xⱼ (row-major flat W; Wᵀ·x when
+    ``transpose``) as a pure codegen array expression on BIGINT."""
+    zero = F.lit(0).cast("long")
+
+    def flat(i, j):
+        return (j * dim + i) if transpose else (i * dim + j)
+
+    return F.transform(
+        _dseq(dim),
+        lambda i: F.aggregate(
+            _dseq(dim),
+            zero,
+            lambda acc, j: acc
+            + F.element_at(w, (flat(i, j) + 1).cast("int"))
+            * F.element_at(x, (j + 1).cast("int")),
+        ),
+    )
+
+
+def _ccorr_cols(a, b, dim: int):
+    """ccorr(a,b)ₖ = Σᵢ aᵢ·b₍ᵢ₊ₖ₎ mod d — the circular correlation of
+    `hole.py:19-20` by its index algebra (exact on integers; the FFT
+    form in functions/kernels.py computes the same sums)."""
+    zero = F.lit(0).cast("long")
+    return F.transform(
+        _dseq(dim),
+        lambda k: F.aggregate(
+            _dseq(dim),
+            zero,
+            lambda acc, i: acc
+            + F.element_at(a, (i + 1).cast("int"))
+            * F.element_at(b, (((i + k) % dim) + 1).cast("int")),
+        ),
+    )
+
+
+def _cconv_cols(a, b, dim: int):
+    """cconv(a,b)ₖ = Σᵢ aᵢ·b₍ₖ₋ᵢ₎ mod d (k−i+d ≥ 0 for k,i ∈ [0,d), so
+    plain % is the mathematical mod here)."""
+    zero = F.lit(0).cast("long")
+    return F.transform(
+        _dseq(dim),
+        lambda k: F.aggregate(
+            _dseq(dim),
+            zero,
+            lambda acc, i: acc
+            + F.element_at(a, (i + 1).cast("int"))
+            * F.element_at(b, (((k - i + dim) % dim) + 1).cast("int")),
+        ),
+    )
+
+
+def _with_negative(triples: DataFrame, n_entities: int) -> DataFrame:
+    """Deterministic tail corruption n = (o+1+p) mod N — the reference
+    corrupts with a random entity (`TransE.scala:94`); seeded
+    determinism is this repo's oracle doctrine."""
+    return triples.select(
+        "s_id",
+        "p_id",
+        "o_id",
+        ((F.col("o_id") + 1 + F.col("p_id")) % F.lit(n_entities)).alias(
+            "n_id"
+        ),
+    )
+
+
+def _segment_sum_wide(contrib: DataFrame, width: int) -> DataFrame:
+    """(kind, id, g array) → per-parameter summed gradient via ONE
+    map-side-combinable hash aggregate (A6 shape, no explode)."""
+    return (
+        contrib.groupBy("kind", "id")
+        .agg(
+            *[
+                F.sum(F.get("g", i)).cast("long").alias(f"_g{i}")
+                for i in range(width)
+            ]
+        )
+        .select(
+            "kind",
+            "id",
+            F.array(*[F.col(f"_g{i}") for i in range(width)]).alias("g"),
+        )
+    )
+
+
+def _merge_update(
+    params: DataFrame, grads: DataFrame, width: int, lr: float
+) -> DataFrame:
+    """LEFT-JOIN merge + dyadic SGD update → one row per parameter slot
+    (kind, id, d, old_val, grad, new_val)."""
+    zero = F.lit(0).cast("long")
+    merged = params.join(grads, ["kind", "id"], "left")
+    return merged.select(
+        "kind",
+        "id",
+        F.posexplode(
+            F.zip_with(
+                "vec",
+                F.coalesce("g", F.array_repeat(zero, width)),
+                lambda v, gr: F.struct(
+                    v.alias("old_val"), gr.alias("grad")
+                ),
+            )
+        ).alias("d", "s"),
+    ).select(
+        "kind",
+        "id",
+        F.col("d").cast("long").alias("d"),
+        F.col("s.old_val").alias("old_val"),
+        F.col("s.grad").alias("grad"),
+        (
+            F.col("s.old_val")
+            - F.lit(lr).cast("double") * F.col("s.grad")
+        ).alias("new_val"),
+    )
+
+
+def _loss_row(scored: DataFrame) -> DataFrame:
+    """1-row (n_triples, n_violations, total_loss) off a scored gather
+    frame carrying ``raw_loss`` (exact BIGINT)."""
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(F.when(F.col("raw_loss") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.sum(F.greatest(F.lit(0).cast("long"), F.col("raw_loss")))
+        .cast("long")
+        .alias("total_loss"),
+    )
+
+
+def _rescal_gather_score(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    rel_w: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int,
+) -> DataFrame:
+    """Shared RESCAL gather + scoring pipeline: three entity joins +
+    one relation-matrix join, the bilinear scores sᵀWₚo⁺ / sᵀWₚo⁻ and
+    the raw pairwise margin loss (`kge/hole.py:145-147` objective),
+    plus the intermediate products the backward pass reuses
+    (up = Wₚo⁺, un = Wₚo⁻, vv = Wₚᵀs)."""
+    t = _with_negative(triples, n_entities)
+    e = entity_emb.select("id", "vec")
+    g = (
+        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
+        .join(
+            rel_w.select(F.col("id").alias("p_id"), F.col("vec").alias("wv")),
+            "p_id",
+        )
+        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
+        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
+    )
+    g = g.select(
+        "s_id",
+        "p_id",
+        "o_id",
+        "n_id",
+        "sv",
+        "ov",
+        "nv",
+        _matvec(F.col("wv"), F.col("ov"), dim).alias("up"),
+        _matvec(F.col("wv"), F.col("nv"), dim).alias("un"),
+        _matvec(F.col("wv"), F.col("sv"), dim, transpose=True).alias("vv"),
+    )
+    return g.select(
+        "*",
+        (
+            F.lit(margin)
+            - _dot(F.col("sv"), F.col("up"))
+            + _dot(F.col("sv"), F.col("un"))
+        ).alias("raw_loss"),
+    )
+
+
+def rescal_bilinear_sgd_step(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    rel_w: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int = 2,
+    lr: float = 0.25,
+) -> DataFrame:
+    """One full-batch pairwise margin-ranking RESCAL SGD step over
+    integer parameters — the reference's actual RESCAL objective
+    (`kge/hole.py:145-147`: loss = max(0, margin − sᵀWₚo⁺ + sᵀWₚo⁻),
+    violation-gated gradients; bilinear score `holek.py:136-150`).
+
+    ``rel_w``: (id, vec array<bigint> of length dim²), W row-major.
+    Gradients (exact integer algebra, matching
+    `train/models.rescal_pairwise_g`):
+      ∂/∂s = Wₚ(o⁻ − o⁺) = un − up;  ∂/∂o⁺ = −Wₚᵀs;  ∂/∂o⁻ = +Wₚᵀs;
+      ∂/∂W[i,j] = sᵢ·(o⁻ⱼ − o⁺ⱼ).
+    Returns one row per parameter slot — kind 'E' (slot d ∈ [0,dim))
+    and kind 'W' (slot d = i·dim+j ∈ [0,dim²)) — with
+    new_val = old − lr·grad exact dyadic."""
+    scored = _rescal_gather_score(
+        triples, entity_emb, rel_w, dim, n_entities, margin
+    )
+    viol = scored.filter(F.col("raw_loss") > 0)
+
+    e_contrib = viol.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("s_id").alias("id"),
+                    F.zip_with("un", "up", lambda a, b: a - b).alias("g"),
+                ),
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("o_id").alias("id"),
+                    F.transform("vv", lambda x: -x).alias("g"),
+                ),
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("n_id").alias("id"),
+                    F.col("vv").alias("g"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.kind", "c.id", "c.g")
+
+    gw = F.flatten(
+        F.transform(
+            _dseq(dim),
+            lambda i: F.transform(
+                _dseq(dim),
+                lambda j: F.element_at(F.col("sv"), (i + 1).cast("int"))
+                * (
+                    F.element_at(F.col("nv"), (j + 1).cast("int"))
+                    - F.element_at(F.col("ov"), (j + 1).cast("int"))
+                ),
+            ),
+        )
+    )
+    w_contrib = viol.select(
+        F.lit("W").alias("kind"), F.col("p_id").alias("id"), gw.alias("g")
+    )
+
+    e_params = entity_emb.select(F.lit("E").alias("kind"), "id", "vec")
+    w_params = rel_w.select(F.lit("W").alias("kind"), "id", "vec")
+    out_e = _merge_update(
+        e_params, _segment_sum_wide(e_contrib, dim), dim, lr
+    )
+    out_w = _merge_update(
+        w_params, _segment_sum_wide(w_contrib, dim * dim), dim * dim, lr
+    )
+    return out_e.unionByName(out_w)
+
+
+def rescal_loss_summary(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    rel_w: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int = 2,
+) -> DataFrame:
+    """1-row loss summary for the SAME RESCAL step (shared gather)."""
+    return _loss_row(
+        _rescal_gather_score(
+            triples, entity_emb, rel_w, dim, n_entities, margin
+        )
+    )
+
+
+def _hole_gather_score(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    relation_emb: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int,
+) -> DataFrame:
+    """Shared HolE gather + scoring: score = r·ccorr(s,o)
+    (`hole.py:19-20`), pairwise margin loss, plus the correlation
+    vectors the backward pass reuses (cp = ccorr(s,o⁺),
+    cn = ccorr(s,o⁻))."""
+    t = _with_negative(triples, n_entities)
+    e = entity_emb.select("id", "vec")
+    r = relation_emb.select("id", "vec")
+    g = (
+        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
+        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("rv")), "p_id")
+        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
+        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
+    )
+    g = g.select(
+        "s_id",
+        "p_id",
+        "o_id",
+        "n_id",
+        "sv",
+        "rv",
+        "ov",
+        "nv",
+        _ccorr_cols(F.col("sv"), F.col("ov"), dim).alias("cp"),
+        _ccorr_cols(F.col("sv"), F.col("nv"), dim).alias("cn"),
+    )
+    return g.select(
+        "*",
+        (
+            F.lit(margin)
+            - _dot(F.col("rv"), F.col("cp"))
+            + _dot(F.col("rv"), F.col("cn"))
+        ).alias("raw_loss"),
+    )
+
+
+def hole_ccorr_sgd_step(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    relation_emb: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int = 2,
+    lr: float = 0.25,
+) -> DataFrame:
+    """One full-batch pairwise margin-ranking HolE SGD step over
+    integer embeddings — score r·ccorr(s,o) (`hole.py:19-20`),
+    margin objective and violation gating as in `hole.py:22-58`.
+
+    Gradient index algebra (matching `train/models.hole_pairwise_g`):
+      ∂/∂r = ccorr(s,o⁻) − ccorr(s,o⁺);
+      ∂/∂s = ccorr(r,o⁻) − ccorr(r,o⁺);
+      ∂/∂o⁺ = −cconv(s,r);  ∂/∂o⁻ = +cconv(s,r).
+    All four are width-dim — one explode + ONE wide segment-sum, the
+    exact transe_l1_sgd_step topology."""
+    scored = _hole_gather_score(
+        triples, entity_emb, relation_emb, dim, n_entities, margin
+    )
+    viol = scored.filter(F.col("raw_loss") > 0)
+    gs = F.zip_with(
+        _ccorr_cols(F.col("rv"), F.col("nv"), dim),
+        _ccorr_cols(F.col("rv"), F.col("ov"), dim),
+        lambda a, b: a - b,
+    )
+    conv = _cconv_cols(F.col("sv"), F.col("rv"), dim)
+    contrib = viol.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("s_id").alias("id"),
+                    gs.alias("g"),
+                ),
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("o_id").alias("id"),
+                    F.transform(conv, lambda x: -x).alias("g"),
+                ),
+                F.struct(
+                    F.lit("E").alias("kind"),
+                    F.col("n_id").alias("id"),
+                    conv.alias("g"),
+                ),
+                F.struct(
+                    F.lit("R").alias("kind"),
+                    F.col("p_id").alias("id"),
+                    F.zip_with("cn", "cp", lambda a, b: a - b).alias("g"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.kind", "c.id", "c.g")
+
+    params = entity_emb.select(
+        F.lit("E").alias("kind"), "id", "vec"
+    ).unionByName(
+        relation_emb.select(F.lit("R").alias("kind"), "id", "vec")
+    )
+    return _merge_update(params, _segment_sum_wide(contrib, dim), dim, lr)
+
+
+def hole_loss_summary(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    relation_emb: DataFrame,
+    dim: int,
+    n_entities: int,
+    margin: int = 2,
+) -> DataFrame:
+    """1-row loss summary for the SAME HolE step (shared gather)."""
+    return _loss_row(
+        _hole_gather_score(
+            triples, entity_emb, relation_emb, dim, n_entities, margin
+        )
+    )
 
 
 def transe_l1_loss_summary(

@@ -131,3 +131,158 @@ def test_untouched_parameters_unchanged(spark, fixtures):
     ).collect()
     assert len(rows) == len(untouched) * DIM
     assert all(r.grad == 0 and r.new_val == r.old_val for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# RESCAL / HolE exact steps: parity against the GRADCHECKED float kernels
+# (train/models.rescal_pairwise / hole_pairwise) run on the same integer
+# inputs — exact integer arithmetic ⇒ identical violation decisions, and
+# every float gradient is an exact small integer.
+# ---------------------------------------------------------------------------
+
+from spark_tensors_spark.train.exactstep import (  # noqa: E402
+    hole_ccorr_sgd_step,
+    hole_loss_summary,
+    rescal_bilinear_sgd_step,
+    rescal_loss_summary,
+)
+from spark_tensors_spark.train import models  # noqa: E402
+
+R_MARGIN = 2
+
+
+def _emb_w(p, i, d):
+    # flat slot d = i*DIM + j
+    j = d % DIM
+    return (p * 19 + i * 7 + j * 3) % 9 - 4
+
+
+def _np_E():
+    return np.array(
+        [[_emb_e(i, d) for d in range(DIM)] for i in range(N_ENT)],
+        dtype=np.float64,
+    )
+
+
+def _np_R():
+    return np.array(
+        [[_emb_r(i, d) for d in range(DIM)] for i in range(N_REL)],
+        dtype=np.float64,
+    )
+
+
+def _np_W():
+    return np.array(
+        [
+            [
+                [(p * 19 + i * 7 + j * 3) % 9 - 4 for j in range(DIM)]
+                for i in range(DIM)
+            ]
+            for p in range(N_REL)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _accumulate(n_rows, width, ids, grads):
+    out = np.zeros((n_rows, width))
+    np.add.at(out, ids, grads)
+    return out
+
+
+def _spark_w(spark):
+    d_seq = F.sequence(F.lit(0), F.lit(DIM * DIM - 1))
+    return spark.range(N_REL).select(
+        "id",
+        F.transform(
+            d_seq,
+            lambda d: (
+                (
+                    F.col("id") * 19
+                    + F.floor(d / DIM) * 7
+                    + (d % DIM) * 3
+                )
+                % 9
+                - 4
+            ).cast("long"),
+        ).alias("vec"),
+    )
+
+
+def test_rescal_step_matches_gradchecked_kernel(spark, fixtures):
+    triples, tri, E, R = fixtures
+    s = np.array([t[0] for t in triples])
+    p = np.array([t[1] for t in triples])
+    o = np.array([t[2] for t in triples])
+    n = (o + 1 + p) % N_ENT
+    Enp, Wnp = _np_E(), _np_W()
+    loss, slots = models.rescal_pairwise(
+        Enp, Wnp, s, p, o, n, margin=R_MARGIN
+    )
+    gE = np.zeros((N_ENT, DIM))
+    gW = np.zeros((N_REL, DIM, DIM))
+    for kind, ids, g in slots:
+        if kind == "E":
+            np.add.at(gE, ids, g)
+        else:
+            np.add.at(gW, ids, g)
+    LR = 0.5
+    out = rescal_bilinear_sgd_step(
+        tri, E, _spark_w(spark), dim=DIM, n_entities=N_ENT,
+        margin=R_MARGIN, lr=LR,
+    ).collect()
+    assert len(out) == N_ENT * DIM + N_REL * DIM * DIM
+    for row in out:
+        if row.kind == "E":
+            want = gE[row.id][row.d]
+            assert row.old_val == _emb_e(row.id, row.d)
+        else:
+            assert row.kind == "W"
+            want = gW[row.id][row.d // DIM][row.d % DIM]
+            assert row.old_val == _emb_w(row.id, row.d // DIM, row.d)
+        assert row.grad == want, (row, want)
+        assert row.new_val == row.old_val - LR * want
+
+    lrow = rescal_loss_summary(
+        tri, E, _spark_w(spark), dim=DIM, n_entities=N_ENT, margin=R_MARGIN
+    ).collect()[0]
+    assert lrow.n_triples == len(triples)
+    assert lrow.n_violations == int((loss > 0).sum())
+    assert lrow.total_loss == int(loss.sum())
+
+
+def test_hole_step_matches_gradchecked_kernel(spark, fixtures):
+    triples, tri, E, R = fixtures
+    s = np.array([t[0] for t in triples])
+    p = np.array([t[1] for t in triples])
+    o = np.array([t[2] for t in triples])
+    n = (o + 1 + p) % N_ENT
+    Enp, Rnp = _np_E(), _np_R()
+    loss, slots = models.hole_pairwise(
+        Enp, Rnp, s, p, o, n, margin=R_MARGIN
+    )
+    gE = np.zeros((N_ENT, DIM))
+    gR = np.zeros((N_REL, DIM))
+    for kind, ids, g in slots:
+        if kind == "E":
+            np.add.at(gE, ids, g)
+        else:
+            np.add.at(gR, ids, g)
+    # the FFT kernels return exact integers up to float eps — snap
+    gE, gR = np.round(gE), np.round(gR)
+    LR = 0.5
+    out = hole_ccorr_sgd_step(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=R_MARGIN, lr=LR
+    ).collect()
+    assert len(out) == (N_ENT + N_REL) * DIM
+    for row in out:
+        want = (gE if row.kind == "E" else gR)[row.id][row.d]
+        assert row.grad == want, (row, want)
+        assert row.new_val == row.old_val - LR * want
+
+    lrow = hole_loss_summary(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=R_MARGIN
+    ).collect()[0]
+    assert lrow.n_triples == len(triples)
+    assert lrow.n_violations == int((loss > 0).sum())
+    assert lrow.total_loss == int(round(loss.sum()))

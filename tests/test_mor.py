@@ -133,3 +133,58 @@ def test_within_batch_dedupe_deterministic_without_order_col(spark, table):
     mor_upsert(_df(spark, [(3, "p", 1), (3, "q", 1)]), table, ["k"])
     got = dict((r.k, r.v) for r in read_mor(spark, table, ["k"]).collect())
     assert got[3] == "q"  # greatest under all-columns-desc
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    """A base or batch carrying _op/_seq/_rn would silently corrupt
+    reconciliation — init/read/upsert must fail loudly instead."""
+    bad = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "_op": ["U"]}), "k long, _op string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        init_mor(bad, str(tmp_path / "m1"))
+    path = str(tmp_path / "m2")
+    init_mor(_df(spark, [(1, "a", 10)]), path)
+    with pytest.raises(ValueError, match="reserved"):
+        mor_upsert(bad, path, ["k"])
+
+
+def test_read_survives_compact_rename_window(spark, table):
+    """Simulate a crash between compact's two renames (base gone,
+    base.old + deltas present): read_mor must fall back to base.old and
+    reconstruct the exact pre-compaction state; the next compact()
+    repairs the layout via _recover and folds normally."""
+    mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
+    mor_upsert(_df(spark, [(5, "e", 50)]), table, ["k"])
+    want = _snap(read_mor(spark, table, ["k"]))
+
+    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
+    assert _snap(read_mor(spark, table, ["k"])) == want  # reader fallback
+
+    compact(spark, table, ["k"])  # writer-side recovery + fold
+    assert os.path.isdir(os.path.join(table, "base"))
+    assert not os.path.isdir(os.path.join(table, "base.old"))
+    assert _snap(read_mor(spark, table, ["k"])) == want
+
+
+def test_compact_folds_and_deletes_only_captured_seqs(spark, table, monkeypatch):
+    """A delta committed AFTER compact captured its seq set must survive
+    unfolded (never deleted without being folded in)."""
+    import spark_tensors_spark.operators.mor as M
+
+    mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])  # seq 0: captured
+
+    real_read = M.read_mor
+    def read_and_race(spark_, path, key_cols, seqs=None):
+        out = real_read(spark_, path, key_cols, seqs=seqs)
+        # concurrent writer lands seq 1 while the fold materializes
+        mor_upsert(_df(spark_, [(9, "z", 90)]), path, ["k"], seq=1)
+        return out
+
+    monkeypatch.setattr(M, "read_mor", read_and_race)
+    M.compact(spark, table, ["k"])
+    monkeypatch.undo()
+
+    assert M._deltas(table) == [1]  # the racing delta survived
+    got = _snap(read_mor(spark, table, ["k"]))
+    assert (9, "z", 90) in got and (2, "b", 20) not in got
