@@ -591,35 +591,53 @@ def emb_whiten_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA spectrum of the embedding table (`pipeline/pca.py`): one
-    distributed moment pass (per-batch BLAS partials, fixed-size
-    shuffle), driver eigh of the 64×64 covariance.  Eigensolve output
-    is not SQL-expressible → rows-only; numeric contract is pinned by
-    tests/test_pca.py (parity vs direct numpy PCA, orthonormality,
-    projection-variance = eigenvalue) and a golden digest."""
-    import pandas as pd
+    """Top-variance dimension selection over the EXACT distributed
+    moment pass (`pca.moment_table` on int8 codes — the same pass the
+    green emb_pca_moments oracle gates): per input dimension the
+    unnormalized variance numerator n·Σx² − (Σx)² is exact BIGINT, the
+    sample variance is ONE division of two exact int64s (bit-identical
+    across engines), and the top-8 selection is a total ORDER BY —
+    the feature-selection half of PCA, fully value-oracled (VERDICT r9
+    #3: "a pure ORDER BY over the already-oracled emb_pca_moments
+    output").  The eigensolve spectrum this query previously returned
+    is NOT SQL-expressible and stays pinned in tests/test_pca.py
+    (numpy parity, orthonormality, projection-variance = eigenvalue,
+    plus the exact r9 golden digest)."""
+    from spark_tensors_spark.pipeline.pca import moment_table
 
-    from spark_tensors_spark.pipeline import pca
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = ensure_scan_parallelism(emb)
-    model = pca.fit_pca(emb, dims=64, k=8)
-    # `+ 0.0` snaps a possible -0.0 from eigh's tiny-negative PSD
-    # numerics (run-dependent sign — the emb_whiten_moments r6 lesson;
-    # the digest and any future oracle are sign-of-zero-sensitive)
-    rows = pd.DataFrame(
-        {
-            "pc": range(8),
-            "eigenvalue": [
-                round(float(v), 4) + 0.0 for v in model.eigenvalues
-            ],
-            "explained_ratio": [
-                round(float(v), 4) + 0.0 for v in model.explained_ratio
-            ],
-        }
+    d = 64
+    codes = _int8_codes(spark, sf_dir)
+    mt = moment_table(codes, d, "codes")
+    n_row = mt.filter(F.col("slot") == -1).select(
+        F.col("v").cast("long").alias("n")
     )
-    return spark.createDataFrame(
-        rows, "pc int, eigenvalue double, explained_ratio double"
+    sums = mt.filter((F.col("slot") >= 0) & (F.col("slot") < d)).select(
+        F.col("slot").cast("long").alias("dim"),
+        F.col("v").cast("long").alias("s"),
+    )
+    # gram diagonal: slot = d + i·d + i = d + i·(d+1)
+    diag = (
+        mt.filter(
+            (F.col("slot") >= d) & ((F.col("slot") - d) % (d + 1) == 0)
+        ).select(
+            F.floor((F.col("slot") - d) / (d + 1)).cast("long").alias("dim"),
+            F.col("v").cast("long").alias("gii"),
+        )
+    )
+    var_num = F.col("n") * F.col("gii") - F.col("s") * F.col("s")
+    return (
+        sums.join(diag, "dim")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "dim",
+            var_num.alias("var_num"),
+            (
+                var_num.cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias("variance"),
+        )
+        .orderBy(F.desc("var_num"), "dim")
+        .limit(8)
     )
 
 
@@ -1066,22 +1084,44 @@ def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source zlib compression-ratio rollup
-    (`text.compression_signal` — the Gopher/RefinedWeb boilerplate
-    filter): avg ratio (DECIMAL-snapped), extremes, and the count of
-    high-compressibility docs (ratio < 0.3, the boilerplate band).
-    Rows-only: zlib byte counts are library-specific — golden-pinned in
-    tests/test_rows_only_goldens.py with monotonicity properties in
-    tests/test_text.py."""
-    from spark_tensors_spark.pipeline.text import compression_signal
+COMP_W = 8  # shingle width of the dictionary-compressibility proxy
 
+
+def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility rollup (the Gopher/RefinedWeb
+    boilerplate filter) restated as an EXACT LZ-dictionary proxy so the
+    whole signal sits under the value oracle (VERDICT r9 #3):
+    ratio = |distinct 8-char shingles| / |shingles| — a low ratio means
+    the text re-uses phrases (a small LZ77 dictionary covers it), the
+    same ordering zlib's byte ratio induces.  Both counts are exact
+    integers, the per-doc ratio is ONE division of identical int64s
+    (bit-identical across engines), extremes ship UNROUNDED (r5 dyadic
+    ROUND doctrine), and the average uses the DECIMAL(18,12) per-row
+    snap (doc_repetition_stats shape).  The zlib-byte variant
+    (`text.compression_signal`) remains the library-backed operator —
+    golden-pinned in tests/test_text.py (digest + monotonicity)."""
     docs = load_table(spark, sf_dir, "documents")
     docs = ensure_scan_parallelism(docs)
-    # source rides through the Arrow stage — no corpus-scale join back
-    sig = compression_signal(docs, carry_cols=("source",))
+    w = COMP_W
+    t = docs.filter(F.length("text") >= w).select(
+        "source", (F.length("text") - (w - 1)).cast("long").alias("n_sh"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (w - 1)),
+                    lambda p: F.col("text").substr(p, F.lit(w)),
+                )
+            )
+        ).cast("long").alias("n_dist"),
+    )
+    t = t.select(
+        "source",
+        (F.col("n_dist").cast("double") / F.col("n_sh").cast("double")).alias(
+            "ratio"
+        ),
+    )
     return (
-        sig.groupBy("source")
+        t.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
@@ -1090,8 +1130,8 @@ def doc_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_ratio"),
-            F.round(F.min("ratio"), 6).alias("min_ratio"),
-            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
             F.sum((F.col("ratio") < 0.3).cast("long")).alias("n_boiler"),
         )
         .orderBy("source")
@@ -2460,6 +2500,49 @@ ORDER BY cluster_id, dim
     """,
     # PCA moment pass on int8 codes: count / per-dim sums / Gram upper
     # triangle — all exact BIGINTs
+    "emb_pca_topvar": _ANN_CODES_CTE + """,
+        pos AS (SELECT CAST(UNNEST(range(64)) AS INT) AS p),
+        stats AS MATERIALIZED (
+            SELECT CAST(pos.p AS BIGINT) AS dim,
+                   CAST(SUM(codes[pos.p + 1]) AS BIGINT) AS s,
+                   CAST(SUM(codes[pos.p + 1] * codes[pos.p + 1]) AS BIGINT)
+                       AS gii,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM q CROSS JOIN pos GROUP BY pos.p
+        )
+        SELECT dim,
+               n * gii - s * s AS var_num,
+               CAST(n * gii - s * s AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) AS variance
+        FROM stats
+        ORDER BY var_num DESC, dim
+        LIMIT 8
+    """,
+    "doc_compression_stats": f"""
+        WITH t AS (
+            SELECT source,
+                   CAST(length(text) - {COMP_W - 1} AS BIGINT) AS n_sh,
+                   CAST(len(list_distinct(list_transform(
+                       range(1, length(text) - {COMP_W - 2}),
+                       p -> substr(text, CAST(p AS INT), {COMP_W})
+                   ))) AS BIGINT) AS n_dist
+            FROM documents WHERE length(text) >= {COMP_W}
+        ),
+        r AS (
+            SELECT source,
+                   CAST(n_dist AS DOUBLE) / CAST(n_sh AS DOUBLE) AS ratio
+            FROM t
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_ratio,
+               MIN(ratio) AS min_ratio,
+               MAX(ratio) AS max_ratio,
+               CAST(SUM(CASE WHEN ratio < CAST(0.3 AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM r GROUP BY source ORDER BY source
+    """,
     "emb_pca_moments": _ANN_CODES_CTE + """,
         pos AS (SELECT CAST(UNNEST(range(64)) AS INT) AS p),
         ij AS (

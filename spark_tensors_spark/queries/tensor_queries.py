@@ -176,10 +176,166 @@ ORDER BY gb.a, gb.b
 )
 
 
+ALS_RANK = 2
+
+
+def tns_cp_als_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact CP-ALS mode-A solve under the VALUE oracle — the full
+    update A = MTTKRP(X,B,C) · G⁻¹, G = (BᵀB)∘(CᵀC), that
+    `CPALS._update` / `JoinMergeCPALS._update` iterate (PARAFAC per the
+    reference README claim, `README.md:4-8`), not just its MTTKRP/gram
+    inputs (those are gated separately by tns_mttkrp /
+    tns_als_normal_eq).  Rank 2 + integer pseudo-factors make the
+    normal equations exactly solvable by the adjugate:
+        A[i,·] = (M[i,·]·adj G) / det G
+    — every numerator and det are exact BIGINT, and the single final
+    division of two identical int64s (int64→double conversion and IEEE
+    division are both correctly rounded and deterministic) is
+    bit-identical across engines, so the SOLVE itself is hash-gated.
+    The production path adds a tiny ridge before pinv
+    (`CPALS._ridge`) for run-to-run robustness; on this provably
+    nonsingular integer G the adjugate solve is the same linear map,
+    and the ridge+pinv float path stays pinned by tns_cp_als_fit's
+    golden trajectory + tests/test_parafac.py.
+
+    Plan shape at 100 TB: one MTTKRP join+agg over the COO table (the
+    only data-scale term), two R(R+1)/2-column gram aggregates, and a
+    1-row broadcast of G onto the mode-sized result — no driver-held
+    matrix, no collect."""
+    from spark_tensors_spark.train.parafac import gram_upper_table, mttkrp_wide
+
+    _raw, ent, rel, _enc = _encoded(spark, sf_dir)
+    coo = _coo(spark, sf_dir)
+
+    def _f(df, id_col, a, b, m):
+        return df.select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {ALS_RANK - 1}), "
+                f"r -> CAST(({id_col} * {a} + r * {b}) % {m} AS DOUBLE))"
+            ).alias("vec"),
+        )
+
+    fb = _f(ent.select(F.col("id").alias("j")), "j", 31, 17, 5)
+    fc = _f(rel.select(F.col("id").alias("k")), "k", 37, 23, 7)
+    m = mttkrp_wide(coo, fb, fc, ALS_RANK, "i", "j", "k")
+    gb = gram_upper_table(fb, ALS_RANK).select(
+        "a", "b", F.col("g").cast("long").alias("g_b")
+    )
+    gc = gram_upper_table(fc, ALS_RANK).select(
+        "a", "b", F.col("g").cast("long").alias("g_c")
+    )
+    def _cell(a: int, b: int):
+        return F.max(
+            F.when(
+                (F.col("a") == a) & (F.col("b") == b),
+                F.col("g_b") * F.col("g_c"),
+            )
+        )
+
+    g_row = (
+        gb.join(gc, ["a", "b"])
+        .agg(
+            _cell(0, 0).alias("g00"),
+            _cell(0, 1).alias("g01"),
+            _cell(1, 1).alias("g11"),
+        )
+        .select(
+            "g00",
+            "g01",
+            "g11",
+            (
+                F.col("g00") * F.col("g11") - F.col("g01") * F.col("g01")
+            ).alias("det"),
+        )
+    )
+    m0 = F.element_at("m", 1).cast("long")
+    m1 = F.element_at("m", 2).cast("long")
+    rows = m.crossJoin(F.broadcast(g_row)).select(
+        "i",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("r"),
+                    m0.alias("m"),
+                    (m0 * F.col("g11") - m1 * F.col("g01")).alias("a_num"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("r"),
+                    m1.alias("m"),
+                    (m1 * F.col("g00") - m0 * F.col("g01")).alias("a_num"),
+                ),
+            )
+        ).alias("s"),
+        "det",
+    )
+    return rows.select(
+        "i",
+        F.col("s.r").alias("r"),
+        F.col("s.m").alias("m"),
+        F.col("s.a_num").alias("a_num"),
+        "det",
+        (F.col("s.a_num").cast("double") / F.col("det").cast("double")).alias(
+            "a_val"
+        ),
+    ).orderBy("i", "r")
+
+
+def _als_step_sql() -> str:
+    def b(r, rr="id"):
+        return f"(({rr} * 31 + {r} * 17) % 5)"
+
+    def c(r, rr="id"):
+        return f"(({rr} * 37 + {r} * 23) % 7)"
+
+    return (
+        TRIPLES_CTE
+        + f""",
+coo AS (SELECT s_id AS i, o_id AS j, p_id AS k FROM triples_encoded),
+ranks AS (SELECT unnest(range({ALS_RANK})) AS r),
+mw AS MATERIALIZED (
+    SELECT i,
+           CAST(SUM({b(0, "j")} * {c(0, "k")}) AS BIGINT) AS m0,
+           CAST(SUM({b(1, "j")} * {c(1, "k")}) AS BIGINT) AS m1
+    FROM coo GROUP BY i
+),
+gb AS (
+    SELECT CAST(SUM({b(0)} * {b(0)}) AS BIGINT) AS b00,
+           CAST(SUM({b(0)} * {b(1)}) AS BIGINT) AS b01,
+           CAST(SUM({b(1)} * {b(1)}) AS BIGINT) AS b11
+    FROM entity_dict
+),
+gc AS (
+    SELECT CAST(SUM({c(0)} * {c(0)}) AS BIGINT) AS c00,
+           CAST(SUM({c(0)} * {c(1)}) AS BIGINT) AS c01,
+           CAST(SUM({c(1)} * {c(1)}) AS BIGINT) AS c11
+    FROM relation_dict
+),
+g AS (
+    SELECT b00 * c00 AS g00, b01 * c01 AS g01, b11 * c11 AS g11,
+           (b00 * c00) * (b11 * c11) - (b01 * c01) * (b01 * c01) AS det
+    FROM gb, gc
+)
+SELECT mw.i,
+       CAST(r.r AS BIGINT) AS r,
+       CASE WHEN r.r = 0 THEN m0 ELSE m1 END AS m,
+       CASE WHEN r.r = 0 THEN m0 * g11 - m1 * g01
+            ELSE m1 * g00 - m0 * g01 END AS a_num,
+       g.det AS det,
+       CAST(CASE WHEN r.r = 0 THEN m0 * g11 - m1 * g01
+                 ELSE m1 * g00 - m0 * g01 END AS DOUBLE)
+           / CAST(g.det AS DOUBLE) AS a_val
+FROM mw CROSS JOIN ranks r CROSS JOIN g
+ORDER BY i, r
+"""
+    )
+
+
 QUERIES = {
     "tns_mttkrp": tns_mttkrp,
     "tns_mttkrp_shuffle": tns_mttkrp_shuffle,
     "tns_als_normal_eq": tns_als_normal_eq,
+    "tns_cp_als_step_exact": tns_cp_als_step_exact,
     "tns_cp_als_fit": tns_cp_als_fit,
 }
 
@@ -187,4 +343,5 @@ ORACLES = {
     "tns_mttkrp": TNS_MTTKRP_SQL,
     "tns_mttkrp_shuffle": TNS_MTTKRP_SQL,
     "tns_als_normal_eq": TNS_ALS_NORMAL_EQ_SQL,
+    "tns_cp_als_step_exact": _als_step_sql(),
 }

@@ -218,3 +218,39 @@ def test_bm25_guards(spark):
     # so the two scoring docs see avgdl=1.0; with dl=2 doc 0 scores
     # strictly below doc 2 (same tf/df, longer doc)
     assert out[2].bm25 > out[0].bm25
+
+
+def test_zlib_compression_rollup_golden(spark):
+    """The zlib per-source rollup doc_compression_stats returned before
+    r10 (the declared query is now the ORACLED exact shingle-dictionary
+    proxy; zlib byte counts are library-specific).  Same computation,
+    same r9 digest — the library-backed operator's contract is
+    unchanged."""
+    import hashlib
+
+    from spark_tensors_spark.io.readers import load_table
+    from spark_tensors_spark.pipeline.text import compression_signal
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import normalize
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = compression_signal(docs, carry_cols=("source",))
+    df = (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.sum((F.col("ratio") < 0.3).cast("long")).alias("n_boiler"),
+        )
+        .orderBy("source")
+    )
+    cols, out = normalize(df.columns, [tuple(r) for r in df.collect()])
+    got = hashlib.md5(repr((cols, out)).encode()).hexdigest()
+    assert (len(out), got) == (20, "b81109d991de1252ccdd08240e004afb")

@@ -87,3 +87,36 @@ def test_whitening_unit_covariance(spark, emb_np):
     cov = np.cov(w, rowvar=False)
     np.testing.assert_allclose(cov, np.eye(16), atol=1e-6)
     assert abs(w.mean()) < 1e-9
+
+
+def test_eigen_spectrum_golden(spark):
+    """The PCA eigensolve spectrum emb_pca_topvar returned before r10
+    (it is now the ORACLED exact top-variance-dimension selection; the
+    eigensolve itself is not SQL-expressible).  Same computation, same
+    normalization, same r9 digest — the driver-solve contract is
+    unchanged."""
+    import hashlib
+
+    import pandas as pd
+
+    from tests.oracle_harness import normalize
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    model = pca.fit_pca(emb, dims=64, k=8)
+    rows = pd.DataFrame(
+        {
+            "pc": range(8),
+            "eigenvalue": [
+                round(float(v), 4) + 0.0 for v in model.eigenvalues
+            ],
+            "explained_ratio": [
+                round(float(v), 4) + 0.0 for v in model.explained_ratio
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        rows, "pc int, eigenvalue double, explained_ratio double"
+    )
+    cols, out = normalize(df.columns, [tuple(r) for r in df.collect()])
+    got = hashlib.md5(repr((cols, out)).encode()).hexdigest()
+    assert (len(out), got) == (8, "7a76b50ea0fb182ad8d460acf33b667d")

@@ -28,14 +28,16 @@ from tests.oracle_harness import normalize
 # value-oracled via pseudo-token hashes / int8 codes + pseudo_planes;
 # their engine-hash production paths keep the same digests in
 # tests/test_trained_ann_goldens.py.)
+# (emb_pca_topvar + doc_compression_stats moved out in r10: the
+# declared queries are value-oracled now — exact top-variance moments /
+# shingle-dictionary proxy — and the eigensolve spectrum / zlib rollup
+# they used to return keep the SAME digests in tests/test_pca.py::
+# test_eigen_spectrum_golden and tests/test_corpus.py::
+# test_zlib_compression_rollup_golden.)
 GOLDEN = {
-    "emb_pca_topvar": (8, "7a76b50ea0fb182ad8d460acf33b667d"),
     # oracled too (the cov = I invariant); the digest additionally pins
     # the exact 36-row grid across container/library versions
     "emb_whiten_moments": (36, "3ab8ea596a56b7f4f6c2bd925c4c6e02"),
-    # zlib byte counts are library-specific (hence no SQL oracle) but
-    # deterministic for a fixed level within this container
-    "doc_compression_stats": (20, "b81109d991de1252ccdd08240e004afb"),
     # oracled since r6 (full symbolic fit+apply replay); the digest
     # stays as an extra pin on the Python encode path
     "doc_bpe_encode_stats": (6, "c0ba6b450fa67de8cffddf8959b56419"),
