@@ -136,8 +136,16 @@ def kge_generalization_metrics(
     TPC-H-KG smokes (out-degree 1 ⇒ held-out edges structurally
     unrankable, ROUND_NOTES r1 #6), cluster structure is learnable:
     held-out Hits@10 pins at 1.0 ≈ 11× the 10/112 random baseline.
-    Rows-only (iterative SGD); exact 6-dp metrics golden-pinned in
-    tests/test_mlops_queries.py."""
+
+    PERMANENTLY rows-only, by design: the value here is the multi-epoch
+    float SGD trajectory itself (AdaGrad state, float margins — not
+    dyadic-exact, hence not symbolically replayable; same class as the
+    three kge_*_train_metrics smokes).  Every SQL-expressible slice of
+    this pipeline IS separately value-oracled: one exact SGD step per
+    model (kge_{transe,rescal,hole}_step_exact), full-entity ranking
+    (kge_transe_rank_join), and the filtered protocol on THIS fixture
+    (kg_q19_object_filtered_{ranks,metrics}).  Exact 6-dp metrics
+    golden-pinned in tests/test_mlops_queries.py."""
     import numpy as np
 
     from spark_tensors_spark.queries.kg import (
