@@ -20,9 +20,25 @@ Size-adaptive, like every production CC (GraphFrames does the same):
   O(1) deep.  Convergence detection rides on Σcomp (monotone
   non-increasing), one cheap agg per round instead of a join+count.
 
-The large-star/small-star alternation (Kiveris et al., "Connected
-Components in MapReduce and Beyond") reaches O(log log n); same
-join/agg shape if a corpus ever needs it.
+Two distributed methods share that shape:
+
+- ``minlabel`` — min-label propagation + pointer jumping,
+  O(log diameter) rounds (the original path; still the gated
+  implementation behind doc_lsh_components_dist).
+- ``twostar`` — the large-star/small-star alternation of Kiveris et
+  al., "Connected Components in MapReduce and Beyond" (SoCC 2014):
+  O(log log n) expected rounds, and each round is ONE groupBy-min +
+  one join per star operation over an edge set that only SHRINKS
+  toward the final star forest — the better 100 TB story for
+  pathological diameters (gated behind graph_wcc).
+
+Convergence detection for twostar is provable from two invariants
+(both operations emit, per input edge, an edge whose endpoint sum is
+≤ the input edge's, and every edge's endpoint sum is ≥ 1 for
+non-negative ids): the (count, Σ(child+parent)) signature is
+monotonically non-increasing and stays fixed across a round iff the
+edge set did not change — one cheap aggregate per round, the same
+trick as minlabel's Σcomp.
 """
 
 from __future__ import annotations
@@ -57,19 +73,112 @@ def _union_find_components(pairs: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
+def _cc_partitions(edges: DataFrame, n_edges: int) -> int:
+    """~50k edges/partition, capped at the cluster default — a tiny
+    graph on defaultParallelism partitions pays ~32 near-empty tasks
+    per stage per round in pure scheduling overhead; at scale the cap
+    keeps full parallelism."""
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    return max(2, min(parallelism, n_edges // 50_000 + 1))
+
+
+def two_star_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """DataFrame(node, comp) via large-star/small-star alternation
+    (Kiveris et al., SoCC 2014) — O(log log n) expected rounds on
+    non-negative NUMERIC node ids.
+
+    Each round:
+      large-star — every node connects its strictly-larger neighbours
+      to the minimum of its closed neighbourhood:
+      E ← { (v, m(u)) : (u,v) ∈ E_sym, v > u },  m(u) = min(Γ(u) ∪ u)
+      small-star — every node re-points its ≤-neighbours (and itself)
+      at that minimum:
+      E ← { (v, m(u)) : v ∈ N(u) ∪ {u} \\ {m(u)} }, N(u) = smaller nbrs
+    Both keep edges oriented child > parent and preserve connectivity
+    (the paper's Lemmas 1-2); the fixed point is a star per component
+    rooted at its minimum id.  Stops when the (count, Σ(child+parent))
+    signature survives a full round unchanged (provably ⇔ the edge set
+    is unchanged — see the module docstring) or at ``max_rounds``.
+    """
+    e0 = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("c"),
+            F.least(F.col(src), F.col(dst)).alias("p"),
+        )
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    n_parts = _cc_partitions(edges, n_edges)
+    E = e0.repartition(n_parts, "c").localCheckpoint()
+    e0.unpersist()
+    sig = tuple(
+        E.agg(F.count(F.lit(1)), F.sum(F.col("c") + F.col("p"))).first()
+    )
+    for _ in range(max_rounds):
+        sym = E.unionByName(
+            E.select(F.col("p").alias("c"), F.col("c").alias("p"))
+        )
+        mtab = (
+            sym.groupBy("c")
+            .agg(F.min("p").alias("mn"))
+            .select("c", F.least("mn", F.col("c")).alias("m"))
+        )
+        large = (
+            sym.join(mtab, "c")
+            .filter(F.col("p") > F.col("c"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .distinct()
+        )
+        m2 = large.groupBy("c").agg(F.min("p").alias("m"))
+        small = (
+            large.join(m2, "c")
+            .filter(F.col("p") != F.col("m"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .unionByName(m2.select("c", F.col("m").alias("p")))
+            .distinct()
+        )
+        E = small.localCheckpoint()
+        new_sig = tuple(
+            E.agg(F.count(F.lit(1)), F.sum(F.col("c") + F.col("p"))).first()
+        )
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = (
+        E.select(F.col("p").alias("node"))
+        .distinct()
+        .join(E.select(F.col("c").alias("node")), "node", "left_anti")
+    )
+    return E.select(F.col("c").alias("node"), F.col("p").alias("comp")).unionByName(
+        roots.select("node", F.col("node").alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 25,
     driver_threshold: int = 2_000_000,
+    method: str = "minlabel",
 ) -> DataFrame:
     """DataFrame(node, component) — component = min node id reachable.
 
     ``edges`` is an undirected pair list (each pair once is enough).
     Isolated nodes don't appear (no edges → no dedup decision needed).
-    Set ``driver_threshold=0`` to force the distributed path.
+    Set ``driver_threshold=0`` to force the distributed path;
+    ``method`` picks the distributed algorithm (``minlabel`` pointer
+    jumping, or the ``twostar`` Kiveris alternation).
     """
+    if method not in ("minlabel", "twostar"):
+        raise ValueError(f"unknown CC method {method!r}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -95,15 +204,13 @@ def connected_components(
         e.unpersist()
         return out
 
+    if method == "twostar":
+        out = two_star_components(e, "u", "v", max_rounds=max_rounds)
+        e.unpersist()
+        return out
+
     # symmetrize once; both directions feed every propagation round.
-    # Partition count follows the edge count (~50k edges/partition,
-    # capped at the cluster default): every propagation round launches
-    # 2 joins + an agg over this frame, and a tiny graph on
-    # defaultParallelism partitions pays ~32 near-empty tasks per stage
-    # per round in pure scheduling overhead.  At scale the cap keeps
-    # full parallelism.
-    parallelism = edges.sparkSession.sparkContext.defaultParallelism
-    n_parts = max(2, min(parallelism, n_edges // 50_000 + 1))
+    n_parts = _cc_partitions(edges, n_edges)
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -779,10 +779,12 @@ WCC_ROUNDS = 7
 def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components over the encoded KG edge list —
     the first graph question after PageRank ("how many islands?").
-    FORCES the distributed min-label-propagation + pointer-jumping
-    path (`pipeline/components.connected_components`,
-    driver_threshold=0), so the 100 TB implementation itself sits
-    under the value oracle (the doc_lsh_components_dist doctrine).
+    FORCES the distributed large-star/small-star alternation
+    (`pipeline/components.two_star_components`, Kiveris et al. SoCC
+    2014 — O(log log n) rounds, the 100 TB path for pathological
+    diameters), so that implementation itself sits under the value
+    oracle; the min-label + pointer-jumping alternative stays gated
+    via doc_lsh_components_dist (the r4 dual-path doctrine).
 
     The oracle unrolls {WCC_ROUNDS} plain label-propagation rounds
     (label_{{k+1}}(v) = min(label_k(v), min over neighbours
@@ -796,7 +798,7 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raw, _ent, _rel, enc = _encoded(spark, sf_dir)
     edges = enc.select("s_id", "o_id").distinct()
     cc = components.connected_components(
-        edges, "s_id", "o_id", driver_threshold=0
+        edges, "s_id", "o_id", driver_threshold=0, method="twostar"
     )
     return (
         cc.select(

@@ -18,54 +18,55 @@ from spark_tensors_spark.pipeline.components import (
 
 
 # ------------------------------------------------------------ components
-# threshold 0 forces the distributed label-propagation loop; the default
-# takes the driver union-find path — both must agree everywhere.
+# threshold 0 forces a distributed loop (min-label pointer jumping or
+# the Kiveris large-star/small-star alternation); the default takes the
+# driver union-find path — all three must agree everywhere.
 PATHS = pytest.mark.parametrize(
-    "threshold", [0, 2_000_000], ids=["distributed", "driver"]
+    "cc_kwargs",
+    [
+        dict(driver_threshold=0),
+        dict(driver_threshold=2_000_000),
+        dict(driver_threshold=0, method="twostar"),
+    ],
+    ids=["distributed", "driver", "twostar"],
 )
 
 
 @PATHS
-def test_cc_chain_is_one_component(spark, threshold):
+def test_cc_chain_is_one_component(spark, cc_kwargs):
     # a-b, b-c, c-d: transitive closure must land all four on min id
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], ["a", "b"]
     )
     got = {
         (r.node, r.comp)
-        for r in connected_components(
-            edges, driver_threshold=threshold
-        ).collect()
+        for r in connected_components(edges, **cc_kwargs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
 
 
 @PATHS
-def test_cc_separate_components_stay_separate(spark, threshold):
+def test_cc_separate_components_stay_separate(spark, cc_kwargs):
     edges = spark.createDataFrame(
         [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
         ["a", "b"],
     )
     comp = {
         r.node: r.comp
-        for r in connected_components(
-            edges, driver_threshold=threshold
-        ).collect()
+        for r in connected_components(edges, **cc_kwargs).collect()
     }
     assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
 @PATHS
-def test_cc_converges_on_long_chain(spark, threshold):
+def test_cc_converges_on_long_chain(spark, cc_kwargs):
     # path graph of 40 nodes: worst-case diameter for label propagation
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["a", "b"]
     )
     comp = {
         r.node: r.comp
-        for r in connected_components(
-            edges, driver_threshold=threshold
-        ).collect()
+        for r in connected_components(edges, **cc_kwargs).collect()
     }
     assert all(c == 0 for c in comp.values())
     assert len(comp) == 41
@@ -86,7 +87,39 @@ def test_cc_paths_agree_on_random_graph(spark):
         map(tuple, connected_components(edges, driver_threshold=0).collect())
     )
     drv = sorted(map(tuple, connected_components(edges).collect()))
-    assert dist == drv
+    two = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, driver_threshold=0, method="twostar"
+            ).collect(),
+        )
+    )
+    assert dist == drv == two
+
+
+def test_twostar_matches_union_find_fuzz(spark):
+    """Randomized parity of the Kiveris alternation against driver
+    union-find over graph shapes that stress it differently: sparse
+    forests, dense near-cliques, and a duplicate-heavy multigraph."""
+    import random
+
+    for seed, n, m in [(1, 60, 30), (2, 40, 200), (3, 90, 90)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] * 2  # duplicates must be harmless
+        edges = spark.createDataFrame(pairs, ["a", "b"])
+        two = sorted(
+            map(
+                tuple,
+                connected_components(
+                    edges, driver_threshold=0, method="twostar"
+                ).collect(),
+            )
+        )
+        drv = sorted(map(tuple, connected_components(edges).collect()))
+        assert two == drv, seed
 
 
 def test_duplicate_components_excludes_keepers(spark):
