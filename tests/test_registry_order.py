@@ -99,3 +99,29 @@ def test_live_registry_window_covers_failed_and_stale():
     # and the ordering is globally non-decreasing in staleness score
     scores = [score(q) for q in names]
     assert scores == sorted(scores)
+
+
+def test_r10_new_oracles_lead_the_window():
+    """The five round-10 oracles (two exact KGE steps, the exact ALS
+    solve, and the two rows-only→oracled conversions) must front the
+    driver window UNTIL a correctness record gates them — after that
+    they rotate like everyone else (the assertion self-retires)."""
+    import os
+
+    qs, oracles = entry._registry()
+    names = list(qs)
+    hist = entry._gate_history(os.path.dirname(entry.__file__))
+    new10 = {
+        "kge_rescal_step_exact",
+        "kge_hole_step_exact",
+        "tns_cp_als_step_exact",
+        "emb_pca_topvar",
+        "doc_compression_stats",
+    }
+    ungated = {
+        q for q in new10
+        if hist.get(q, (0, "never"))[1] != "ok"
+    }
+    assert ungated <= set(names[: len(ungated)]), (
+        ungated - set(names[: len(ungated)])
+    )
