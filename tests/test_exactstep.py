@@ -286,3 +286,55 @@ def test_hole_step_matches_gradchecked_kernel(spark, fixtures):
     assert lrow.n_triples == len(triples)
     assert lrow.n_violations == int((loss > 0).sum())
     assert lrow.total_loss == int(round(loss.sum()))
+
+
+def test_transe_two_chained_steps_match_python_loop(spark, fixtures):
+    """The exact step COMPOSES: feed step 1's updated parameter table
+    back in as step 2's parameters and the result still matches a
+    two-iteration pure-Python SGD loop bit-for-bit (lr=1 keeps the
+    parameters integer so the second gather/margin/sign pass stays
+    exact BIGINT arithmetic) — the training LOOP, not just one step,
+    is reproducible DataFrame algebra."""
+    triples, tri, E, R = fixtures
+
+    def py_step(E, R):
+        gE = np.zeros_like(E)
+        gR = np.zeros_like(R)
+        for s, p, o in triples:
+            n = (o + 1 + p) % N_ENT
+            dp = E[s] + R[p] - E[o]
+            dn = E[s] + R[p] - E[n]
+            if MARGIN + np.abs(dp).sum() - np.abs(dn).sum() > 0:
+                gE[s] += np.sign(dp) - np.sign(dn)
+                gE[o] += -np.sign(dp)
+                gE[n] += np.sign(dn)
+                gR[p] += np.sign(dp) - np.sign(dn)
+        return E - gE, R - gR
+
+    E1, R1 = py_step(_np_E().astype(np.int64), _np_R().astype(np.int64))
+    E2, R2 = py_step(E1, R1)
+
+    def rebuild(out_df, kind):
+        rows = out_df.filter(F.col("kind") == kind)
+        return (
+            rows.groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("d", "new_val"))
+                    ),
+                    lambda s: s["new_val"].cast("long"),
+                ).alias("vec")
+            )
+        )
+
+    step1 = transe_l1_sgd_step(
+        tri, E, R, dim=DIM, n_entities=N_ENT, margin=MARGIN, lr=1.0
+    ).localCheckpoint()
+    step2 = transe_l1_sgd_step(
+        tri, rebuild(step1, "E"), rebuild(step1, "R"),
+        dim=DIM, n_entities=N_ENT, margin=MARGIN, lr=1.0,
+    )
+    for row in step2.collect():
+        want = (E2 if row.kind == "E" else R2)[row.id][row.d]
+        assert row.new_val == want, (row, want)
