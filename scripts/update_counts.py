@@ -42,6 +42,7 @@ def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
         r"`oracle_sql\(\)` \(\d+\)", f"`oracle_sql()` ({n_o})", text
     )
     text = re.sub(r"\| \d+ tests:", f"| {n_t} tests:", text)
+    text = re.sub(r"\(\d+ tests\)", f"({n_t} tests)", text)
     text = re.sub(r"all \d+ declared queries", f"all {n_q} declared queries", text)
     return text
 

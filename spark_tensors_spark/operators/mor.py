@@ -29,10 +29,18 @@ and `compact` must not run concurrently with each other — `compact`
 folds and deletes exactly the delta set it captured up front, so a
 delta committed mid-compaction by another writer would survive unfolded
 (correct), but two concurrent compactions or a compaction racing the
-rename window corrupt the layout.  Concurrent READERS are safe at any
-point: `read_mor` falls back to ``base.old`` during compact's
-two-rename window, and re-reading already-folded deltas is idempotent
-(delete ⇒ anti-join no-op, upsert ⇒ replaces identical rows).
+rename window corrupt the layout.  Every writer entry point
+(`init_mor`, delta commits, `compact`) first repairs a crashed
+compaction via `_recover`, so the crash window cannot be mistaken for
+an uninitialized table.  Concurrent READERS are crash-CONSISTENT but
+not compaction-isolated: `read_mor` resolves a correct state at plan
+time (``base.old`` fallback inside the rename window; re-reading
+already-folded deltas is idempotent — delete ⇒ anti-join no-op,
+upsert ⇒ replaces identical rows), but a read whose plan captured
+``base.old`` or a delta dir that compact's CLEANUP then deletes fails
+transiently with a file-not-found — retry semantics, the usual
+snapshot-isolation gap of directory-convention tables without a
+manifest log.
 """
 
 from __future__ import annotations
@@ -105,6 +113,7 @@ def init_mor(df: DataFrame, path: str) -> None:
     """Write the base snapshot of a new MoR table (one-time full
     write; every later mutation is delta-sized)."""
     _check_reserved(df.columns, "base table")
+    _recover(path)  # a crashed compaction must not look uninitialized
     base = os.path.join(path, "base")
     if os.path.isdir(base):
         raise FileExistsError(f"MoR table already initialized: {path}")
@@ -156,6 +165,7 @@ def mor_upsert(
 
 
 def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
+    _recover(path)  # writer entry point: repair a crashed compaction
     seqs = _deltas(path)
     if seq is None:
         seq = (seqs[-1] + 1) if seqs else 0

@@ -197,6 +197,7 @@ def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row 'L' loss summary (n_triples, n_violations, total_loss)."""
     from spark_tensors_spark.queries.kg import _encoded
     from spark_tensors_spark.train.exactstep import (
+        _gather_and_score,
         transe_l1_loss_summary,
         transe_l1_sgd_step,
     )
@@ -209,35 +210,21 @@ def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_id", "p_id", "o_id")
         .distinct()
     )
-    d_seq = F.sequence(F.lit(0), F.lit(STEP_DIM - 1))
-
-    def _emb(n_rows: int, a: int, b: int, m: int, c: int):
-        return spark.range(n_rows).select(
-            F.col("id"),
-            F.transform(
-                d_seq,
-                lambda d: (
-                    (F.col("id") * a + d * b) % m - c
-                ).cast("long"),
-            ).alias("vec"),
-        )
-
-    E = _emb(n_ent, 31, 17, 13, 6)
-    R = _emb(n_rel, 29, 23, 11, 5)
+    E = _pseudo_E(spark, n_ent, STEP_DIM)
+    R = _pseudo_R(spark, n_rel, STEP_DIM)
+    scored = _gather_and_score(
+        tri, E, R, n_ent, STEP_MARGIN
+    ).localCheckpoint()
     upd = transe_l1_sgd_step(
         tri, E, R, dim=STEP_DIM, n_entities=n_ent,
-        margin=STEP_MARGIN, lr=STEP_LR,
+        margin=STEP_MARGIN, lr=STEP_LR, scored=scored,
     )
     out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
-    loss = transe_l1_loss_summary(
-        tri, E, R, dim=STEP_DIM, n_entities=n_ent, margin=STEP_MARGIN
-    ).select(
-        F.lit("L").alias("kind"),
-        F.lit(-1).cast("long").alias("id"),
-        F.lit(-1).cast("long").alias("d"),
-        F.col("n_triples").cast("long").alias("old_val"),
-        F.col("n_violations").alias("grad"),
-        F.col("total_loss").cast("double").alias("new_val"),
+    loss = _loss_as_row(
+        transe_l1_loss_summary(
+            tri, E, R, dim=STEP_DIM, n_entities=n_ent,
+            margin=STEP_MARGIN, scored=scored,
+        )
     )
     return out.unionByName(loss).orderBy("kind", "id", "d")
 
@@ -326,15 +313,39 @@ HOLE_DIM = 8
 PAIR_MARGIN = 2
 
 
-def _pseudo_E(spark, n_rows: int, dim: int):
-    """Integer pseudo entity embeddings E(id,d) = ((id·31+d·17) mod 13) − 6
-    (the kg_distmult_scores doctrine — exact, symbolically replayable)."""
+def _pseudo_vec(spark, n_rows: int, dim: int, a: int, b: int, m: int, c: int):
+    """Integer pseudo parameter table vec(id,d) = ((id·a+d·b) mod m) − c
+    (the kg_distmult_scores doctrine — exact, symbolically replayable).
+    ONE source for every exact-step query; the DuckDB oracles state the
+    same formula."""
     d_seq = F.sequence(F.lit(0), F.lit(dim - 1))
     return spark.range(n_rows).select(
         "id",
         F.transform(
-            d_seq, lambda d: ((F.col("id") * 31 + d * 17) % 13 - 6).cast("long")
+            d_seq, lambda d: ((F.col("id") * a + d * b) % m - c).cast("long")
         ).alias("vec"),
+    )
+
+
+def _pseudo_E(spark, n_rows: int, dim: int):
+    return _pseudo_vec(spark, n_rows, dim, 31, 17, 13, 6)
+
+
+def _pseudo_R(spark, n_rows: int, dim: int):
+    return _pseudo_vec(spark, n_rows, dim, 29, 23, 11, 5)
+
+
+def _loss_as_row(loss_df: DataFrame) -> DataFrame:
+    """Pack a 1-row loss summary into the step-output schema as the
+    'L' row (old_val = n_triples, grad = n_violations,
+    new_val = total_loss)."""
+    return loss_df.select(
+        F.lit("L").alias("kind"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("d"),
+        F.col("n_triples").cast("long").alias("old_val"),
+        F.col("n_violations").alias("grad"),
+        F.col("total_loss").cast("double").alias("new_val"),
     )
 
 
@@ -357,6 +368,8 @@ def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescal_loss_summary,
     )
 
+    from spark_tensors_spark.train.exactstep import _rescal_gather_score
+
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
@@ -377,19 +390,20 @@ def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("vec"),
     )
+    # gather once, consume twice (update rows + loss row)
+    scored = _rescal_gather_score(
+        tri, E, W, d, n_ent, PAIR_MARGIN
+    ).localCheckpoint()
     upd = rescal_bilinear_sgd_step(
-        tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN, lr=STEP_LR
+        tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
+        lr=STEP_LR, scored=scored,
     )
     out = upd.filter((F.col("kind") == "W") | (F.col("id") % 37 == 0))
-    loss = rescal_loss_summary(
-        tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN
-    ).select(
-        F.lit("L").alias("kind"),
-        F.lit(-1).cast("long").alias("id"),
-        F.lit(-1).cast("long").alias("d"),
-        F.col("n_triples").cast("long").alias("old_val"),
-        F.col("n_violations").alias("grad"),
-        F.col("total_loss").cast("double").alias("new_val"),
+    loss = _loss_as_row(
+        rescal_loss_summary(
+            tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
+            scored=scored,
+        )
     )
     return out.unionByName(loss).orderBy("kind", "id", "d")
 
@@ -506,6 +520,8 @@ def kge_hole_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hole_loss_summary,
     )
 
+    from spark_tensors_spark.train.exactstep import _hole_gather_score
+
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
@@ -516,26 +532,20 @@ def kge_hole_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = HOLE_DIM
     E = _pseudo_E(spark, n_ent, d)
-    d_seq = F.sequence(F.lit(0), F.lit(d - 1))
-    R = spark.range(n_rel).select(
-        "id",
-        F.transform(
-            d_seq, lambda k: ((F.col("id") * 29 + k * 23) % 11 - 5).cast("long")
-        ).alias("vec"),
-    )
+    R = _pseudo_R(spark, n_rel, d)
+    scored = _hole_gather_score(
+        tri, E, R, d, n_ent, PAIR_MARGIN
+    ).localCheckpoint()
     upd = hole_ccorr_sgd_step(
-        tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN, lr=STEP_LR
+        tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
+        lr=STEP_LR, scored=scored,
     )
     out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
-    loss = hole_loss_summary(
-        tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN
-    ).select(
-        F.lit("L").alias("kind"),
-        F.lit(-1).cast("long").alias("id"),
-        F.lit(-1).cast("long").alias("d"),
-        F.col("n_triples").cast("long").alias("old_val"),
-        F.col("n_violations").alias("grad"),
-        F.col("total_loss").cast("double").alias("new_val"),
+    loss = _loss_as_row(
+        hole_loss_summary(
+            tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
+            scored=scored,
+        )
     )
     return out.unionByName(loss).orderBy("kind", "id", "d")
 

@@ -104,6 +104,7 @@ def transe_l1_sgd_step(
     n_entities: int,
     margin: int = 4,
     lr: float = 0.25,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """One full-batch L1-TransE SGD step over integer embeddings.
 
@@ -123,10 +124,16 @@ def transe_l1_sgd_step(
       kind 'E'/'R', old_val/grad BIGINT, new_val = old − lr·grad
       (exact dyadic DOUBLE).  Covers every parameter slot of the two
       embedding tables (grad 0 where no violating triple touches it).
+
+    ``scored``: a precomputed (e.g. localCheckpointed)
+    ``_gather_and_score`` frame — pass the SAME one to the loss
+    summary so the gather pipeline is planned once, not once per
+    consumer.
     """
-    scored = _gather_and_score(
-        triples, entity_emb, relation_emb, n_entities, margin
-    )
+    if scored is None:
+        scored = _gather_and_score(
+            triples, entity_emb, relation_emb, n_entities, margin
+        )
     zero = F.lit(0).cast("long")
 
     # margin filter: gradients flow only through violations (P4 shape)
@@ -410,6 +417,7 @@ def rescal_bilinear_sgd_step(
     n_entities: int,
     margin: int = 2,
     lr: float = 0.25,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """One full-batch pairwise margin-ranking RESCAL SGD step over
     integer parameters — the reference's actual RESCAL objective
@@ -423,10 +431,12 @@ def rescal_bilinear_sgd_step(
       ∂/∂W[i,j] = sᵢ·(o⁻ⱼ − o⁺ⱼ).
     Returns one row per parameter slot — kind 'E' (slot d ∈ [0,dim))
     and kind 'W' (slot d = i·dim+j ∈ [0,dim²)) — with
-    new_val = old − lr·grad exact dyadic."""
-    scored = _rescal_gather_score(
-        triples, entity_emb, rel_w, dim, n_entities, margin
-    )
+    new_val = old − lr·grad exact dyadic.  ``scored``: precomputed
+    `_rescal_gather_score` frame shared with the loss summary."""
+    if scored is None:
+        scored = _rescal_gather_score(
+            triples, entity_emb, rel_w, dim, n_entities, margin
+        )
     viol = scored.filter(F.col("raw_loss") > 0)
 
     e_contrib = viol.select(
@@ -486,13 +496,15 @@ def rescal_loss_summary(
     dim: int,
     n_entities: int,
     margin: int = 2,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
-    """1-row loss summary for the SAME RESCAL step (shared gather)."""
-    return _loss_row(
-        _rescal_gather_score(
+    """1-row loss summary for the SAME RESCAL step (pass the step's
+    ``scored`` frame to share the computation, not just the code)."""
+    if scored is None:
+        scored = _rescal_gather_score(
             triples, entity_emb, rel_w, dim, n_entities, margin
         )
-    )
+    return _loss_row(scored)
 
 
 def _hole_gather_score(
@@ -546,6 +558,7 @@ def hole_ccorr_sgd_step(
     n_entities: int,
     margin: int = 2,
     lr: float = 0.25,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """One full-batch pairwise margin-ranking HolE SGD step over
     integer embeddings — score r·ccorr(s,o) (`hole.py:19-20`),
@@ -556,10 +569,12 @@ def hole_ccorr_sgd_step(
       ∂/∂s = ccorr(r,o⁻) − ccorr(r,o⁺);
       ∂/∂o⁺ = −cconv(s,r);  ∂/∂o⁻ = +cconv(s,r).
     All four are width-dim — one explode + ONE wide segment-sum, the
-    exact transe_l1_sgd_step topology."""
-    scored = _hole_gather_score(
-        triples, entity_emb, relation_emb, dim, n_entities, margin
-    )
+    exact transe_l1_sgd_step topology.  ``scored``: precomputed
+    `_hole_gather_score` frame shared with the loss summary."""
+    if scored is None:
+        scored = _hole_gather_score(
+            triples, entity_emb, relation_emb, dim, n_entities, margin
+        )
     viol = scored.filter(F.col("raw_loss") > 0)
     gs = F.zip_with(
         _ccorr_cols(F.col("rv"), F.col("nv"), dim),
@@ -609,13 +624,15 @@ def hole_loss_summary(
     dim: int,
     n_entities: int,
     margin: int = 2,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
-    """1-row loss summary for the SAME HolE step (shared gather)."""
-    return _loss_row(
-        _hole_gather_score(
+    """1-row loss summary for the SAME HolE step (pass the step's
+    ``scored`` frame to share the computation, not just the code)."""
+    if scored is None:
+        scored = _hole_gather_score(
             triples, entity_emb, relation_emb, dim, n_entities, margin
         )
-    )
+    return _loss_row(scored)
 
 
 def transe_l1_loss_summary(
@@ -625,19 +642,15 @@ def transe_l1_loss_summary(
     dim: int,
     n_entities: int,
     margin: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """1-row (n_triples, n_violations, total_loss) for the SAME step —
     total_loss = Σ max(0, margin + ‖·‖₁ − ‖·‖₁), exact BIGINT.  Derives
-    from the same _gather_and_score pipeline as the SGD step."""
-    scored = _gather_and_score(
-        triples, entity_emb, relation_emb, n_entities, margin
-    )
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_triples"),
-        F.sum(
-            F.when(F.col("raw_loss") > 0, 1).otherwise(0)
-        ).cast("long").alias("n_violations"),
-        F.sum(
-            F.greatest(F.lit(0).cast("long"), F.col("raw_loss"))
-        ).cast("long").alias("total_loss"),
-    )
+    from the same _gather_and_score pipeline as the SGD step (pass the
+    step's ``scored`` frame to share the computation, not just the
+    code)."""
+    if scored is None:
+        scored = _gather_and_score(
+            triples, entity_emb, relation_emb, n_entities, margin
+        )
+    return _loss_row(scored)

@@ -188,3 +188,24 @@ def test_compact_folds_and_deletes_only_captured_seqs(spark, table, monkeypatch)
     assert M._deltas(table) == [1]  # the racing delta survived
     got = _snap(read_mor(spark, table, ["k"]))
     assert (9, "z", 90) in got and (2, "b", 20) not in got
+
+
+def test_init_during_crash_window_recovers_not_reinits(spark, table):
+    """In compact's rename window base/ is missing — a bootstrapping
+    'init if absent' must NOT create a fresh base beside the live
+    base.old + deltas (stale deltas would fold into unrelated data);
+    every writer entry point recovers first."""
+    mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
+    want = _snap(read_mor(spark, table, ["k"]))
+    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
+
+    with pytest.raises(FileExistsError):
+        init_mor(_df(spark, [(99, "zz", 0)]), table)
+    assert os.path.isdir(os.path.join(table, "base"))  # recovered
+    assert _snap(read_mor(spark, table, ["k"])) == want
+
+    # delta commits also recover first
+    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
+    mor_upsert(_df(spark, [(7, "g", 70)]), table, ["k"])
+    assert os.path.isdir(os.path.join(table, "base"))
+    assert (7, "g", 70) in _snap(read_mor(spark, table, ["k"]))
