@@ -45,6 +45,12 @@ BNLJ_ALLOWED = {
     "ev_kmv_user_overlap",
     # bounded negative-sample frame broadcast against the rejection set
     "kg_q18_neg_reject",
+    # 1-row normal-equation matrix G (R(R+1)/2 aggregate) broadcast
+    # onto the mode-sized MTTKRP result — the ALS solve never leaves
+    # the executors
+    "tns_cp_als_step_exact",
+    # 1-row count scalar (n) cross-joined into the variance numerators
+    "emb_pca_topvar",
     # J7 eval expansion: entity matrix broadcast by design (closure/
     # broadcast guarded); metrics variants inherit the ranks plan
     "kg_q19_ranks",
