@@ -32,8 +32,14 @@ def test_pipeline_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {detail}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+# since r10 every pipeline query carries a value oracle (the last two,
+# emb_pca_topvar + doc_compression_stats, converted); the smoke keeps
+# a placeholder param so the family going rows-only again is visible
+@pytest.mark.parametrize("name", ROWS_ONLY or [None])
 def test_rows_only_queries_run(spark, name):
+    if name is None:
+        assert set(pq.QUERIES) <= set(pq.ORACLES)
+        return
     df = pq.QUERIES[name](spark, SF)
     assert df.count() >= 0  # runs, stable schema
     assert len(df.columns) >= 2
