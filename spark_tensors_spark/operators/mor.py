@@ -9,42 +9,50 @@ READER reconciles base + deltas:
 
     read = base ANTI-JOIN touched-keys  ∪  latest surviving upserts
 
-Delta files are sequence-numbered directories (``_d=<n>`` + _SUCCESS,
-the same crash-safe commit convention as streaming/mv.py snapshots): a
-crashed half-written delta is invisible to readers, and replay-driven
-callers (foreachBatch-style) pass an explicit ``seq`` — re-committing
-an already-committed sequence number is a NO-OP, so a replayed batch
-can neither duplicate nor reorder history.  Per key the HIGHEST delta
-sequence wins, so a later upsert revives an earlier delete and a later
-delete kills an earlier upsert.
+Commit protocol (r10: MANIFEST-pointer layout): the table's current
+snapshot is named by ``_manifest.json`` — ``{"v", "base", "deltas"}``
+— replaced atomically (tmp write + ``os.replace``).  Every mutation
+first writes NEW directories (``base.v<k>/`` or ``_d=<seq>/``), then
+swaps the manifest; a crash at any point leaves either the old
+manifest (orphan dirs are invisible — readers never list the
+directory) or the new one (fully written data).  There is NO
+unreadable window, unlike rename-into-place directory conventions.
+Per key the HIGHEST delta sequence wins, so a later upsert revives an
+earlier delete and a later delete kills an earlier upsert.  Replay
+(explicit ``seq`` from a replayable source) of an already-committed
+sequence is a no-op.
 
-Scale shape: the reader's reconciliation is one anti-join + one union
-where the delta side is batch-sized (broadcastable until compaction is
-due); `compact` folds all deltas into a new base exactly when the
-accumulated delta mass makes reads pay more than one rewrite —
-the classic MoR read/write amortization knob.
+Reader isolation: a reader resolves one manifest at plan time and
+every directory it references stays on disk until ``vacuum_mor`` —
+``compact`` itself deletes NOTHING, it just folds into ``base.v<k+1>``
+and swaps the pointer.  The one destructive operation is
+``vacuum_mor`` (drop directories unreferenced by the CURRENT
+manifest); run it when no reader still holds an older snapshot — the
+standard expire-snapshots caveat of every table format.
 
 Concurrency contract (same as merge.py): SINGLE WRITER.  Delta commits
-and `compact` must not run concurrently with each other — `compact`
-folds and deletes exactly the delta set it captured up front, so a
-delta committed mid-compaction by another writer would survive unfolded
-(correct), but two concurrent compactions or a compaction racing the
-rename window corrupt the layout.  Every writer entry point
-(`init_mor`, delta commits, `compact`) first repairs a crashed
-compaction via `_recover`, so the crash window cannot be mistaken for
-an uninitialized table.  Concurrent READERS are crash-CONSISTENT but
-not compaction-isolated: `read_mor` resolves a correct state at plan
-time (``base.old`` fallback inside the rename window; re-reading
-already-folded deltas is idempotent — delete ⇒ anti-join no-op,
-upsert ⇒ replaces identical rows), but a read whose plan captured
-``base.old`` or a delta dir that compact's CLEANUP then deletes fails
-transiently with a file-not-found — retry semantics, the usual
-snapshot-isolation gap of directory-convention tables without a
-manifest log.
+and `compact` must not run concurrently with each other; `compact`
+still folds exactly the delta set it captured and carries any
+later-sequenced stragglers forward unfolded, so even a contract
+violation loses nothing.  Readers are safe against every writer
+operation except `vacuum_mor` (above).
+
+Legacy layout (pre-manifest ``base/`` + directory listing) is
+auto-migrated: reads synthesize a manifest view, the first write
+persists it (recovering a legacy ``base.old`` crash leftover first).
+
+Scale shape: the reader's reconciliation is one anti-join + one union
+where the delta side is batch-count-sized (broadcastable until
+compaction is due); `compact` folds all deltas into a new base exactly
+when the accumulated delta mass makes reads pay more than one
+rewrite — the classic MoR read/write amortization knob.  The manifest
+is O(#deltas) metadata, rewritten per commit — the Iceberg
+manifest-list idea without the format dependency.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -54,6 +62,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _DDIR = re.compile(r"^_d=(\d+)$")
+_BDIR = re.compile(r"^base\.v(\d+)$")
+_MANIFEST = "_manifest.json"
 _OP = "_op"  # 'D' | 'U'
 _SEQ = "_seq"
 _RESERVED = (_OP, _SEQ, "_rn")
@@ -72,33 +82,9 @@ def _check_reserved(cols, what: str) -> None:
         )
 
 
-def _base_dir(path: str) -> str:
-    """The readable base: ``base/``, or ``base.old/`` inside compact's
-    two-rename crash window (base already renamed away, new base not
-    yet in place — the deltas are still present then, so base.old +
-    deltas reconstruct the exact pre-compaction state)."""
-    base = os.path.join(path, "base")
-    if os.path.isdir(base):
-        return base
-    old = os.path.join(path, "base.old")
-    if os.path.isdir(old):
-        return old
-    return base  # let the parquet reader raise its usual error
-
-
-def _recover(path: str) -> None:
-    """Writer-side crash recovery: if a previous ``compact`` died
-    between its two renames, reinstate ``base.old`` as ``base``.
-    Only the single writer may call this (a reader renaming would race
-    the compactor)."""
-    base = os.path.join(path, "base")
-    old = os.path.join(path, "base.old")
-    if not os.path.isdir(base) and os.path.isdir(old):
-        os.rename(old, base)
-
-
-def _deltas(path: str) -> list[int]:
-    """Sorted sequence numbers of COMMITTED delta dirs."""
+def _listed_deltas(path: str) -> list[int]:
+    """Directory-listing fallback (legacy tables only): sorted seqs of
+    COMMITTED (_SUCCESS-bearing) delta dirs."""
     if not os.path.isdir(path):
         return []
     out = []
@@ -109,15 +95,56 @@ def _deltas(path: str) -> list[int]:
     return sorted(out)
 
 
+def _write_manifest(path: str, m: dict) -> None:
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic pointer swap
+
+
+def _read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _migrate_legacy(path: str) -> dict | None:
+    """Synthesize a manifest VIEW of a pre-manifest table (``base/`` +
+    listed ``_d=*``), recovering a legacy compact-crash leftover
+    (``base.old`` with no ``base``) first.  Pure function of the
+    directory — does not write; writers persist it."""
+    base = os.path.join(path, "base")
+    old = os.path.join(path, "base.old")
+    if not os.path.isdir(base) and os.path.isdir(old):
+        os.rename(old, base)
+    if not os.path.isdir(base):
+        return None
+    seqs = _listed_deltas(path)
+    return {
+        "v": 0,
+        "base": "base",
+        "deltas": seqs,
+        "max_seq": max(seqs, default=-1),
+    }
+
+
+def _manifest(path: str) -> dict | None:
+    return _read_manifest(path) or _migrate_legacy(path)
+
+
 def init_mor(df: DataFrame, path: str) -> None:
     """Write the base snapshot of a new MoR table (one-time full
     write; every later mutation is delta-sized)."""
     _check_reserved(df.columns, "base table")
-    _recover(path)  # a crashed compaction must not look uninitialized
-    base = os.path.join(path, "base")
-    if os.path.isdir(base):
+    if _manifest(path) is not None:
         raise FileExistsError(f"MoR table already initialized: {path}")
-    df.write.parquet(base)
+    os.makedirs(path, exist_ok=True)
+    df.write.parquet(os.path.join(path, "base.v0"))
+    _write_manifest(
+        path, {"v": 0, "base": "base.v0", "deltas": [], "max_seq": -1}
+    )
 
 
 def mor_delete(
@@ -165,15 +192,31 @@ def mor_upsert(
 
 
 def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
-    _recover(path)  # writer entry point: repair a crashed compaction
-    seqs = _deltas(path)
+    m = _manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"not a MoR table (no base): {path}")
+    seqs = m["deltas"]
+    max_seq = m.get("max_seq", max(seqs, default=-1))
     if seq is None:
-        seq = (seqs[-1] + 1) if seqs else 0
-    elif seq in seqs:
-        return seq  # replayed batch: already committed, a no-op
+        seq = max_seq + 1
+    elif seq <= max_seq:
+        # replayed batch: already committed (possibly already FOLDED
+        # into a base by compact — the monotone max_seq makes replays
+        # of folded batches no-ops too, and keeps sequence numbers
+        # from ever re-using a dir an older pinned snapshot references)
+        return seq
     out = os.path.join(path, f"_d={seq}")
-    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)  # crash leftover, unreferenced
     delta.write.parquet(out)
+    _write_manifest(
+        path,
+        {
+            **m,
+            "deltas": sorted(set(seqs) | {seq}),
+            "max_seq": max(max_seq, seq),
+        },
+    )  # data first, pointer second: a crash in between leaves an
+    # invisible orphan the retry overwrites
     return seq
 
 
@@ -181,26 +224,26 @@ def read_mor(
     spark: SparkSession,
     path: str,
     key_cols: list[str],
-    seqs: list[int] | None = None,
+    manifest: dict | None = None,
 ) -> DataFrame:
     """Reconcile base + deltas: per key the highest-sequence delta op
     decides (D ⇒ gone, U ⇒ that row); untouched base rows pass
     through.  One anti-join + one union; the delta side is
     batch-count-sized, broadcastable until compaction.
 
-    ``seqs`` pins the exact delta set to fold (``compact`` passes the
-    set it captured BEFORE materializing, so a delta committed while
-    the fold runs is never deleted unfolded); readers leave it None.
-    Reads stay correct inside compact's rename window via the
-    ``base.old`` fallback (see `_base_dir`)."""
-    base = spark.read.parquet(_base_dir(path))
+    ``manifest`` pins the exact snapshot (``compact`` passes the one
+    it captured); readers leave it None and get the current pointer.
+    """
+    m = manifest if manifest is not None else _manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"not a MoR table (no base): {path}")
+    base = spark.read.parquet(os.path.join(path, m["base"]))
     _check_reserved(base.columns, "base table")
-    if seqs is None:
-        seqs = _deltas(path)
+    seqs = m["deltas"]
     if not seqs:
         return base
     parts = []
-    for s in seqs:
+    for s in sorted(seqs):
         d = spark.read.parquet(os.path.join(path, f"_d={s}"))
         if set(d.columns) == set(key_cols) | {_OP}:
             # pure deletion vector: only keys + _op stored (schema
@@ -224,27 +267,47 @@ def read_mor(
 
 
 def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
-    """Fold the CURRENT delta set into a new base (the one full rewrite
-    MoR amortizes): capture the committed delta seqs, reconcile exactly
-    that set, write base.compact, rename into place, drop exactly the
-    folded deltas.  Crash safety: a crash between the two renames
-    leaves ``base.old`` + the unfolded deltas — readers fall back to it
-    transparently (`_base_dir`) and the next writer call repairs the
-    layout (`_recover`); a crash during delta deletion leaves a new
-    base plus already-folded deltas, which re-fold idempotently.  A
-    delta committed between the capture and the cleanup (single-writer
-    contract aside) is neither folded NOR deleted — it survives for the
-    next read/compact."""
-    _recover(path)
-    seqs = _deltas(path)  # captured ONCE: fold and delete exactly these
-    merged = read_mor(spark, path, key_cols, seqs=seqs)
-    tmp = os.path.join(path, "base.compact")
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.localCheckpoint().write.parquet(tmp)
-    old = os.path.join(path, "base.old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(os.path.join(path, "base"), old)
-    os.rename(tmp, os.path.join(path, "base"))
-    for s in seqs:
-        shutil.rmtree(os.path.join(path, f"_d={s}"), ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    """Fold the CURRENT snapshot's deltas into ``base.v<k+1>`` and swap
+    the manifest — the one full rewrite MoR amortizes.  Deletes
+    NOTHING (readers on the old snapshot keep working; reclaim with
+    `vacuum_mor`).  A delta sequenced after the captured manifest
+    (single-writer contract aside) is carried forward unfolded, never
+    lost.  Crash-safe at every point: before the manifest swap the old
+    pointer still names a complete snapshot; the orphan ``base.v<k+1>``
+    is overwritten by the next compact."""
+    m = _manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"not a MoR table (no base): {path}")
+    merged = read_mor(spark, path, key_cols, manifest=m)
+    new_v = m["v"] + 1
+    new_base = f"base.v{new_v}"
+    out = os.path.join(path, new_base)
+    shutil.rmtree(out, ignore_errors=True)  # prior crash's orphan
+    merged.localCheckpoint().write.parquet(out)
+    cur = _manifest(path) or m
+    stragglers = sorted(set(cur["deltas"]) - set(m["deltas"]))
+    _write_manifest(
+        path,
+        {
+            "v": new_v,
+            "base": new_base,
+            "deltas": stragglers,
+            "max_seq": cur.get("max_seq", max(cur["deltas"], default=-1)),
+        },
+    )
+
+
+def vacuum_mor(path: str) -> list[str]:
+    """Drop every base/delta directory the CURRENT manifest does not
+    reference; returns the removed names.  The ONLY destructive MoR
+    operation — run when no reader still holds an older snapshot."""
+    m = _manifest(path)
+    if m is None:
+        return []
+    keep = {m["base"]} | {f"_d={s}" for s in m["deltas"]}
+    removed = []
+    for d in os.listdir(path):
+        if (_BDIR.match(d) or _DDIR.match(d) or d == "base") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            removed.append(d)
+    return sorted(removed)

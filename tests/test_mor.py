@@ -77,12 +77,21 @@ def test_within_batch_latest_wins(spark, table):
 
 
 def test_compaction_preserves_reads_and_drops_deltas(spark, table):
+    from spark_tensors_spark.operators.mor import _manifest, vacuum_mor
+
     mor_delete(_df(spark, [(4, "x", 0)]), table, ["k"])
     mor_upsert(_df(spark, [(1, "A", 100), (9, "i", 90)]), table, ["k"])
     before = _snap(read_mor(spark, table, ["k"]))
     compact(spark, table, ["k"])
     assert _snap(read_mor(spark, table, ["k"])) == before
+    # compact dereferences the deltas (manifest) but deletes NOTHING;
+    # vacuum reclaims the unreferenced dirs
+    assert _manifest(table)["deltas"] == []
+    assert [d for d in os.listdir(table) if d.startswith("_d=")]
+    removed = vacuum_mor(table)
+    assert "base.v0" in removed and any(d.startswith("_d=") for d in removed)
     assert not [d for d in os.listdir(table) if d.startswith("_d=")]
+    assert _snap(read_mor(spark, table, ["k"])) == before
     # and the table stays mutable after compaction
     mor_delete(_df(spark, [(1, "x", 0)]), table, ["k"])
     assert (1,) not in [
@@ -90,12 +99,24 @@ def test_compaction_preserves_reads_and_drops_deltas(spark, table):
     ]
 
 
-def test_uncommitted_delta_is_invisible(spark, table):
+def test_unreferenced_delta_is_invisible(spark, table):
+    """A crash between the delta parquet write and the manifest swap
+    leaves a full _d= dir on disk that NO manifest references — reads
+    must not see it, and the retry (same seq) must overwrite it."""
+    import shutil
+
     seq = mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
-    os.remove(os.path.join(table, f"_d={seq}", "_SUCCESS"))
+    # simulate the crash: data dir for seq+1 exists, manifest unaware
+    shutil.copytree(
+        os.path.join(table, f"_d={seq}"), os.path.join(table, f"_d={seq + 1}")
+    )
     assert _snap(read_mor(spark, table, ["k"])) == [
-        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)
+        (1, "a", 10), (3, "c", 30), (4, "d", 40)
     ]
+    # the retry commits the same sequence number cleanly
+    s2 = mor_upsert(_df(spark, [(9, "i", 90)]), table, ["k"], seq=seq + 1)
+    assert s2 == seq + 1
+    assert (9, "i", 90) in _snap(read_mor(spark, table, ["k"]))
 
 
 def test_matches_copy_on_write_merge(spark, table):
@@ -149,34 +170,39 @@ def test_reserved_column_names_rejected(spark, tmp_path):
         mor_upsert(bad, path, ["k"])
 
 
-def test_read_survives_compact_rename_window(spark, table):
-    """Simulate a crash between compact's two renames (base gone,
-    base.old + deltas present): read_mor must fall back to base.old and
-    reconstruct the exact pre-compaction state; the next compact()
-    repairs the layout via _recover and folds normally."""
+def test_reader_snapshot_survives_concurrent_compact(spark, table):
+    """Snapshot isolation vs the writer: a reader that resolved its
+    manifest BEFORE a compact keeps reading the exact same state
+    afterwards (compact deletes nothing); only vacuum invalidates old
+    snapshots."""
+    from spark_tensors_spark.operators.mor import _manifest, vacuum_mor
+
     mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
     mor_upsert(_df(spark, [(5, "e", 50)]), table, ["k"])
     want = _snap(read_mor(spark, table, ["k"]))
 
-    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
-    assert _snap(read_mor(spark, table, ["k"])) == want  # reader fallback
+    old_snapshot = _manifest(table)  # reader's pinned view
+    compact(spark, table, ["k"])
+    mor_upsert(_df(spark, [(6, "f", 60)]), table, ["k"])  # moves on
+    # the pinned pre-compact snapshot still reads bit-identically
+    assert _snap(read_mor(spark, table, ["k"], manifest=old_snapshot)) == want
+    # current pointer sees the new write
+    assert (6, "f", 60) in _snap(read_mor(spark, table, ["k"]))
+    # vacuum is the ONE destructive op: the old base goes away
+    vacuum_mor(table)
+    assert not os.path.isdir(os.path.join(table, old_snapshot["base"]))
 
-    compact(spark, table, ["k"])  # writer-side recovery + fold
-    assert os.path.isdir(os.path.join(table, "base"))
-    assert not os.path.isdir(os.path.join(table, "base.old"))
-    assert _snap(read_mor(spark, table, ["k"])) == want
 
-
-def test_compact_folds_and_deletes_only_captured_seqs(spark, table, monkeypatch):
-    """A delta committed AFTER compact captured its seq set must survive
-    unfolded (never deleted without being folded in)."""
+def test_compact_carries_straggler_deltas_forward(spark, table, monkeypatch):
+    """A delta committed AFTER compact captured its manifest must
+    survive unfolded in the new manifest (never lost)."""
     import spark_tensors_spark.operators.mor as M
 
     mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])  # seq 0: captured
 
     real_read = M.read_mor
-    def read_and_race(spark_, path, key_cols, seqs=None):
-        out = real_read(spark_, path, key_cols, seqs=seqs)
+    def read_and_race(spark_, path, key_cols, manifest=None):
+        out = real_read(spark_, path, key_cols, manifest=manifest)
         # concurrent writer lands seq 1 while the fold materializes
         mor_upsert(_df(spark_, [(9, "z", 90)]), path, ["k"], seq=1)
         return out
@@ -185,27 +211,56 @@ def test_compact_folds_and_deletes_only_captured_seqs(spark, table, monkeypatch)
     M.compact(spark, table, ["k"])
     monkeypatch.undo()
 
-    assert M._deltas(table) == [1]  # the racing delta survived
+    assert M._manifest(table)["deltas"] == [1]  # straggler carried
     got = _snap(read_mor(spark, table, ["k"]))
     assert (9, "z", 90) in got and (2, "b", 20) not in got
 
 
-def test_init_during_crash_window_recovers_not_reinits(spark, table):
-    """In compact's rename window base/ is missing — a bootstrapping
-    'init if absent' must NOT create a fresh base beside the live
-    base.old + deltas (stale deltas would fold into unrelated data);
-    every writer entry point recovers first."""
-    mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"])
-    want = _snap(read_mor(spark, table, ["k"]))
-    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
+def test_legacy_layout_migrates_and_crash_leftover_recovers(spark, tmp_path):
+    """Pre-manifest tables (``base/`` + listed ``_d=*`` dirs, possibly
+    a ``base.old`` compact-crash leftover) must stay readable and
+    writable: reads synthesize a manifest view, a crash leftover is
+    reinstated, init refuses to re-init, and the first write persists
+    a real manifest."""
+    from spark_tensors_spark.operators.mor import _MANIFEST, _manifest
 
+    # build a LEGACY layout by hand
+    path = str(tmp_path / "legacy")
+    _df(spark, [(1, "a", 10), (2, "b", 20)]).write.parquet(
+        os.path.join(path, "base")
+    )
+    _df(spark, [(2, "x", 0)]).select("k").withColumn(
+        "_op", F.lit("D")
+    ).write.parquet(os.path.join(path, "_d=0"))
+    assert _snap(read_mor(spark, path, ["k"])) == [(1, "a", 10)]
+
+    # crash leftover: base renamed away mid-legacy-compact
+    os.rename(os.path.join(path, "base"), os.path.join(path, "base.old"))
     with pytest.raises(FileExistsError):
-        init_mor(_df(spark, [(99, "zz", 0)]), table)
-    assert os.path.isdir(os.path.join(table, "base"))  # recovered
-    assert _snap(read_mor(spark, table, ["k"])) == want
+        init_mor(_df(spark, [(99, "zz", 0)]), path)  # NOT uninitialized
+    assert os.path.isdir(os.path.join(path, "base"))  # recovered
+    assert _snap(read_mor(spark, path, ["k"])) == [(1, "a", 10)]
 
-    # delta commits also recover first
-    os.rename(os.path.join(table, "base"), os.path.join(table, "base.old"))
-    mor_upsert(_df(spark, [(7, "g", 70)]), table, ["k"])
-    assert os.path.isdir(os.path.join(table, "base"))
-    assert (7, "g", 70) in _snap(read_mor(spark, table, ["k"]))
+    # first write persists the manifest; history is preserved
+    mor_upsert(_df(spark, [(7, "g", 70)]), path, ["k"])
+    assert os.path.exists(os.path.join(path, _MANIFEST))
+    assert _manifest(path)["deltas"] == [0, 1]
+    assert _snap(read_mor(spark, path, ["k"])) == [(1, "a", 10), (7, "g", 70)]
+
+
+def test_replay_of_folded_batch_is_noop_after_compact(spark, table):
+    """foreachBatch replay across a compaction: a batch whose delta was
+    already FOLDED into the base must stay a no-op (monotone max_seq),
+    not re-apply and resurrect/duplicate state."""
+    mor_upsert(_df(spark, [(2, "B", 200)]), table, ["k"], seq=5)
+    mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"], seq=6)
+    compact(spark, table, ["k"])
+    before = _snap(read_mor(spark, table, ["k"]))
+    assert (2, "B", 200) not in before
+    # replay both folded batches: no-ops
+    assert mor_upsert(_df(spark, [(2, "B", 200)]), table, ["k"], seq=5) == 5
+    assert mor_delete(_df(spark, [(2, "x", 0)]), table, ["k"], seq=6) == 6
+    assert _snap(read_mor(spark, table, ["k"])) == before
+    # and new work continues past the folded range
+    s = mor_upsert(_df(spark, [(8, "h", 80)]), table, ["k"])
+    assert s == 7
