@@ -264,3 +264,56 @@ def test_replay_of_folded_batch_is_noop_after_compact(spark, table):
     # and new work continues past the folded range
     s = mor_upsert(_df(spark, [(8, "h", 80)]), table, ["k"])
     assert s == 7
+
+
+def test_randomized_ops_match_dict_model(spark, tmp_path):
+    """Model-based fuzz: random interleavings of upsert / delete /
+    replay / compact / vacuum must always read back exactly what a
+    plain dict model says — the end-to-end invariant of the manifest
+    layout (highest-seq-wins, fold-equivalence, replay no-ops,
+    vacuum-preserves-current-state)."""
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"fuzz{seed}")
+        rows0 = [(k, f"v{k}", k * 10) for k in range(6)]
+        init_mor(_df(spark, rows0), path)
+        model = {k: (k, f"v{k}", k * 10) for k in range(6)}
+        committed: list[tuple] = []  # (kind, payload, seq) for replays
+
+        for step in range(12):
+            op = rng.choice(
+                ["upsert", "delete", "replay", "compact", "vacuum"]
+            )
+            if op == "upsert":
+                ks = rng.sample(range(10), rng.randint(1, 3))
+                batch = [(k, f"s{step}", step) for k in ks]
+                s = mor_upsert(_df(spark, batch), path, ["k"])
+                for r in batch:
+                    model[r[0]] = r
+                committed.append(("U", batch, s))
+            elif op == "delete":
+                ks = rng.sample(range(10), rng.randint(1, 3))
+                batch = [(k, "x", 0) for k in ks]
+                s = mor_delete(_df(spark, batch), path, ["k"])
+                for k in ks:
+                    model.pop(k, None)
+                committed.append(("D", batch, s))
+            elif op == "replay" and committed:
+                kind, batch, s = rng.choice(committed)
+                if kind == "U":
+                    assert mor_upsert(_df(spark, batch), path, ["k"], seq=s) == s
+                else:
+                    assert mor_delete(_df(spark, batch), path, ["k"], seq=s) == s
+                # model unchanged: replay is a no-op
+            elif op == "compact":
+                compact(spark, path, ["k"])
+            elif op == "vacuum":
+                from spark_tensors_spark.operators.mor import vacuum_mor
+
+                vacuum_mor(path)
+            if step % 4 == 3:  # bounded number of Spark reads
+                got = _snap(read_mor(spark, path, ["k"]))
+                assert got == sorted(model.values()), (seed, step, op)
+        assert _snap(read_mor(spark, path, ["k"])) == sorted(model.values())
