@@ -338,3 +338,31 @@ def test_transe_two_chained_steps_match_python_loop(spark, fixtures):
     for row in step2.collect():
         want = (E2 if row.kind == "E" else R2)[row.id][row.d]
         assert row.new_val == want, (row, want)
+
+
+def test_step_identical_across_join_strategies(spark, fixtures):
+    """The tns_mttkrp_shuffle doctrine applied to training: integer
+    arithmetic makes the step value-comparable ACROSS physical plans,
+    so forcing every gather join onto the shuffle path (no broadcast)
+    must reproduce the default plan's output bit-for-bit."""
+    triples, tri, E, R = fixtures
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                transe_l1_sgd_step(
+                    tri, E, R, dim=DIM, n_entities=N_ENT,
+                    margin=MARGIN, lr=LR,
+                ).collect(),
+            )
+        )
+
+    default = run()
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert forced == default
