@@ -39,7 +39,9 @@ class PCAModel(NamedTuple):
     n_rows: int
 
 
-def moment_table(emb: DataFrame, dims: int, vec_col: str) -> DataFrame:
+def moment_table(
+    emb: DataFrame, dims: int, vec_col: str, diag_only: bool = False
+) -> DataFrame:
     """The distributed moment pass as a DataFrame: per Arrow batch ONE
     fixed-size partial (count, per-dim sum, Gram upper triangle) packed
     into (slot, val) rows, folded by one groupBy-sum.  Slot layout:
@@ -47,13 +49,20 @@ def moment_table(emb: DataFrame, dims: int, vec_col: str) -> DataFrame:
     upper triangle at i·d+j+d.  This is the statistic `fit_pca`'s
     driver solve consumes — and on integer-valued vectors every val is
     an exact integer, which is how emb_pca_moments puts this pass under
-    the DuckDB value oracle."""
+    the DuckDB value oracle.
+
+    ``diag_only`` keeps ONLY the Gram diagonal (slots i·d+i+d): a
+    consumer that needs per-dimension variances and not covariances
+    (emb_pca_topvar) pays O(d) compute per row and an O(d) partial
+    instead of O(d²) — at 100 TB the d² BLAS per batch and the
+    (d²/2)-row shuffle are the whole cost of this pass.  Emitted slot
+    values are identical to the full pass (same sums, same layout)."""
     d = int(dims)
 
     def part(batches):
         n = 0
         s = np.zeros(d)
-        g = np.zeros((d, d))
+        g = np.zeros(d) if diag_only else np.zeros((d, d))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -62,17 +71,20 @@ def moment_table(emb: DataFrame, dims: int, vec_col: str) -> DataFrame:
             )
             n += m.shape[0]
             s += m.sum(axis=0)
-            g += m.T @ m
+            if diag_only:
+                g += (m * m).sum(axis=0)
+            else:
+                g += m.T @ m
         if n:
-            iu = np.triu_indices(d)
-            idx = np.concatenate(
-                (
-                    [-1],  # count slot
-                    np.arange(d),  # sum slots
-                    iu[0] * d + iu[1] + d,  # gram slots, offset past sums
-                )
-            )
-            val = np.concatenate(([float(n)], s, g[iu]))
+            if diag_only:
+                gram_idx = np.arange(d) * d + np.arange(d) + d
+                gram_val = g
+            else:
+                iu = np.triu_indices(d)
+                gram_idx = iu[0] * d + iu[1] + d
+                gram_val = g[iu]
+            idx = np.concatenate(([-1], np.arange(d), gram_idx))
+            val = np.concatenate(([float(n)], s, gram_val))
             yield pd.DataFrame({"slot": idx.astype("int64"), "val": val})
 
     return (

@@ -607,7 +607,9 @@ def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = 64
     codes = _int8_codes(spark, sf_dir)
-    mt = moment_table(codes, d, "codes")
+    # diag_only: this query needs variances, not covariances — O(d)
+    # per-row compute and partial instead of O(d²) (values identical)
+    mt = moment_table(codes, d, "codes", diag_only=True)
     n_row = mt.filter(F.col("slot") == -1).select(
         F.col("v").cast("long").alias("n")
     )
