@@ -234,3 +234,119 @@ def rank_against_all_entities_np(
     return test.select("s_id", "p_id", "o_id").mapInPandas(
         ranks, "s_id long, p_id long, o_id long, r long"
     )
+
+
+def rank_against_all_entities_agg(
+    test: DataFrame,
+    entity_df: DataFrame,
+    gather_s: Callable[[np.ndarray], np.ndarray],
+    gather_r: Callable[[np.ndarray], np.ndarray],
+    gather_true: Callable[[np.ndarray], np.ndarray],
+    score_batch: Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray],
+    known_triples: np.ndarray | None = None,
+) -> DataFrame:
+    """The ENTITY-SCALE ranking path: same J7 semantics as
+    :func:`rank_against_all_entities_np`, with the entity matrix
+    streaming through the plan as a TABLE instead of riding every task
+    closure — the roles invert: the bounded test split (plus its
+    gathered S/R parameter rows and true-object scores) ships in the
+    closure, and each Arrow batch of the distributed entity table
+    contributes a PARTIAL better-candidate count per test triple.
+    Ranks are then one tiny aggregate over n_test × n_batches partial
+    rows — :func:`rank_of_true_agg`'s counting semantics
+    (r = 1 + #{better} + #{tied, smaller id}) with the count pushed
+    map-side, so nothing anywhere scales with |entities| except the
+    entity scan itself.  This is the default above
+    ``AGG_RANK_ENTITY_THRESHOLD`` entities (`KGETrainer.evaluate`);
+    below it the closure path is cheaper (no extra job to build the
+    entity table).
+
+    Bit-parity with the closure path: every score_batch in
+    `train/models.py` computes each (test, candidate) score from ops
+    whose per-element result is independent of which other candidates
+    share the batch (elementwise algebra + last-axis reductions), so
+    partial counts sum to exactly the closure path's rank — pinned by
+    tests/test_rank_agg.py across all three models and by the FB15k
+    golden metrics.
+
+    ``gather_s/gather_r/gather_true`` map id arrays to parameter rows
+    (driver-side numpy in the trainer; any bounded lookup elsewhere) —
+    they are called once, on the COLLECTED test split (eval splits are
+    bounded by contract; training-scale data never flows through
+    here)."""
+    tp = test.select("s_id", "p_id", "o_id").toPandas()
+    n_test = len(tp)
+    spark = test.sparkSession
+    if n_test == 0:
+        return spark.createDataFrame(
+            [], "s_id long, p_id long, o_id long, r long"
+        )
+    s_idx = tp["s_id"].to_numpy()
+    p_idx = tp["p_id"].to_numpy()
+    true_o = tp["o_id"].to_numpy()
+    S = gather_s(s_idx)
+    R = gather_r(p_idx)
+    TV = gather_true(true_o)
+    # true scores via chunked batch-diagonal (per-element results are
+    # batch-invariant, see docstring)
+    chunks = []
+    for j in range(0, n_test, 256):
+        sc = score_batch(TV[j:j + 256], S[j:j + 256], R[j:j + 256])
+        chunks.append(np.diagonal(sc))
+    true_score = np.concatenate(chunks)
+
+    masked: list[np.ndarray | None] = [None] * n_test
+    if known_triples is not None:
+        kt = np.asarray(known_triples)
+        order = np.lexsort((kt[:, 2], kt[:, 1], kt[:, 0]))
+        kt = kt[order]
+        keys, starts = np.unique(kt[:, :2], axis=0, return_index=True)
+        bounds = np.append(starts, len(kt))
+        known_by_sp = {
+            (int(k[0]), int(k[1])): kt[bounds[i]: bounds[i + 1], 2]
+            for i, k in enumerate(keys)
+        }
+        for i in range(n_test):
+            ko = known_by_sp.get((int(s_idx[i]), int(p_idx[i])))
+            if ko is not None:
+                ko = ko[ko != true_o[i]]
+                masked[i] = ko if len(ko) else None
+
+    idx_arr = np.arange(n_test)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            e_b = np.stack(pdf["vec"].to_numpy())
+            scores = score_batch(e_b, S, R)  # (n_test, nb)
+            for i in range(n_test):
+                ko = masked[i]
+                if ko is not None:
+                    m = np.isin(ids, ko)
+                    if m.any():
+                        scores[i, m] = -np.inf
+            gt = (scores > true_score[:, None]).sum(axis=1)
+            eq = (
+                (scores == true_score[:, None])
+                & (ids[None, :] < true_o[:, None])
+            ).sum(axis=1)
+            yield pd.DataFrame({"idx": idx_arr, "better": gt + eq})
+
+    part = entity_df.select("id", "vec").mapInPandas(
+        partials, "idx long, better long"
+    )
+    ranks = part.groupBy("idx").agg(
+        (F.lit(1) + F.sum("better")).cast("long").alias("r")
+    )
+    tp = tp.copy()
+    tp["idx"] = idx_arr
+    keys_df = spark.createDataFrame(
+        tp[["idx", "s_id", "p_id", "o_id"]],
+        "idx long, s_id long, p_id long, o_id long",
+    )
+    return (
+        ranks.join(F.broadcast(keys_df), "idx")
+        .select("s_id", "p_id", "o_id", "r")
+    )

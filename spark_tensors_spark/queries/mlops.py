@@ -308,6 +308,211 @@ ORDER BY kind, id, d
 """
 
 
+TWO_STEP_MOD = 11
+TWO_STEP_RES = 3
+
+
+def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED full-batch TransE SGD steps under a VALUE oracle —
+    the training LOOP itself, not just one step: step 1's updated
+    parameter TABLE (rebuilt by `exactstep.rebuild_embedding_table`, a
+    hash aggregate — never a driver matrix) is fed back as step 2's
+    parameters, exactly the update→gather cycle the reference iterates
+    (`TransE.scala:114-134`; `base.py:470-492`).  lr=1 keeps every
+    parameter INTEGER after the update, so the second gather / margin
+    test / sign-gradient pass is still exact BIGINT arithmetic and
+    DuckDB replays the whole two-iteration trajectory symbolically
+    (the single-step doctrine of kge_transe_step_exact, composed).
+
+    Output: step-2 parameter slots (all relation slots + a 1/37 entity
+    sample; their old_val column IS step 1's result, their grad column
+    IS the re-evaluated violation set) plus one 'L' loss row per step —
+    the loss DECREASES between rows, which is the point of a loop.
+
+    Plan shape at 100 TB: two iterations of [4 shuffle joins on id +
+    one map-side-combinable segment-sum + a join-merge update], with a
+    localCheckpoint truncating lineage between them — the same
+    iteration topology `train/joinmerge.py` runs for float training."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        _gather_and_score,
+        rebuild_embedding_table,
+        transe_l1_loss_summary,
+        transe_l1_sgd_step,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    tri = (
+        enc.filter(F.col("s_id") % TWO_STEP_MOD == TWO_STEP_RES)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    E0 = _pseudo_E(spark, n_ent, STEP_DIM)
+    R0 = _pseudo_R(spark, rel.count(), STEP_DIM)
+
+    def one_step(E, R, step_no: int):
+        scored = _gather_and_score(
+            tri, E, R, n_ent, STEP_MARGIN
+        ).localCheckpoint()
+        upd = transe_l1_sgd_step(
+            tri, E, R, dim=STEP_DIM, n_entities=n_ent,
+            margin=STEP_MARGIN, lr=1.0, scored=scored,
+        )
+        loss = _loss_as_row(
+            transe_l1_loss_summary(
+                tri, E, R, dim=STEP_DIM, n_entities=n_ent,
+                margin=STEP_MARGIN, scored=scored,
+            )
+        ).withColumn("step", F.lit(step_no).cast("long"))
+        return upd, loss
+
+    step1, loss1 = one_step(E0, R0, 1)
+    step1 = step1.localCheckpoint()  # iteration barrier: lineage reset
+    step2, loss2 = one_step(
+        rebuild_embedding_table(step1, "E"),
+        rebuild_embedding_table(step1, "R"),
+        2,
+    )
+    out2 = step2.filter(
+        (F.col("kind") == "R") | (F.col("id") % 37 == 0)
+    ).withColumn("step", F.lit(2).cast("long"))
+    cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
+    return (
+        out2.select(cols)
+        .unionByName(loss1.select(cols))
+        .unionByName(loss2.select(cols))
+        .orderBy("step", "kind", "id", "d")
+    )
+
+
+def _transe_two_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    sv = "((s_id*31 + d*17) % 13) - 6"
+    pv = "((p_id*29 + d*23) % 11) - 5"
+    ov = "((o_id*31 + d*17) % 13) - 6"
+    nv = "((n_id*31 + d*17) % 13) - 6"
+    sgn = "CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END"
+    sp = sgn.format(x="(sv + pv - ov)")
+    sn = sgn.format(x="(sv + pv - nv)")
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % {TWO_STEP_MOD} = {TWO_STEP_RES}
+),
+dims AS (SELECT unnest(range({STEP_DIM})) AS d),
+-- ======== step 1: pseudo-init parameters stated by formula ========
+g1 AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id, d,
+           {sv} AS sv, {pv} AS pv, {ov} AS ov, {nv} AS nv
+    FROM t CROSS JOIN dims
+),
+sc1 AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {STEP_MARGIN} + SUM(ABS(sv + pv - ov))
+                         - SUM(ABS(sv + pv - nv)) AS raw_loss
+    FROM g1 GROUP BY s_id, p_id, o_id, n_id
+),
+gv1 AS MATERIALIZED (
+    SELECT g1.*
+    FROM g1 JOIN sc1 ON sc1.s_id = g1.s_id AND sc1.p_id = g1.p_id
+                    AND sc1.o_id = g1.o_id
+    WHERE sc1.raw_loss > 0
+),
+contrib1 AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv1
+    UNION ALL
+    SELECT 'E', o_id, d, -({sp}) FROM gv1
+    UNION ALL
+    SELECT 'E', n_id, d, ({sn}) FROM gv1
+    UNION ALL
+    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv1
+),
+grads1 AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib1 GROUP BY kind, id, d
+),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),
+-- lr = 1: params stay integer, so step 2 is exact BIGINT again
+params1 AS MATERIALIZED (
+    SELECT p.kind, p.id, p.d, p.val - COALESCE(c.gr, 0) AS val
+    FROM params0 p
+    LEFT JOIN grads1 c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
+),
+-- ======== step 2: parameters come from the step-1 table ========
+g2 AS MATERIALIZED (
+    SELECT t.s_id, t.p_id, t.o_id, t.n_id, dims.d,
+           ps.val AS sv, pp.val AS pv, po.val AS ov, pn.val AS nv
+    FROM t CROSS JOIN dims
+    JOIN params1 ps ON ps.kind = 'E' AND ps.id = t.s_id AND ps.d = dims.d
+    JOIN params1 pp ON pp.kind = 'R' AND pp.id = t.p_id AND pp.d = dims.d
+    JOIN params1 po ON po.kind = 'E' AND po.id = t.o_id AND po.d = dims.d
+    JOIN params1 pn ON pn.kind = 'E' AND pn.id = t.n_id AND pn.d = dims.d
+),
+sc2 AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {STEP_MARGIN} + SUM(ABS(sv + pv - ov))
+                         - SUM(ABS(sv + pv - nv)) AS raw_loss
+    FROM g2 GROUP BY s_id, p_id, o_id, n_id
+),
+gv2 AS MATERIALIZED (
+    SELECT g2.*
+    FROM g2 JOIN sc2 ON sc2.s_id = g2.s_id AND sc2.p_id = g2.p_id
+                    AND sc2.o_id = g2.o_id
+    WHERE sc2.raw_loss > 0
+),
+contrib2 AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv2
+    UNION ALL
+    SELECT 'E', o_id, d, -({sp}) FROM gv2
+    UNION ALL
+    SELECT 'E', n_id, d, ({sn}) FROM gv2
+    UNION ALL
+    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv2
+),
+grads2 AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib2 GROUP BY kind, id, d
+),
+upd2 AS (
+    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
+           p.val AS old_val,
+           COALESCE(c.gr, 0) AS grad,
+           CAST(p.val - COALESCE(c.gr, 0) AS DOUBLE) AS new_val
+    FROM params1 p
+    LEFT JOIN grads2 c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
+)
+SELECT CAST(2 AS BIGINT) AS step, kind, id, d, old_val, grad, new_val
+FROM upd2 WHERE kind = 'R' OR id % 37 = 0
+UNION ALL
+SELECT 1, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc1),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
+        FROM sc1)
+UNION ALL
+SELECT 2, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc2),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
+        FROM sc2)
+ORDER BY step, kind, id, d
+"""
+
+
 RESCAL_DIM = 4
 HOLE_DIM = 8
 PAIR_MARGIN = 2
@@ -719,6 +924,7 @@ ORDER BY s_id, p_id, o_id
 QUERIES = {
     "kge_transe_rank_join": kge_transe_rank_join,
     "kge_transe_step_exact": kge_transe_step_exact,
+    "kge_transe_two_step_exact": kge_transe_two_step_exact,
     "kge_rescal_step_exact": kge_rescal_step_exact,
     "kge_hole_step_exact": kge_hole_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
@@ -728,6 +934,7 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "kge_transe_step_exact": _transe_step_oracle(),
+    "kge_transe_two_step_exact": _transe_two_step_oracle(),
     "kge_rescal_step_exact": _rescal_step_oracle(),
     "kge_hole_step_exact": _hole_step_oracle(),
     "kge_transe_rank_join": _transe_rank_join_oracle(),

@@ -1387,6 +1387,58 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline as ONE fused plan — the 100 TB
+    story is the composition, not the stages: exact-dup removal →
+    quality gate → eval-set decontamination → sequence packing, each
+    stage already value-oracled alone (doc_exact_dup_groups,
+    doc_quality_filter, doc_decontaminate, doc_pack_sequences), here
+    chained so Catalyst plans the whole corpus pass at once.
+
+    Stage shapes at scale: dedup is one window over md5(text) (group
+    sizes = dup-cluster sizes); the quality gate is scan-side codegen
+    (filters before any shuffle); decontamination broadcasts the
+    benchmark n-gram set (corpus side never shuffles for it); packing
+    is one running-sum window per source.  Total: three shuffles for
+    the whole pipeline, none keyed on a skewed column, no collect —
+    the plan-hygiene sweep covers the fused plan like every other
+    declared query.
+
+    Benchmark set = doc_id % 97 == 0 (the doc_decontaminate fixture),
+    excluded from the corpus up front."""
+    from spark_tensors_spark.pipeline import corpus as C
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    # stage 1 — exact dedup: keep the smallest doc_id per content hash
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        corp.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    # stage 2 — quality gate (adds n_tokens, reused by packing)
+    gated = curation.quality_filter(deduped).filter(F.col("keep"))
+    # stage 3 — decontaminate against the benchmark 3-grams
+    clean = C.decontaminate(gated, bench, n=3).filter(
+        ~F.col("contaminated")
+    )
+    # stage 4 — pack into 512-token bins per source
+    packed = curation.pack_sequences(clean, budget_tokens=512)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
 QUERIES = {
     "doc_source_hash_stats": doc_source_hash_stats,
     "doc_exact_dup_groups": doc_exact_dup_groups,
@@ -1416,6 +1468,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_filter": doc_quality_filter,
     "doc_decontaminate": doc_decontaminate,
+    "doc_pipeline_e2e": doc_pipeline_e2e,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_lm_perplexity": doc_lm_perplexity,
@@ -2348,6 +2401,84 @@ ORDER BY cluster_id, dim
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 97 <> 0
         GROUP BY d.source ORDER BY d.source""",
+    # the four stage oracles above, composed in pipeline order: dedup
+    # (md5 window) → quality (rounded 6-dp gate) → decontaminate
+    # (3-gram anti-join vs the %97 benchmark) → pack (512-token bins)
+    "doc_pipeline_e2e": f"""
+        WITH base AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 97 <> 0
+        ),
+        dd AS (
+            SELECT doc_id, source, text FROM base
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) = 1
+        ),
+        t AS (
+            SELECT doc_id, source, {_TOKENS} AS toks,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^,.!?;:]', '',
+                                                  'g'))
+                            AS DOUBLE) / length(text) ELSE 0 END AS praw
+            FROM dd
+        ),
+        s AS (
+            SELECT doc_id, source, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens, praw,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks,
+                                x -> lower(x) IN {_STOP_EN}))
+                            AS DOUBLE) / len(toks) ELSE 0 END AS sraw
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, source, toks, n_tokens FROM s
+            WHERE n_tokens >= 5 AND ROUND(praw, 6) <= 0.2
+              AND ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                        + 0.5 * LEAST(sraw * 5.0, 1.0)
+                        - 0.25 * LEAST(praw * 10.0, 1.0), 6) >= 0.2
+        ),
+        bgrams AS (
+            SELECT DISTINCT UNNEST(
+                CASE WHEN len(tk) >= 3 THEN
+                    list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(tk[i:i+2], ' '))
+                ELSE [] END) AS g
+            FROM (SELECT {_TOKENS} AS tk FROM documents
+                  WHERE doc_id % 97 = 0)
+        ),
+        hits AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, UNNEST(
+                    CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2],
+                                                            ' '))
+                    ELSE [] END) AS g
+                FROM q) c
+            JOIN bgrams USING (g)
+        ),
+        kept AS (
+            SELECT q.source, q.doc_id, q.n_tokens
+            FROM q LEFT JOIN hits h USING (doc_id)
+            WHERE h.doc_id IS NULL
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '_42'),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+            FROM kept
+        )
+        SELECT source, CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+               MIN(doc_id) AS min_doc_id
+        FROM packed
+        GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
     "doc_tfidf_top_terms": _GRAMS_CTE
     + """, tok AS (SELECT source, doc_id, UNNEST(tk) AS term FROM toks),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),

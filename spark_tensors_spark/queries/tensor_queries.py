@@ -331,11 +331,237 @@ ORDER BY i, r
     )
 
 
+RANK3 = 3
+RANK3_MOD = 23  # j-mode bounded to id%23==0: keeps det(G) (degree-3
+# in the gram entries) inside BIGINT through sf1.0 — see docstring
+
+
+def tns_cp_als_rank3_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CP-ALS mode-A solve at RANK 3 — removes the rank-2
+    asterisk on tns_cp_als_step_exact: the 3×3 normal equations
+    G = (BᵀB)∘(CᵀC) are solved by the cofactor adjugate,
+        A[i,·] = (M[i,·]·adj G) / det G,
+    where every adjugate entry (2×2 cofactor), det (cofactor
+    expansion along row 0), and numerator is exact BIGINT, and the
+    single final int64→double division is correctly rounded and
+    bit-identical across engines — so the rank-3 SOLVE itself is
+    hash-gated, same doctrine as the rank-2 query.
+
+    Overflow discipline (why this fixture is bounded): det is
+    degree-3 in the Hadamard-gram entries, so the j-mode is the
+    id%{RANK3_MOD} entity subset and factor values are CENTERED
+    ({{-2..2}} / {{-3..3}}): at sf0.1 det≈4.7e15, and the sf1.0
+    extrapolation (~4.7e18) still fits int64 — checked numerically
+    per scale before this query was declared.  G is provably
+    nonsingular on this fixture at all three test scales.
+
+    Plan shape: one MTTKRP join+agg over the sub-tensor (the only
+    data-scale term), two 6-column gram aggregates, 1-row G broadcast
+    onto the mode-sized result — no driver matrix, no collect."""
+    from spark_tensors_spark.train.parafac import (
+        gram_upper_table,
+        mttkrp_wide,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    coo = enc.filter(F.col("o_id") % RANK3_MOD == 0).select(
+        F.col("s_id").alias("i"),
+        F.col("o_id").alias("j"),
+        F.col("p_id").alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+
+    def _f(df, id_col, a, b, m, c):
+        return df.select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {RANK3 - 1}), "
+                f"r -> CAST(({id_col} * {a} + r * {b}) % {m} - {c}"
+                f" AS DOUBLE))"
+            ).alias("vec"),
+        )
+
+    fb = _f(
+        ent.filter(F.col("id") % RANK3_MOD == 0)
+        .select(F.col("id").alias("j")),
+        "j", 31, 17, 5, 2,
+    )
+    fc = _f(rel.select(F.col("id").alias("k")), "k", 37, 23, 7, 3)
+    m = mttkrp_wide(coo, fb, fc, RANK3, "i", "j", "k")
+    gb = gram_upper_table(fb, RANK3).select(
+        "a", "b", F.col("g").cast("long").alias("g_b")
+    )
+    gc = gram_upper_table(fc, RANK3).select(
+        "a", "b", F.col("g").cast("long").alias("g_c")
+    )
+
+    def _cell(a: int, b: int):
+        return F.max(
+            F.when(
+                (F.col("a") == a) & (F.col("b") == b),
+                F.col("g_b") * F.col("g_c"),
+            )
+        )
+
+    g = (
+        gb.join(gc, ["a", "b"])
+        .agg(
+            _cell(0, 0).alias("g00"),
+            _cell(0, 1).alias("g01"),
+            _cell(0, 2).alias("g02"),
+            _cell(1, 1).alias("g11"),
+            _cell(1, 2).alias("g12"),
+            _cell(2, 2).alias("g22"),
+        )
+        .select(
+            (F.col("g11") * F.col("g22") - F.col("g12") * F.col("g12"))
+            .alias("a00"),
+            (F.col("g02") * F.col("g12") - F.col("g01") * F.col("g22"))
+            .alias("a01"),
+            (F.col("g01") * F.col("g12") - F.col("g02") * F.col("g11"))
+            .alias("a02"),
+            (F.col("g00") * F.col("g22") - F.col("g02") * F.col("g02"))
+            .alias("a11"),
+            (F.col("g01") * F.col("g02") - F.col("g00") * F.col("g12"))
+            .alias("a12"),
+            (F.col("g00") * F.col("g11") - F.col("g01") * F.col("g01"))
+            .alias("a22"),
+            "g00", "g01", "g02",
+        )
+        .select(
+            "a00", "a01", "a02", "a11", "a12", "a22",
+            (
+                F.col("g00") * F.col("a00")
+                + F.col("g01") * F.col("a01")
+                + F.col("g02") * F.col("a02")
+            ).alias("det"),
+        )
+    )
+    m0 = F.element_at("m", 1).cast("long")
+    m1 = F.element_at("m", 2).cast("long")
+    m2 = F.element_at("m", 3).cast("long")
+    rows = m.crossJoin(F.broadcast(g)).select(
+        "i",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("r"),
+                    m0.alias("m"),
+                    (
+                        m0 * F.col("a00")
+                        + m1 * F.col("a01")
+                        + m2 * F.col("a02")
+                    ).alias("a_num"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("r"),
+                    m1.alias("m"),
+                    (
+                        m0 * F.col("a01")
+                        + m1 * F.col("a11")
+                        + m2 * F.col("a12")
+                    ).alias("a_num"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("r"),
+                    m2.alias("m"),
+                    (
+                        m0 * F.col("a02")
+                        + m1 * F.col("a12")
+                        + m2 * F.col("a22")
+                    ).alias("a_num"),
+                ),
+            )
+        ).alias("s"),
+        "det",
+    )
+    return rows.select(
+        "i",
+        F.col("s.r").alias("r"),
+        F.col("s.m").alias("m"),
+        F.col("s.a_num").alias("a_num"),
+        "det",
+        (
+            F.col("s.a_num").cast("double") / F.col("det").cast("double")
+        ).alias("a_val"),
+    ).orderBy("i", "r")
+
+
+def _als_rank3_sql() -> str:
+    def b(r, rr="id"):
+        return f"((({rr} * 31 + {r} * 17) % 5) - 2)"
+
+    def c(r, rr="id"):
+        return f"((({rr} * 37 + {r} * 23) % 7) - 3)"
+
+    gcells = ", ".join(
+        f"CAST(SUM({b(a)} * {b(bb)}) AS BIGINT) AS b{a}{bb}"
+        for a, bb in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    )
+    ccells = ", ".join(
+        f"CAST(SUM({c(a)} * {c(bb)}) AS BIGINT) AS c{a}{bb}"
+        for a, bb in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    )
+    return (
+        TRIPLES_CTE
+        + f""",
+coo AS (
+    SELECT s_id AS i, o_id AS j, p_id AS k FROM triples_encoded
+    WHERE o_id % {RANK3_MOD} = 0
+),
+ranks AS (SELECT unnest(range({RANK3})) AS r),
+mw AS MATERIALIZED (
+    SELECT i,
+           CAST(SUM({b(0, "j")} * {c(0, "k")}) AS BIGINT) AS m0,
+           CAST(SUM({b(1, "j")} * {c(1, "k")}) AS BIGINT) AS m1,
+           CAST(SUM({b(2, "j")} * {c(2, "k")}) AS BIGINT) AS m2
+    FROM coo GROUP BY i
+),
+gb AS (
+    SELECT {gcells}
+    FROM entity_dict WHERE id % {RANK3_MOD} = 0
+),
+gc AS (SELECT {ccells} FROM relation_dict),
+gm AS (
+    SELECT b00*c00 AS g00, b01*c01 AS g01, b02*c02 AS g02,
+           b11*c11 AS g11, b12*c12 AS g12, b22*c22 AS g22
+    FROM gb, gc
+),
+adj AS (
+    SELECT g11*g22 - g12*g12 AS a00,
+           g02*g12 - g01*g22 AS a01,
+           g01*g12 - g02*g11 AS a02,
+           g00*g22 - g02*g02 AS a11,
+           g01*g02 - g00*g12 AS a12,
+           g00*g11 - g01*g01 AS a22,
+           g00*(g11*g22 - g12*g12)
+               + g01*(g02*g12 - g01*g22)
+               + g02*(g01*g12 - g02*g11) AS det
+    FROM gm
+)
+SELECT mw.i,
+       CAST(r.r AS BIGINT) AS r,
+       CASE r.r WHEN 0 THEN m0 WHEN 1 THEN m1 ELSE m2 END AS m,
+       CASE r.r WHEN 0 THEN m0*a00 + m1*a01 + m2*a02
+                WHEN 1 THEN m0*a01 + m1*a11 + m2*a12
+                ELSE m0*a02 + m1*a12 + m2*a22 END AS a_num,
+       adj.det AS det,
+       CAST(CASE r.r WHEN 0 THEN m0*a00 + m1*a01 + m2*a02
+                     WHEN 1 THEN m0*a01 + m1*a11 + m2*a12
+                     ELSE m0*a02 + m1*a12 + m2*a22 END AS DOUBLE)
+           / CAST(adj.det AS DOUBLE) AS a_val
+FROM mw CROSS JOIN ranks r CROSS JOIN adj
+ORDER BY i, r
+"""
+    )
+
+
 QUERIES = {
     "tns_mttkrp": tns_mttkrp,
     "tns_mttkrp_shuffle": tns_mttkrp_shuffle,
     "tns_als_normal_eq": tns_als_normal_eq,
     "tns_cp_als_step_exact": tns_cp_als_step_exact,
+    "tns_cp_als_rank3_exact": tns_cp_als_rank3_exact,
     "tns_cp_als_fit": tns_cp_als_fit,
 }
 
@@ -344,4 +570,5 @@ ORACLES = {
     "tns_mttkrp_shuffle": TNS_MTTKRP_SQL,
     "tns_als_normal_eq": TNS_ALS_NORMAL_EQ_SQL,
     "tns_cp_als_step_exact": _als_step_sql(),
+    "tns_cp_als_rank3_exact": _als_rank3_sql(),
 }

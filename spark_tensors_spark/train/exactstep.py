@@ -654,3 +654,31 @@ def transe_l1_loss_summary(
             triples, entity_emb, relation_emb, n_entities, margin
         )
     return _loss_row(scored)
+
+
+def rebuild_embedding_table(step_out: DataFrame, kind: str) -> DataFrame:
+    """Fold a step's (kind, id, d, …, new_val) output back into an
+    embedding TABLE (id, vec array<bigint>) so the next step can
+    consume it — the chaining operator that turns one exact step into
+    an exact training LOOP (reference loop shape: `TransE.scala:114-134`
+    iterates exactly this update→gather cycle; `base.py:470-492` the
+    same per-epoch).
+
+    Only valid when the step's parameters stay INTEGER (lr=1, or any
+    integer lr): ``new_val`` is cast back to BIGINT, which is exact for
+    integer-valued doubles ≤ 2⁵³ and would silently truncate fractional
+    dyadics — the caller picks the lr that makes the loop closed over
+    the integers.
+
+    Shape at scale: one hash aggregate keyed on (id) — same topology as
+    the segment-sum the step itself runs; no collect, no explode."""
+    return (
+        step_out.filter(F.col("kind") == kind)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "new_val"))),
+                lambda s: s["new_val"].cast("long"),
+            ).alias("vec")
+        )
+    )

@@ -39,3 +39,22 @@ def test_generalization_beats_random_10x(spark):
     m = df.collect()[0]
     assert m["hits10"] >= 10 * (10.0 / 112.0), m
     assert m["n"] == 120
+
+
+def test_two_step_exact_loss_decreases(spark):
+    """The declared two-step LOOP query must show learning between its
+    per-step 'L' rows: fewer margin violations and lower total loss at
+    step 2 (step 2 is evaluated on step 1's updated parameters, so a
+    non-decrease would mean the chained update was not applied)."""
+    df = mlops.QUERIES["kge_transe_two_step_exact"](spark, SF_SMOKE)
+    l1, l2 = [
+        r for r in df.filter("kind = 'L'").orderBy("step").collect()
+    ]
+    assert l1["old_val"] == l2["old_val"]          # same triple count
+    assert l2["grad"] < l1["grad"]                 # fewer violations
+    assert l2["new_val"] < l1["new_val"]           # lower total loss
+    # lr=1 keeps parameters integer: every step-2 slot must be integral
+    frac = df.filter(
+        "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"
+    ).count()
+    assert frac == 0

@@ -213,3 +213,36 @@ def test_gram_upper_table_matches_trainer_gram(spark):
     # and the trainer's collected gram sees the same matrix
     t = JoinMergeCPALS(spark, n_i=1, n_j=1, n_k=1, rank=3, seed=0)
     np.testing.assert_allclose(t._gram(df), want)
+
+
+def test_als_rank3_solves_normal_equations_exactly(spark):
+    """The rank-3 adjugate solve must satisfy the normal equations in
+    EXACT integer arithmetic: for every mode row i, G·a_numᵀ = det·m
+    (adj G is the true matrix inverse times det, so this holds with no
+    float tolerance at all) — verified by rebuilding G from the same
+    pseudo-factor formulas in numpy and multiplying back."""
+    import numpy as np
+
+    from spark_tensors_spark.queries.kg import _encoded
+
+    df = tq.QUERIES["tns_cp_als_rank3_exact"](spark, SF).collect()
+    _raw, ent, _rel, _enc = _encoded(spark, SF)
+    n_ent = ent.count()
+    ids23 = np.arange(0, n_ent, tq.RANK3_MOD)
+    B = ((ids23[:, None] * 31 + np.arange(3)[None, :] * 17) % 5) - 2
+    C = ((np.arange(3)[:, None] * 37 + np.arange(3)[None, :] * 23) % 7) - 3
+    G = (B.T @ B) * (C.T @ C)
+    det = int(round(np.linalg.det(G)))
+    rows = {}
+    for r in df:
+        rows.setdefault(r["i"], [None, None, None, None, None, None])
+        rows[r["i"]][r["r"]] = r["a_num"]
+        rows[r["i"]][3 + r["r"]] = r["m"]
+        assert r["det"] == det
+        assert r["a_val"] == r["a_num"] / det
+    assert len(rows) > 0
+    for i, v in rows.items():
+        a_num = np.array(v[:3], dtype=object)
+        m = np.array(v[3:], dtype=object)
+        lhs = G.astype(object) @ a_num
+        assert np.array_equal(lhs, det * m), (i, lhs, det * m)

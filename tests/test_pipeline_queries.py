@@ -306,3 +306,40 @@ def test_hard_negative_topk_masks_labels(spark):
             ),
         )
         assert rs[0].nn_id == best
+
+
+def test_pipeline_e2e_stage_accounting(spark):
+    """The fused curation pipeline must agree with its stages run
+    separately: the packed-doc total equals |dedup ∩ quality-keep ∩
+    not-contaminated| computed stage-by-stage, and bin ids are
+    contiguous from 0 within every source (a hole would mean the
+    running sum skipped tokens)."""
+    from spark_tensors_spark.pipeline import corpus as C
+    from spark_tensors_spark.pipeline import curation
+
+    out = pq.QUERIES["doc_pipeline_e2e"](spark, SF).collect()
+    # contiguous bins per source
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["bin_id"])
+    for src, bins in by_src.items():
+        assert sorted(bins) == list(range(len(bins))), (src, bins)
+    # stage-by-stage recount
+    docs = load_table(spark, SF, "documents")
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        corp.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .drop("_rk")
+    )
+    gated = curation.quality_filter(dd).filter("keep")
+    clean = C.decontaminate(
+        gated, docs.filter(F.col("doc_id") % 97 == 0), n=3
+    ).filter("NOT contaminated")
+    assert sum(r["n_docs"] for r in out) == clean.count()
+    assert sum(r["tok_sum"] for r in out) == (
+        clean.agg(F.sum("n_tokens")).first()[0]
+    )

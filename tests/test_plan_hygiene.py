@@ -49,6 +49,9 @@ BNLJ_ALLOWED = {
     # onto the mode-sized MTTKRP result — the ALS solve never leaves
     # the executors
     "tns_cp_als_step_exact",
+    # same shape at rank 3: 1-row G/adjugate broadcast onto the
+    # mode-sized MTTKRP result
+    "tns_cp_als_rank3_exact",
     # 1-row count scalar (n) cross-joined into the variance numerators
     "emb_pca_topvar",
     # J7 eval expansion: entity matrix broadcast by design (closure/

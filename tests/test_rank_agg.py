@@ -74,3 +74,32 @@ def test_agg_rank_ascending_orientation(spark):
         ascending=True,
     ).collect()[0].r
     assert r == 2  # only the distance-2 candidate beats the true one
+
+
+@pytest.mark.parametrize("model", ["transe", "rescal", "hole"])
+def test_trainer_agg_path_bit_identical_to_closure_path(spark, model):
+    """KGETrainer.evaluate must produce IDENTICAL metrics through the
+    table-streaming agg ranker and the closure-matrix ranker, for all
+    three models, filtered and raw — the wiring contract behind making
+    the agg path the default above AGG_RANK_ENTITY_THRESHOLD."""
+    import pandas as pd
+
+    from spark_tensors_spark.train import AdaGrad, KGETrainer
+
+    rng = np.random.default_rng(11)
+    tri = rng.integers(0, 60, size=(120, 3)) % [60, 3, 60]
+    tdf = spark.createDataFrame(
+        pd.DataFrame(tri, columns=["s_id", "p_id", "o_id"])
+    ).coalesce(2)
+    t = KGETrainer(
+        spark, n_entities=60, n_relations=3, dim=8, model=model,
+        optimizer=AdaGrad(lr=0.2), seed=5, neg_per_pos=2,
+    )
+    t.fit(tdf, epochs=2)
+    test = tdf.limit(25)
+    for known in (None, tri):
+        a = t.evaluate(test, known_triples=known,
+                       force_path="agg").collect()[0]
+        c = t.evaluate(test, known_triples=known,
+                       force_path="closure").collect()[0]
+        assert tuple(a) == tuple(c), (model, known is None, a, c)

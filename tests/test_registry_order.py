@@ -125,3 +125,36 @@ def test_r10_new_oracles_lead_the_window():
     assert ungated <= set(names[: len(ungated)]), (
         ungated - set(names[: len(ungated)])
     )
+
+
+def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
+    """The three round-11 oracles (the two-step exact training LOOP,
+    the fused e2e curation pipeline, the rank-3 exact ALS solve) front
+    the window until gated (self-retiring, like the r10 assertion) —
+    AND the three r6-stale queries the r10 verdict flagged
+    (q21_basket_lift, q22_sales_opportunity, tns_als_normal_eq) must
+    still sit inside the 50-slot window behind them."""
+    import os
+
+    qs, oracles = entry._registry()
+    names = list(qs)
+    hist = entry._gate_history(os.path.dirname(entry.__file__))
+    new11 = {
+        "kge_transe_two_step_exact",
+        "doc_pipeline_e2e",
+        "tns_cp_als_rank3_exact",
+    }
+    ungated = {
+        q for q in new11
+        if hist.get(q, (0, "never"))[1] != "ok"
+    }
+    assert ungated <= set(names[: len(ungated)]), (
+        ungated - set(names[: len(ungated)])
+    )
+    stale_trio = {
+        "q21_basket_lift", "q22_sales_opportunity", "tns_als_normal_eq",
+    }
+    still_stale = {
+        q for q in stale_trio if hist.get(q, (99, "ok"))[0] <= 6
+    }
+    assert still_stale <= set(names[:50]), still_stale - set(names[:50])
