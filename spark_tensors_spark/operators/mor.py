@@ -30,12 +30,17 @@ and swaps the pointer.  The one destructive operation is
 manifest); run it when no reader still holds an older snapshot — the
 standard expire-snapshots caveat of every table format.
 
-Concurrency contract (same as merge.py): SINGLE WRITER.  Delta commits
-and `compact` must not run concurrently with each other; `compact`
-still folds exactly the delta set it captured and carries any
-later-sequenced stragglers forward unfolded, so even a contract
-violation loses nothing.  Readers are safe against every writer
-operation except `vacuum_mor` (above).
+Concurrency contract (same as merge.py): SINGLE WRITER, and the
+no-loss guarantee holds ONLY under it.  `compact` re-reads the
+manifest immediately before its pointer swap and carries any
+later-sequenced stragglers forward unfolded, which narrows — but does
+NOT close — the race: a delta committed between that re-read and the
+swap is dropped from the new manifest (orphaned until `vacuum_mor`),
+and a concurrent delta commit racing the swap itself can clobber the
+new base pointer outright (both writers replace the same manifest
+file).  Run delta commits and `compact` from one writer at a time.
+Readers are safe against every writer operation except `vacuum_mor`
+(above).
 
 Legacy layout (pre-manifest ``base/`` + directory listing) is
 auto-migrated: reads synthesize a manifest view, the first write
@@ -127,6 +132,10 @@ def _migrate_legacy(path: str) -> dict | None:
         "base": "base",
         "deltas": seqs,
         "max_seq": max(seqs, default=-1),
+        # legacy tables have no fold history: conservatively treat
+        # every seq ≤ max_seq as possibly-folded (preserves the old
+        # replay-is-a-no-op behavior; no false rejections)
+        "folded_max": max(seqs, default=-1),
     }
 
 
@@ -143,7 +152,14 @@ def init_mor(df: DataFrame, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     df.write.parquet(os.path.join(path, "base.v0"))
     _write_manifest(
-        path, {"v": 0, "base": "base.v0", "deltas": [], "max_seq": -1}
+        path,
+        {
+            "v": 0,
+            "base": "base.v0",
+            "deltas": [],
+            "max_seq": -1,
+            "folded_max": -1,
+        },
     )
 
 
@@ -197,14 +213,25 @@ def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
         raise FileNotFoundError(f"not a MoR table (no base): {path}")
     seqs = m["deltas"]
     max_seq = m.get("max_seq", max(seqs, default=-1))
+    folded_max = m.get("folded_max", max_seq)
     if seq is None:
         seq = max_seq + 1
     elif seq <= max_seq:
-        # replayed batch: already committed (possibly already FOLDED
-        # into a base by compact — the monotone max_seq makes replays
-        # of folded batches no-ops too, and keeps sequence numbers
-        # from ever re-using a dir an older pinned snapshot references)
-        return seq
+        if seq in seqs or seq <= folded_max:
+            # replayed batch: already committed (possibly already
+            # FOLDED into a base by compact — the monotone max_seq
+            # keeps sequence numbers from ever re-using a dir an older
+            # pinned snapshot references)
+            return seq
+        # an out-of-order EXPLICIT seq that was never committed nor
+        # folded: silently dropping it would lose the batch with no
+        # error (ADVICE r10) — explicit seqs must be monotone
+        raise ValueError(
+            f"explicit seq {seq} is <= max_seq {max_seq} but was never "
+            f"committed (live deltas {seqs}, folded through "
+            f"{folded_max}); replayable sources must supply MONOTONE "
+            "sequence numbers"
+        )
     out = os.path.join(path, f"_d={seq}")
     shutil.rmtree(out, ignore_errors=True)  # crash leftover, unreferenced
     delta.write.parquet(out)
@@ -270,11 +297,15 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     """Fold the CURRENT snapshot's deltas into ``base.v<k+1>`` and swap
     the manifest — the one full rewrite MoR amortizes.  Deletes
     NOTHING (readers on the old snapshot keep working; reclaim with
-    `vacuum_mor`).  A delta sequenced after the captured manifest
-    (single-writer contract aside) is carried forward unfolded, never
-    lost.  Crash-safe at every point: before the manifest swap the old
-    pointer still names a complete snapshot; the orphan ``base.v<k+1>``
-    is overwritten by the next compact."""
+    `vacuum_mor`).  UNDER THE SINGLE-WRITER CONTRACT nothing is ever
+    lost; the pre-swap manifest re-read additionally carries forward
+    any straggler delta visible by then, but a delta committed between
+    that re-read and the swap — a contract violation — IS dropped from
+    the new manifest (orphaned until vacuum_mor), see the module
+    concurrency paragraph.  Crash-safe at every point (single writer):
+    before the manifest swap the old pointer still names a complete
+    snapshot; the orphan ``base.v<k+1>`` is overwritten by the next
+    compact."""
     m = _manifest(path)
     if m is None:
         raise FileNotFoundError(f"not a MoR table (no base): {path}")
@@ -293,6 +324,13 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
             "base": new_base,
             "deltas": stragglers,
             "max_seq": cur.get("max_seq", max(cur["deltas"], default=-1)),
+            # fold history: replays of folded seqs stay no-ops while
+            # never-committed out-of-order explicit seqs now raise
+            "folded_max": max(
+                m.get("folded_max", -1),
+                cur.get("folded_max", -1),
+                max(m["deltas"], default=-1),
+            ),
         },
     )
 

@@ -18,13 +18,19 @@ north-star extension for LLM-training-data pipelines (BASELINE.json
     per partition, payload bytes never shuffle unless the caller
     repartitions first.
 
-The container ships no image/audio codecs, so the *codec* step is
-stubbed: :func:`decode_payload_real` raises ``NotImplementedError``
-(clearly marked), and the default pipeline uses a **deterministic fake
-decoder** (byte values = pixel/sample intensities) so every downstream
-stage — batch shapes, schemas, partitioning, feature math — is real and
-testable, and even DuckDB-oracle-checkable (byte values of ASCII text
-are just ``ascii()`` codes, computable in SQL on both engines).
+Codec status (real since r5 — this paragraph is the authoritative
+one): :func:`decode_payload_real` REALLY decodes PNG images (pure
+stdlib/numpy: chunk walk, zlib inflate, all five filter types,
+:func:`decode_png`) and RIFF/WAVE PCM audio (:func:`decode_wav_pcm`).
+Only formats whose codecs this container genuinely lacks raise
+``NotImplementedError`` (JPEG/WebP need PIL, video needs ffmpeg — a
+deployment swaps those branches in).  The **deterministic fake
+decoder** (:func:`decode_payload_fake`, byte values = pixel/sample
+intensities) remains available so downstream stages — batch shapes,
+schemas, partitioning, feature math — are DuckDB-oracle-checkable
+(byte values of ASCII text are just ``ascii()`` codes, computable in
+SQL on both engines); the declared `mm_image_features` query runs the
+REAL PNG path under a sample-exact pixel oracle.
 """
 
 from __future__ import annotations
