@@ -97,16 +97,60 @@ def main() -> None:
         "errors": errors,
         "sf": float(sf) if sf else None,
     }
+    # scale-curve check (VERDICT r10 #6): compare against the most
+    # recent full record at a SIBLING scale factor and flag queries
+    # whose wall-time grew superlinearly in the data — the mechanical
+    # tripwire for "works at sf0.1, melts at 100×".  A query is flagged
+    # when it takes ≥ 1 s at the larger scale AND its time ratio
+    # exceeds 2× the data ratio (2× headroom over linear absorbs the
+    # constant-vs-linear mix and box noise; streaming startup constants
+    # keep ratios BELOW data ratio, so they never false-positive).
+    here = os.path.dirname(os.path.abspath(__file__))
+    full["superlinear_vs_sibling"] = None
+    try:
+        import glob as _glob
+
+        best = None
+        for p in _glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")):
+            rec = json.load(open(p))
+            osf = rec.get("sf")
+            if osf and full["sf"] and osf != full["sf"]:
+                if best is None or abs(osf - full["sf"]) < abs(
+                    best["sf"] - full["sf"]
+                ):
+                    best = rec
+        if best is not None:
+            lo, hi = sorted([best, full], key=lambda r: r["sf"])
+            data_ratio = hi["sf"] / lo["sf"]
+            flags = {}
+            for n, t_hi in hi["queries"].items():
+                t_lo = lo["queries"].get(n)
+                if t_lo and t_lo > 0 and t_hi >= 1.0:
+                    r = t_hi / t_lo
+                    if r > 2.0 * data_ratio:
+                        flags[n] = round(r, 2)
+            full["superlinear_vs_sibling"] = {
+                "vs_sf": lo["sf"] if full is hi else hi["sf"],
+                "data_ratio": data_ratio,
+                "flagged": flags,
+            }
+    except Exception:
+        pass
     # Persist the complete per-query record (the driver's stdout capture
     # keeps only the LAST 2000 chars — with 190 queries the full line is
-    # ~5.5 KB, so since round 2 the captured record never parsed).
+    # ~5.5 KB, so since round 2 the captured record never parsed), plus
+    # a per-scale record the scale-curve check above compares against.
     try:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
-        )
+        out_path = os.path.join(here, "BENCH_FULL_latest.json")
         with open(out_path, "w") as fh:
             json.dump(full, fh)
             fh.write("\n")
+        if full["sf"]:
+            with open(
+                os.path.join(here, f"BENCH_FULL_sf{sf}.json"), "w"
+            ) as fh:
+                json.dump(full, fh)
+                fh.write("\n")
     except Exception:
         pass
     # Full line first (humans / logs)...

@@ -1,0 +1,55 @@
+"""Generate the SCALE.md scale-curve table from the two per-scale
+bench records (`BENCH_FULL_sf0.01.json` / `BENCH_FULL_sf0.1.json`,
+written by bench.py — run each ALONE; concurrent runs corrupt
+timings).
+
+Usage: python scripts/scale_curve.py [top_n]   # prints markdown
+
+The interesting signal is the wall-time ratio across a 10× data step:
+ratio ≪ 10 = startup-constant-dominated (streaming, tiny fixtures),
+ratio ≈ 10 = linear, ratio ≫ 10 = superlinear — fix before a 100×
+deployment.  bench.py performs the same comparison mechanically per
+run (`superlinear_vs_sibling` in its JSON).
+"""
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    try:
+        lo = json.load(open(os.path.join(ROOT, "BENCH_FULL_sf0.01.json")))
+        hi = json.load(open(os.path.join(ROOT, "BENCH_FULL_sf0.1.json")))
+    except FileNotFoundError as e:
+        print(f"missing per-scale record: {e}", file=sys.stderr)
+        return 2
+    data_ratio = hi["sf"] / lo["sf"]
+    rows = []
+    for n, t_hi in sorted(hi["queries"].items(), key=lambda kv: -kv[1]):
+        t_lo = lo["queries"].get(n)
+        if t_lo is None or t_lo <= 0:
+            continue
+        rows.append((n, t_lo, t_hi, t_hi / t_lo))
+        if len(rows) >= top_n:
+            break
+    print(f"| query | sf0.01 s | sf0.1 s | ratio (data ×{data_ratio:.0f}) |")
+    print("|---|---|---|---|")
+    for n, t_lo, t_hi, r in rows:
+        note = " **superlinear**" if r > 2 * data_ratio else ""
+        print(f"| `{n}` | {t_lo:.2f} | {t_hi:.2f} | {r:.1f}{note} |")
+    flagged = [
+        n for n, t_lo, t_hi, r in rows if r > 2 * data_ratio
+    ]
+    print(
+        f"\nflagged superlinear (ratio > {2 * data_ratio:.0f}): "
+        f"{flagged or 'none'}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

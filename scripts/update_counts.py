@@ -5,8 +5,12 @@ hand-edited drift; counts are now generated, never typed).
 Usage: python scripts/update_counts.py            # rewrite README.md
        python scripts/update_counts.py --check    # exit 1 on drift
 
-Rewrites, in place, every occurrence of the three markers:
-  `queries()` (N), `oracle_sql()` (N), `N tests:`, `all N declared`.
+Counts live ONLY next to explicit HTML-comment anchors in README.md —
+`<!--count:q-->N`, `<!--count:o-->N`, `<!--count:t-->N` — so an
+unrelated "(N tests)" phrase elsewhere (a subset, a historical count)
+can never be clobbered with the global total (ADVICE r10; the old
+free-text regexes matched ANY such occurrence).  Prose that needs a
+live count must carry the anchor.
 """
 
 import os
@@ -37,13 +41,14 @@ def live_counts() -> tuple[int, int, int]:
 
 
 def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
-    text = re.sub(r"`queries\(\)` \(\d+\)", f"`queries()` ({n_q})", text)
-    text = re.sub(
-        r"`oracle_sql\(\)` \(\d+\)", f"`oracle_sql()` ({n_o})", text
-    )
-    text = re.sub(r"\| \d+ tests:", f"| {n_t} tests:", text)
-    text = re.sub(r"\(\d+ tests\)", f"({n_t} tests)", text)
-    text = re.sub(r"all \d+ declared queries", f"all {n_q} declared queries", text)
+    for marker, n in (("q", n_q), ("o", n_o), ("t", n_t)):
+        pat = rf"<!--count:{marker}-->\d+"
+        if not re.search(pat, text):
+            raise SystemExit(
+                f"README.md lost its <!--count:{marker}--> anchor(s); "
+                "counts are only rewritten at explicit anchors"
+            )
+        text = re.sub(pat, f"<!--count:{marker}-->{n}", text)
     return text
 
 

@@ -118,8 +118,15 @@ def two_star_components(
     n_parts = _cc_partitions(edges, n_edges)
     E = e0.repartition(n_parts, "c").localCheckpoint()
     e0.unpersist()
+    # Σ(c+p) as DECIMAL(38,0): at the 1e12-edge scale this module
+    # targets, an int64 sum can overflow (silent wrap would void the
+    # monotone-signature termination proof; ANSI mode would throw) —
+    # 38 digits cover 1e12 edges of 2⁶³-sized ids with room to spare
+    _sigsum = F.sum(
+        F.col("c").cast("decimal(38,0)") + F.col("p").cast("decimal(38,0)")
+    )
     sig = tuple(
-        E.agg(F.count(F.lit(1)), F.sum(F.col("c") + F.col("p"))).first()
+        E.agg(F.count(F.lit(1)), _sigsum).first()
     )
     for _ in range(max_rounds):
         sym = E.unionByName(
@@ -146,7 +153,7 @@ def two_star_components(
         )
         E = small.localCheckpoint()
         new_sig = tuple(
-            E.agg(F.count(F.lit(1)), F.sum(F.col("c") + F.col("p"))).first()
+            E.agg(F.count(F.lit(1)), _sigsum).first()
         )
         if new_sig == sig:
             break

@@ -40,7 +40,11 @@ class PCAModel(NamedTuple):
 
 
 def moment_table(
-    emb: DataFrame, dims: int, vec_col: str, diag_only: bool = False
+    emb: DataFrame,
+    dims: int,
+    vec_col: str,
+    diag_only: bool = False,
+    exact_int: bool = False,
 ) -> DataFrame:
     """The distributed moment pass as a DataFrame: per Arrow batch ONE
     fixed-size partial (count, per-dim sum, Gram upper triangle) packed
@@ -56,18 +60,30 @@ def moment_table(
     (emb_pca_topvar) pays O(d) compute per row and an O(d) partial
     instead of O(d²) — at 100 TB the d² BLAS per batch and the
     (d²/2)-row shuffle are the whole cost of this pass.  Emitted slot
-    values are identical to the full pass (same sums, same layout)."""
+    values are identical to the full pass (same sums, same layout).
+
+    ``exact_int``: for INTEGER-valued vectors, accumulate partials in
+    int64 and aggregate on a LONG column — a float64 SUM is exact only
+    while every partial and the total stay below 2⁵³ (on int8 codes
+    that bound is crossed near 5.6e11 rows, squarely inside the 100 TB
+    regime this module targets); the long path is exact to 2⁶³
+    (ADVICE r10).  Float-valued inputs must keep the default."""
     d = int(dims)
+    acc_dtype = np.int64 if exact_int else np.float64
 
     def part(batches):
         n = 0
-        s = np.zeros(d)
-        g = np.zeros(d) if diag_only else np.zeros((d, d))
+        s = np.zeros(d, dtype=acc_dtype)
+        g = (
+            np.zeros(d, dtype=acc_dtype)
+            if diag_only
+            else np.zeros((d, d), dtype=acc_dtype)
+        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.array(
-                [np.asarray(v[:d], dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v[:d], dtype=acc_dtype) for v in pdf[vec_col]]
             )
             n += m.shape[0]
             s += m.sum(axis=0)
@@ -84,12 +100,15 @@ def moment_table(
                 gram_idx = iu[0] * d + iu[1] + d
                 gram_val = g[iu]
             idx = np.concatenate(([-1], np.arange(d), gram_idx))
-            val = np.concatenate(([float(n)], s, gram_val))
+            val = np.concatenate(
+                ([acc_dtype(n)], s, gram_val)
+            ).astype(acc_dtype)
             yield pd.DataFrame({"slot": idx.astype("int64"), "val": val})
 
+    val_type = "long" if exact_int else "double"
     return (
         emb.select(vec_col)
-        .mapInPandas(part, "slot long, val double")
+        .mapInPandas(part, f"slot long, val {val_type}")
         .groupBy("slot")
         .agg(F.sum("val").alias("v"))
     )

@@ -608,8 +608,11 @@ def emb_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 64
     codes = _int8_codes(spark, sf_dir)
     # diag_only: this query needs variances, not covariances — O(d)
-    # per-row compute and partial instead of O(d²) (values identical)
-    mt = moment_table(codes, d, "codes", diag_only=True)
+    # per-row compute and partial instead of O(d²) (values identical);
+    # exact_int: int64 partials + LONG aggregate, exact to 2⁶³ rather
+    # than the float path's 2⁵³ (the oracle sums exact integers, so
+    # the claimed BIGINT parity now holds at full scale — ADVICE r10)
+    mt = moment_table(codes, d, "codes", diag_only=True, exact_int=True)
     n_row = mt.filter(F.col("slot") == -1).select(
         F.col("v").cast("long").alias("n")
     )

@@ -11,6 +11,14 @@ Scale notes (100 TB design intent, tested on local[*]):
     coalesces post-shuffle partitions to ``advisoryPartitionSizeInBytes``.
   - skew-join splitting is enabled so Zipf-skewed keys (FIXTURES.md A1)
     don't straggle.
+  - streaming state store: the default HDFS-backed provider keeps every
+    key in executor heap — fine at test scale, a memory cliff at 100 TB
+    key cardinality.  ``SPARK_GRAFT_ROCKSDB=1`` (or
+    ``rocksdb_state=True``) switches the session to the RocksDB
+    provider (state spills to local disk, changelog checkpointing
+    keeps commits incremental) — the deployable configuration for the
+    stateful streaming suite; tests/test_streaming.py smoke-runs a
+    stateful query under it.
 """
 
 from __future__ import annotations
@@ -22,13 +30,36 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """The RocksDB state-store configuration for 100 TB-cardinality
+    stateful streaming: per-key state lives off-heap/on-disk in RocksDB
+    instead of the default in-heap HashMap provider, and changelog
+    checkpointing writes per-batch deltas instead of full snapshots.
+    Usable as ``extra_conf`` on any session (it is also applied by
+    ``get_session(rocksdb_state=True)`` / ``SPARK_GRAFT_ROCKSDB=1``)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".changelogCheckpointing.enabled": "true",
+    }
+
+
 def get_session(
     app_name: str = "spark-tensors-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the SparkSession with engine defaults applied."""
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get("SPARK_GRAFT_ROCKSDB", "") == "1"
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -50,6 +81,9 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if rocksdb_state:
+        for k, v in rocksdb_state_conf().items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -653,3 +653,68 @@ def test_sessionize_stream_ttl_timers(spark, tmp_path):
         (1, 1, 2, us(0), us(2)),
         (2, 1, 2, us(0), us(1)),
     ]
+
+
+def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
+    """The deployable 100 TB state-store configuration: the same
+    applyInPandasWithState query (plus a watermarked windowed agg) runs
+    under the RocksDB provider with changelog checkpointing and
+    produces the identical final state as the default HDFS-backed
+    provider (the provider is a per-query conf read at stream start, so
+    it can be toggled on the shared session).  SCALE.md carries the
+    rationale: the default provider keeps every key in executor heap —
+    a memory cliff at 100 TB key cardinality; RocksDB spills to local
+    disk and checkpoints incrementally."""
+    from spark_tensors_spark.session import rocksdb_state_conf
+    from spark_tensors_spark.streaming.stateful import running_user_totals
+    from spark_tensors_spark.streaming.windows import tumbling_window_agg
+
+    d, schema = stream_source
+    conf = rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("totals_rocksdb")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        got = {
+            r.user_id: (r.n, round(r.total, 6), r.last_ts_us)
+            for r in spark.sql(
+                """SELECT user_id, n, total, last_ts_us FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC) AS rk
+                     FROM totals_rocksdb) WHERE rk = 1"""
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, r.total, r.last_ts_us)
+            for r in running_user_totals(
+                load_table(spark, SF, "events")
+            ).collect()
+        }
+        assert got == batch
+        # windowed agg with watermark state also commits under RocksDB
+        stream2 = spark.readStream.schema(schema).parquet(d)
+        out = tumbling_window_agg(
+            stream2, window="1 hour", watermark="10 minutes"
+        )
+        q2 = _run_stream(out, "tumbling_rocksdb")
+        assert spark.sql("SELECT COUNT(*) FROM tumbling_rocksdb").first()[0] > 0
+        q2.stop()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
