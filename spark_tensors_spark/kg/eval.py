@@ -273,7 +273,17 @@ def rank_against_all_entities_agg(
     (driver-side numpy in the trainer; any bounded lookup elsewhere) —
     they are called once, on the COLLECTED test split (eval splits are
     bounded by contract; training-scale data never flows through
-    here)."""
+    here).
+
+    Filtered protocol at scale: ``known_triples`` is TRAINING-sized,
+    so unlike the closure path it never ships per task — it enters the
+    plan once as a DataFrame, joins the (broadcast) test keys down to
+    the per-test exclusion set (Σ out-degree of the test (s,p) keys,
+    eval-sized), and the exclusion becomes a SUBTRACTION: masked
+    candidates that would have counted as better are scored in one
+    bounded side job and subtracted from the unmasked counts — exactly
+    equivalent to the closure path's −inf masking (a masked candidate
+    contributes to neither the > count nor the tie count)."""
     tp = test.select("s_id", "p_id", "o_id").toPandas()
     n_test = len(tp)
     spark = test.sparkSession
@@ -295,24 +305,13 @@ def rank_against_all_entities_agg(
         chunks.append(np.diagonal(sc))
     true_score = np.concatenate(chunks)
 
-    masked: list[np.ndarray | None] = [None] * n_test
-    if known_triples is not None:
-        kt = np.asarray(known_triples)
-        order = np.lexsort((kt[:, 2], kt[:, 1], kt[:, 0]))
-        kt = kt[order]
-        keys, starts = np.unique(kt[:, :2], axis=0, return_index=True)
-        bounds = np.append(starts, len(kt))
-        known_by_sp = {
-            (int(k[0]), int(k[1])): kt[bounds[i]: bounds[i + 1], 2]
-            for i, k in enumerate(keys)
-        }
-        for i in range(n_test):
-            ko = known_by_sp.get((int(s_idx[i]), int(p_idx[i])))
-            if ko is not None:
-                ko = ko[ko != true_o[i]]
-                masked[i] = ko if len(ko) else None
-
     idx_arr = np.arange(n_test)
+    tp = tp.copy()
+    tp["idx"] = idx_arr
+    keys_df = spark.createDataFrame(
+        tp[["idx", "s_id", "p_id", "o_id"]],
+        "idx long, s_id long, p_id long, o_id long",
+    )
 
     def partials(batches):
         for pdf in batches:
@@ -321,12 +320,6 @@ def rank_against_all_entities_agg(
             ids = pdf["id"].to_numpy()
             e_b = np.stack(pdf["vec"].to_numpy())
             scores = score_batch(e_b, S, R)  # (n_test, nb)
-            for i in range(n_test):
-                ko = masked[i]
-                if ko is not None:
-                    m = np.isin(ids, ko)
-                    if m.any():
-                        scores[i, m] = -np.inf
             gt = (scores > true_score[:, None]).sum(axis=1)
             eq = (
                 (scores == true_score[:, None])
@@ -337,14 +330,59 @@ def rank_against_all_entities_agg(
     part = entity_df.select("id", "vec").mapInPandas(
         partials, "idx long, better long"
     )
-    ranks = part.groupBy("idx").agg(
-        (F.lit(1) + F.sum("better")).cast("long").alias("r")
-    )
-    tp = tp.copy()
-    tp["idx"] = idx_arr
-    keys_df = spark.createDataFrame(
-        tp[["idx", "s_id", "p_id", "o_id"]],
-        "idx long, s_id long, p_id long, o_id long",
+    counts = part.groupBy("idx").agg(F.sum("better").alias("b"))
+
+    if known_triples is not None:
+        kt = np.asarray(known_triples)
+        known_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"s_id": kt[:, 0], "p_id": kt[:, 1], "c_id": kt[:, 2]}
+            ),
+            "s_id long, p_id long, c_id long",
+        )
+        # per-test exclusion set: known objects for the test (s, p),
+        # minus the test's own true object; distinct because the known
+        # set may carry duplicate triples while masking is set-valued
+        exc = (
+            known_df.join(F.broadcast(keys_df), ["s_id", "p_id"])
+            .filter(F.col("c_id") != F.col("o_id"))
+            .select("idx", "c_id")
+            .distinct()
+        )
+        exc_vec = exc.join(
+            entity_df.select(F.col("id").alias("c_id"), "vec"), "c_id"
+        )
+
+        def exc_partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ii = pdf["idx"].to_numpy()
+                ids = pdf["c_id"].to_numpy()
+                e_b = np.stack(pdf["vec"].to_numpy())
+                outs = []
+                for j in range(0, len(pdf), 256):
+                    sl = slice(j, j + 256)
+                    sc = score_batch(e_b[sl], S[ii[sl]], R[ii[sl]])
+                    outs.append(np.diagonal(sc))
+                sc = np.concatenate(outs)
+                better = (sc > true_score[ii]) | (
+                    (sc == true_score[ii]) & (ids < true_o[ii])
+                )
+                yield pd.DataFrame(
+                    {"idx": ii, "exc": better.astype("int64")}
+                )
+
+        exc_count = exc_vec.mapInPandas(
+            exc_partials, "idx long, exc long"
+        ).groupBy("idx").agg(F.sum("exc").alias("exc"))
+        counts = counts.join(exc_count, "idx", "left").select(
+            "idx",
+            (F.col("b") - F.coalesce("exc", F.lit(0))).alias("b"),
+        )
+
+    ranks = counts.select(
+        "idx", (F.lit(1) + F.col("b")).cast("long").alias("r")
     )
     return (
         ranks.join(F.broadcast(keys_df), "idx")
