@@ -346,3 +346,64 @@ class JoinMergeKGETrainer:
 
     def relation_embeddings(self) -> DataFrame:
         return self.P_df.select("id", "vec")
+
+    def evaluate(
+        self,
+        test: DataFrame,
+        known_triples: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """Table-resident link-prediction metrics — the evaluation that
+        matches this trainer's 100 TB posture: parameters NEVER leave
+        their DataFrames except for the test split's own rows.
+
+        The test-row parameter gathers are semi-join lookups against
+        the embedding tables (collected output is test-sized — eval
+        splits are bounded by contract), ranking streams the full
+        entity table through `kg.eval.rank_against_all_entities_agg`
+        (map-side partial better-counts; closure O(|test|·d)), and the
+        filtered protocol's known set enters the plan as a join, not a
+        shipped dict.  Scores use the same per-model kernels as the
+        driver trainer (`models.score_all_fn`), so ranks are
+        bit-identical to ranking the collected matrices — pinned by
+        tests/test_rank_agg.py."""
+        import numpy as np
+
+        from spark_tensors_spark.kg import eval as kgeval
+        from spark_tensors_spark.train.models import score_all_fn
+
+        tp = test.select("s_id", "p_id", "o_id")
+        E = self.entity_embeddings()
+        P = self.relation_embeddings()
+        e_need = tp.select(F.col("s_id").alias("id")).unionByName(
+            tp.select(F.col("o_id").alias("id"))
+        ).distinct()
+        emap = {
+            r["id"]: np.asarray(r["vec"])
+            for r in E.join(e_need, "id").collect()
+        }
+        p_need = tp.select(F.col("p_id").alias("id")).distinct()
+        pmap = {
+            r["id"]: np.asarray(r["vec"])
+            for r in P.join(p_need, "id").collect()
+        }
+        d = self.dim
+
+        def gather_e(ids):
+            return np.stack([emap[int(i)] for i in ids])
+
+        def gather_r(ids):
+            m = np.stack([pmap[int(i)] for i in ids])
+            if self.model == "rescal":
+                return m.reshape(len(ids), d, d)
+            return m
+
+        ranked = kgeval.rank_against_all_entities_agg(
+            test,
+            E,
+            gather_s=gather_e,
+            gather_r=gather_r,
+            gather_true=gather_e,
+            score_batch=score_all_fn(self.model),
+            known_triples=known_triples,
+        )
+        return kgeval.link_prediction_metrics(ranked)

@@ -239,3 +239,39 @@ def transe_score_all(E: np.ndarray, S: np.ndarray, R: np.ndarray):
     return -np.sqrt(
         ((S[:, None, :] + R[:, None, :] - E[None, :, :]) ** 2).sum(-1)
     )
+
+
+def score_all_fn(model: str):
+    """The (E, S, R) → (b, N) all-entities scorer for ``model``, shared
+    by every ranking path (`KGETrainer.evaluate`,
+    `JoinMergeKGETrainer.evaluate`, `kg.eval.rank_against_all_entities*`)
+    so the closure and table-streaming rankers score with IDENTICAL
+    float ops (bit-parity across paths depends on it).
+
+    RESCAL's R is the gathered (b, d, d) slice stack; HolE scores
+    r·ccorr(s, e) per candidate via the production FFT kernel
+    (`hole.py:19-20` semantics)."""
+    if model == "transe":
+        return transe_score_all
+    if model == "rescal":
+
+        def rescal_all(E_, S_, R_):
+            return np.einsum("bd,bde,ne->bn", S_, R_, E_)
+
+        return rescal_all
+    if model == "hole":
+        from spark_tensors_spark.functions.kernels import ccorr_np
+
+        def hole_all(E_, S_, R_):
+            return np.stack(
+                [
+                    (
+                        R_[i]
+                        * ccorr_np(np.tile(S_[i], (len(E_), 1)), E_)
+                    ).sum(-1)
+                    for i in range(len(S_))
+                ]
+            )
+
+        return hole_all
+    raise ValueError(f"unknown model: {model!r}")

@@ -374,30 +374,12 @@ class KGETrainer:
         is the setting behind every published FB15k/WN18 number.
         ``force_path``: 'agg' or 'closure' overrides the threshold
         (parity tests)."""
-        from spark_tensors_spark.functions.kernels import ccorr_np
         from spark_tensors_spark.kg import eval as kgeval
 
-        if self.model == "rescal":
-            # shared ranker with rmat = W: R_ arrives as the gathered
-            # (b, d, d) slice stack, one einsum scores all entities
-            def score_all(E_, S_, R_):
-                return np.einsum("bd,bde,ne->bn", S_, R_, E_)
-
-            rel_mat = self.W
-        elif self.model == "transe":
-            score_all = M.transe_score_all
-            rel_mat = self.R
-        else:  # hole: r·ccorr(s, e) for every candidate e
-
-            def score_all(E_, S_, R_):
-                return np.stack(
-                    [
-                        (R_[i] * ccorr_np(np.tile(S_[i], (len(E_), 1)), E_)).sum(-1)
-                        for i in range(len(S_))
-                    ]
-                )
-
-            rel_mat = self.R
+        # one scorer per model, shared with the table-streaming ranker
+        # (bit-parity between paths depends on identical float ops)
+        score_all = M.score_all_fn(self.model)
+        rel_mat = self.W if self.model == "rescal" else self.R
 
         use_agg = (
             force_path == "agg"

@@ -366,3 +366,73 @@ def test_step_identical_across_join_strategies(spark, fixtures):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert forced == default
+
+
+def _py_two_steps(triples, model_fn, E0, P0, margin, accumulate_w=False):
+    """Two lr=1 full-batch steps of a gradchecked pairwise kernel —
+    the pure-Python loop the chained Spark steps must reproduce."""
+    s = np.array([t[0] for t in triples])
+    p = np.array([t[1] for t in triples])
+    o = np.array([t[2] for t in triples])
+    n = (o + 1 + p) % N_ENT
+    E, P = E0.copy(), P0.copy()
+    for _ in range(2):
+        _loss, slots = model_fn(E, P, s, p, o, n, margin=margin)
+        gE = np.zeros_like(E)
+        gP = np.zeros_like(P)
+        for kind, ids, g in slots:
+            if kind == "E":
+                np.add.at(gE, ids, g)
+            else:
+                np.add.at(gP, ids, g)
+        E = E - np.round(gE)
+        P = P - np.round(gP)
+    return E, P
+
+
+@pytest.mark.parametrize("model", ["rescal", "hole"])
+def test_two_chained_steps_rescal_hole_match_python_loop(
+    spark, fixtures, model
+):
+    """The exact-step CHAINING property holds for the other two models
+    too: rebuild_embedding_table folds step 1's output back into
+    parameter tables, and step 2 still matches a two-iteration
+    pure-Python loop bit-for-bit (lr=1 keeps parameters integer, so
+    the second gather/score/gradient pass stays exact) — the loop
+    doctrine of kge_transe_two_step_exact, pinned across the model
+    zoo."""
+    from spark_tensors_spark.train.exactstep import rebuild_embedding_table
+
+    triples, tri, E, R = fixtures
+    if model == "rescal":
+        P_spark, pkind = _spark_w(spark), "W"
+        E2, P2 = _py_two_steps(
+            triples, models.rescal_pairwise, _np_E(), _np_W(), R_MARGIN
+        )
+        P2 = P2.reshape(N_REL, DIM * DIM)
+
+        def step(E_, P_):
+            return rescal_bilinear_sgd_step(
+                tri, E_, P_, dim=DIM, n_entities=N_ENT,
+                margin=R_MARGIN, lr=1.0,
+            )
+    else:
+        P_spark, pkind = R, "R"
+        E2, P2 = _py_two_steps(
+            triples, models.hole_pairwise, _np_E(), _np_R(), R_MARGIN
+        )
+
+        def step(E_, P_):
+            return hole_ccorr_sgd_step(
+                tri, E_, P_, dim=DIM, n_entities=N_ENT,
+                margin=R_MARGIN, lr=1.0,
+            )
+
+    s1 = step(E, P_spark).localCheckpoint()
+    s2 = step(
+        rebuild_embedding_table(s1, "E"),
+        rebuild_embedding_table(s1, pkind),
+    )
+    for row in s2.collect():
+        want = (E2 if row.kind == "E" else P2)[row.id][row.d]
+        assert row.new_val == want, (model, row, want)

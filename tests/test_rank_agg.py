@@ -103,3 +103,51 @@ def test_trainer_agg_path_bit_identical_to_closure_path(spark, model):
         c = t.evaluate(test, known_triples=known,
                        force_path="closure").collect()[0]
         assert tuple(a) == tuple(c), (model, known is None, a, c)
+
+
+@pytest.mark.parametrize("model", ["transe", "rescal", "hole"])
+def test_joinmerge_evaluate_matches_matrix_ranker(spark, model):
+    """JoinMergeKGETrainer.evaluate (fully table-resident: join-gathered
+    test params, streamed entity table, join-based filtered protocol)
+    must be BIT-IDENTICAL to ranking the same trainer's collected
+    parameter matrices through the closure ranker — same floats, same
+    kernels, different topology."""
+    import pandas as pd
+
+    from spark_tensors_spark.kg.eval import (
+        link_prediction_metrics,
+        rank_against_all_entities_np,
+    )
+    from spark_tensors_spark.train.joinmerge import JoinMergeKGETrainer
+    from spark_tensors_spark.train.models import score_all_fn
+
+    rng = np.random.default_rng(23)
+    tri = rng.integers(0, 50, size=(100, 3)) % [50, 3, 50]
+    tdf = spark.createDataFrame(
+        pd.DataFrame(tri, columns=["s_id", "p_id", "o_id"])
+    ).coalesce(2)
+    t = JoinMergeKGETrainer(
+        spark, n_entities=50, n_relations=3, dim=6, model=model,
+        optimizer="adagrad", lr=0.2, seed=9, neg_per_pos=2,
+    )
+    t.fit(tdf, epochs=2)
+    test = tdf.limit(20)
+
+    # reference: collect this trainer's own tables and rank via the
+    # closure path with the shared kernels
+    erows = t.entity_embeddings().orderBy("id").collect()
+    emat = np.stack([np.asarray(r["vec"]) for r in erows])
+    eids = np.array([r["id"] for r in erows])
+    prows = t.relation_embeddings().orderBy("id").collect()
+    pmat = np.stack([np.asarray(r["vec"]) for r in prows])
+    if model == "rescal":
+        pmat = pmat.reshape(len(prows), 6, 6)
+    for known in (None, tri):
+        want = link_prediction_metrics(
+            rank_against_all_entities_np(
+                test, emat, eids, pmat, score_all_fn(model),
+                known_triples=known,
+            )
+        ).collect()[0]
+        got = t.evaluate(test, known_triples=known).collect()[0]
+        assert tuple(got) == tuple(want), (model, known is None, got, want)
