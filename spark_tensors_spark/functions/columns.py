@@ -152,3 +152,42 @@ def complex_score_col(
         + trilinear_score_col(ri, sr, oi)
         - trilinear_score_col(ri, si, or_)
     )
+
+
+def pad_sequences_col(
+    seq: Column | str,
+    maxlen: int,
+    value=0,
+    padding: str = "post",
+    truncating: str = "post",
+) -> Column:
+    """Keras-parity ``pad_sequences`` over an array column — F17, the
+    reference's batch padding (`kge/hole.py:277-285`:
+    ``pad_sequences(data, maxlen, padding='post', truncating='post',
+    value=0)``).  Pure column expression (slice / array_repeat /
+    concat), so at 100 TB it runs inside whole-stage codegen next to
+    the scan — no Python boundary, no shuffle.
+
+    ``truncating='post'`` keeps the first ``maxlen`` items,
+    ``'pre'`` keeps the last ``maxlen``; ``padding`` appends
+    (``'post'``) or prepends (``'pre'``) ``value`` up to ``maxlen``.
+    A NULL array stays NULL (keras raises instead; at scale a NULL row
+    must not poison the batch).  The keras ``maxlen=None``
+    (longest-in-batch) mode is a global agg, not a row expression —
+    compute ``F.max(F.size(c))`` and pass it in.
+    """
+    if padding not in ("post", "pre") or truncating not in ("post", "pre"):
+        raise ValueError("padding/truncating must be 'post' or 'pre'")
+    if maxlen <= 0:
+        raise ValueError("maxlen must be positive")
+    c = F.col(seq) if isinstance(seq, str) else seq
+    if truncating == "post":
+        kept = F.slice(c, 1, maxlen)
+    else:
+        kept = F.when(
+            F.size(c) > maxlen, F.slice(c, -maxlen, maxlen)
+        ).otherwise(c)
+    fill = F.array_repeat(
+        F.lit(value), F.greatest(F.lit(0), F.lit(maxlen) - F.size(c))
+    )
+    return F.concat(kept, fill) if padding == "post" else F.concat(fill, kept)

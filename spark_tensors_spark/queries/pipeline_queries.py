@@ -1442,6 +1442,62 @@ def doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAD_MAXLEN = 12
+
+
+def doc_pad_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 padding as a declared, value-oracled query — the reference's
+    keras batch prep (`kge/hole.py:268-285`): convert words to vocab
+    ids (`convert`: ``rvocab.get(w, 0)``), then
+    ``pad_sequences(maxlen, padding='post', truncating='post',
+    value=0)``.  Vocab here is the deterministic dense rank of the
+    distinct token (the reference's insertion-order vocab is
+    process-local; rank order is the cluster-stable equivalent — the
+    J1–J3 dictionary-encode doctrine).
+
+    Plan at 100 TB: the vocab is built by the SAME
+    :func:`~spark_tensors_spark.kg.dictionary.assign_ids` that builds
+    the entity dictionary (range-bucketed windows over a sampled
+    boundary set — dense rank order WITHOUT a global single-partition
+    sort), then one shuffle join token→id and one groupBy re-assembly;
+    the pad itself
+    (:func:`~spark_tensors_spark.functions.columns.pad_sequences_col`)
+    is pure codegen.  The padded ARRAY is in the compared output, so
+    the oracle checks every element position, not a digest.
+    """
+    from spark_tensors_spark.functions.columns import pad_sequences_col
+    from spark_tensors_spark.kg.dictionary import assign_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens_col("text")).alias("pos", "tok"),
+    )
+    vocab = assign_ids(toks.select(F.col("tok").alias("uri")), "uri").select(
+        F.col("uri").alias("tok"),
+        (F.col("id") + 1).cast("long").alias("tok_id"),
+    )
+    seqs = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda x: x["tok_id"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("orig_len"),
+        )
+    )
+    return seqs.select(
+        "doc_id",
+        "orig_len",
+        pad_sequences_col("ids", PAD_MAXLEN).alias("padded"),
+        F.greatest(
+            F.lit(0), F.lit(PAD_MAXLEN) - F.col("orig_len")
+        ).cast("long").alias("n_pad"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "doc_source_hash_stats": doc_source_hash_stats,
     "doc_exact_dup_groups": doc_exact_dup_groups,
@@ -1472,6 +1528,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "doc_decontaminate": doc_decontaminate,
     "doc_pipeline_e2e": doc_pipeline_e2e,
+    "doc_pad_sequences": doc_pad_sequences,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_lm_perplexity": doc_lm_perplexity,
@@ -1734,6 +1791,38 @@ def _unigram_oracle() -> str:
 
 
 ORACLES = {
+    "doc_pad_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok,
+                   unnest(range(1, len(list_filter(string_split(text, ' '),
+                                                   t -> t <> '')) + 1)) AS pos
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok,
+                   CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+            FROM (SELECT DISTINCT tok FROM toks)
+        ),
+        seqs AS (
+            SELECT t.doc_id,
+                   list(v.tok_id ORDER BY t.pos) AS ids,
+                   CAST(count(*) AS BIGINT) AS orig_len
+            FROM toks t JOIN vocab v USING (tok)
+            GROUP BY t.doc_id
+        )
+        -- list_resize segfaults on non-flat vectors in DuckDB 1.0.0;
+        -- pad by concat with a generated fill list instead.
+        SELECT doc_id, orig_len,
+               list_concat(
+                   ids[1:{PAD_MAXLEN}],
+                   list_transform(range(greatest(0, {PAD_MAXLEN} - orig_len)),
+                                  x -> CAST(0 AS BIGINT))) AS padded,
+               CAST(greatest(0, {PAD_MAXLEN} - orig_len) AS BIGINT) AS n_pad
+        FROM seqs
+        ORDER BY doc_id
+    """,
     "doc_source_hash_stats": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT md5(text)) AS n_distinct

@@ -143,6 +143,7 @@ def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
         "kge_transe_two_step_exact",
         "doc_pipeline_e2e",
         "tns_cp_als_rank3_exact",
+        "doc_pad_sequences",
     }
     ungated = {
         q for q in new11
