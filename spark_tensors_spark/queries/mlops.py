@@ -837,6 +837,385 @@ ORDER BY kind, id, d
 """
 
 
+RESCAL2_MOD, RESCAL2_RES = 11, 5
+HOLE2_MOD, HOLE2_RES = 11, 7
+
+
+def _pseudo_W(spark, n_rel: int, d: int):
+    """Integer pseudo relation-MATRIX table (id, vec[d·d]) with
+    W(id, i, j) = ((id·19 + i·7 + j·3) mod 9) − 4 — the same formula
+    kge_rescal_step_exact states inline; shared here so the two-step
+    query initializes from the identical W₀."""
+    w_seq = F.sequence(F.lit(0), F.lit(d * d - 1))
+    return spark.range(n_rel).select(
+        "id",
+        F.transform(
+            w_seq,
+            lambda s: (
+                (F.col("id") * 19 + F.floor(s / d) * 7 + (s % d) * 3) % 9 - 4
+            ).cast("long"),
+        ).alias("vec"),
+    )
+
+
+def kge_rescal_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED full-batch RESCAL SGD steps under a VALUE oracle —
+    the bilinear training LOOP (score sᵀWₚo, `holek.py:136-150`;
+    pairwise margin objective `kge/hole.py:145-147`), composed exactly
+    as the reference's epoch loop iterates it (`base.py:470-492`):
+    step 1's updated parameter TABLE — including the d×d relation
+    MATRICES as flattened slots — is rebuilt by
+    `exactstep.rebuild_embedding_table` (a hash aggregate, never a
+    driver matrix) and fed back as step 2's parameters.  lr=1 keeps
+    every parameter INTEGER after the update, so step 2's bilinear
+    products, violation filter, and s⊗(o⁻−o⁺) matrix gradient are
+    still exact BIGINT arithmetic and DuckDB replays the whole
+    two-iteration trajectory symbolically.
+
+    Output: step-2 relation-matrix slots + a 1/37 entity sample (their
+    old_val column IS step 1's result) plus one 'L' loss row per step.
+    NOTE the loop is pinned for its MECHANICS, not convergence:
+    bilinear gradients scale with parameter products, so a full-batch
+    lr=1 step overshoots (the loss row grows while the violation set
+    shifts) — and the oracle replays that trajectory exactly too.
+    Convergent float training is the kge_rescal_train_metrics family.
+
+    Plan shape at 100 TB: two iterations of [gather joins on id →
+    per-kind wide segment-sums → join-merge update], with a
+    localCheckpoint truncating lineage between them — the
+    `train/joinmerge.py` iteration topology."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        _rescal_gather_score,
+        rebuild_embedding_table,
+        rescal_bilinear_sgd_step,
+        rescal_loss_summary,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    tri = (
+        enc.filter(F.col("s_id") % RESCAL2_MOD == RESCAL2_RES)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    d = RESCAL_DIM
+    E0 = _pseudo_E(spark, n_ent, d)
+    W0 = _pseudo_W(spark, n_rel, d)
+
+    def one_step(E, W, step_no: int):
+        scored = _rescal_gather_score(
+            tri, E, W, d, n_ent, PAIR_MARGIN
+        ).localCheckpoint()
+        upd = rescal_bilinear_sgd_step(
+            tri, E, W, dim=d, n_entities=n_ent,
+            margin=PAIR_MARGIN, lr=1.0, scored=scored,
+        )
+        loss = _loss_as_row(
+            rescal_loss_summary(
+                tri, E, W, dim=d, n_entities=n_ent,
+                margin=PAIR_MARGIN, scored=scored,
+            )
+        ).withColumn("step", F.lit(step_no).cast("long"))
+        return upd, loss
+
+    step1, loss1 = one_step(E0, W0, 1)
+    step1 = step1.localCheckpoint()  # iteration barrier: lineage reset
+    step2, loss2 = one_step(
+        rebuild_embedding_table(step1, "E"),
+        rebuild_embedding_table(step1, "W"),
+        2,
+    )
+    out2 = step2.filter(
+        (F.col("kind") == "W") | (F.col("id") % 37 == 0)
+    ).withColumn("step", F.lit(2).cast("long"))
+    cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
+    return (
+        out2.select(cols)
+        .unionByName(loss1.select(cols))
+        .unionByName(loss2.select(cols))
+        .orderBy("step", "kind", "id", "d")
+    )
+
+
+def kge_hole_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED full-batch HolE SGD steps under a VALUE oracle —
+    the holographic training LOOP (score r·ccorr(s,o), `hole.py:19-20`;
+    objective + violation gating `hole.py:22-58`), composed as the
+    reference's epoch loop iterates it: step 1's updated parameter
+    TABLE feeds step 2's gather (`rebuild_embedding_table`, a hash
+    aggregate).  ccorr/cconv are stated by index algebra (the same
+    sums the production FFT kernels compute, parity-pinned), and lr=1
+    keeps parameters INTEGER, so both iterations — four correlation
+    families, both scores, both violation sets, all gradients — are
+    exact BIGINT and DuckDB replays the trajectory symbolically.
+
+    Output: step-2 relation slots + a 1/37 entity sample plus one 'L'
+    loss row per step.  Like the RESCAL loop, this pins MECHANICS, not
+    convergence — correlation-valued gradients at lr=1 overshoot, and
+    the oracle replays that trajectory exactly."""
+    from spark_tensors_spark.queries.kg import _encoded
+    from spark_tensors_spark.train.exactstep import (
+        _hole_gather_score,
+        hole_ccorr_sgd_step,
+        hole_loss_summary,
+        rebuild_embedding_table,
+    )
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    n_rel = rel.count()
+    tri = (
+        enc.filter(F.col("s_id") % HOLE2_MOD == HOLE2_RES)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    d = HOLE_DIM
+    E0 = _pseudo_E(spark, n_ent, d)
+    R0 = _pseudo_R(spark, n_rel, d)
+
+    def one_step(E, R, step_no: int):
+        scored = _hole_gather_score(
+            tri, E, R, d, n_ent, PAIR_MARGIN
+        ).localCheckpoint()
+        upd = hole_ccorr_sgd_step(
+            tri, E, R, dim=d, n_entities=n_ent,
+            margin=PAIR_MARGIN, lr=1.0, scored=scored,
+        )
+        loss = _loss_as_row(
+            hole_loss_summary(
+                tri, E, R, dim=d, n_entities=n_ent,
+                margin=PAIR_MARGIN, scored=scored,
+            )
+        ).withColumn("step", F.lit(step_no).cast("long"))
+        return upd, loss
+
+    step1, loss1 = one_step(E0, R0, 1)
+    step1 = step1.localCheckpoint()
+    step2, loss2 = one_step(
+        rebuild_embedding_table(step1, "E"),
+        rebuild_embedding_table(step1, "R"),
+        2,
+    )
+    out2 = step2.filter(
+        (F.col("kind") == "R") | (F.col("id") % 37 == 0)
+    ).withColumn("step", F.lit(2).cast("long"))
+    cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
+    return (
+        out2.select(cols)
+        .unionByName(loss1.select(cols))
+        .unionByName(loss2.select(cols))
+        .orderBy("step", "kind", "id", "d")
+    )
+
+
+def _rescal_step_fragment(n: int, params: str, d: int, margin: int) -> str:
+    """CTEs for ONE exact RESCAL step reading parameters from the
+    table ``params`` (kind, id, d, val) — used for BOTH iterations of
+    the two-step oracle (step 1 reads the formula-stated params0, step
+    2 reads params1), so a single statement of the step semantics
+    covers the whole loop."""
+    on3 = "sc.s_id = {a}.s_id AND sc.p_id = {a}.p_id AND sc.o_id = {a}.o_id"
+    return f"""
+prod{n} AS MATERIALIZED (
+    SELECT t.s_id, t.p_id, t.o_id, t.n_id, i.d AS di, j.d AS dj,
+           pw.val AS w, ps.val AS es_i, po.val AS eo_j, pn.val AS en_j
+    FROM t CROSS JOIN dims i CROSS JOIN dims j
+    JOIN {params} pw ON pw.kind = 'W' AND pw.id = t.p_id
+                    AND pw.d = i.d * {d} + j.d
+    JOIN {params} ps ON ps.kind = 'E' AND ps.id = t.s_id AND ps.d = i.d
+    JOIN {params} po ON po.kind = 'E' AND po.id = t.o_id AND po.d = j.d
+    JOIN {params} pn ON pn.kind = 'E' AND pn.id = t.n_id AND pn.d = j.d
+),
+uv{n} AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id, di, MIN(es_i) AS es,
+           SUM(w * eo_j) AS up, SUM(w * en_j) AS un
+    FROM prod{n} GROUP BY s_id, p_id, o_id, n_id, di
+),
+vv{n} AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id, dj, SUM(es_i * w) AS v
+    FROM prod{n} GROUP BY s_id, p_id, o_id, n_id, dj
+),
+sc{n} AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {margin} - SUM(es * up) + SUM(es * un) AS raw_loss
+    FROM uv{n} GROUP BY s_id, p_id, o_id, n_id
+),
+contrib{n} AS MATERIALIZED (
+    SELECT 'E' AS kind, u.s_id AS id, u.di AS d, (u.un - u.up) AS gr
+    FROM uv{n} u JOIN sc{n} sc ON {on3.format(a='u')}
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'E', v.o_id, v.dj, -v.v
+    FROM vv{n} v JOIN sc{n} sc ON {on3.format(a='v')}
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'E', v.n_id, v.dj, v.v
+    FROM vv{n} v JOIN sc{n} sc ON {on3.format(a='v')}
+    WHERE sc.raw_loss > 0
+    UNION ALL
+    SELECT 'W', p.p_id, p.di * {d} + p.dj, p.es_i * (p.en_j - p.eo_j)
+    FROM prod{n} p JOIN sc{n} sc ON {on3.format(a='p')}
+    WHERE sc.raw_loss > 0
+),
+grads{n} AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib{n} GROUP BY kind, id, d
+),
+params{n} AS MATERIALIZED (
+    -- lr = 1: params stay integer, so the next step is exact again
+    SELECT p.kind, p.id, p.d, p.val - COALESCE(g.gr, 0) AS val
+    FROM {params} p
+    LEFT JOIN grads{n} g ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
+)"""
+
+
+def _hole_step_fragment(n: int, params: str, d: int, margin: int) -> str:
+    """CTEs for ONE exact HolE step reading parameters from ``params``
+    — the index-algebra ccorr/cconv statement of `_hole_step_oracle`,
+    generalized from formula-inlined parameters to a parameter TABLE
+    so it can be applied to step 1 (params0) and step 2 (params1)
+    alike."""
+    return f"""
+corr{n} AS MATERIALIZED (
+    -- per (triple, k): ccorr(s,o⁺)ₖ ccorr(s,o⁻)ₖ ccorr(r,o⁺)ₖ
+    -- ccorr(r,o⁻)ₖ cconv(s,r)ₖ — one i-sum each
+    SELECT t.s_id, t.p_id, t.o_id, t.n_id, ck.d AS k,
+           SUM(ps.val * po.val) AS cp,
+           SUM(ps.val * pn.val) AS cn,
+           SUM(pr.val * po.val) AS rp,
+           SUM(pr.val * pn.val) AS rn,
+           SUM(ps.val * pr2.val) AS cv
+    FROM t CROSS JOIN dims ck CROSS JOIN dims i
+    JOIN {params} ps ON ps.kind = 'E' AND ps.id = t.s_id AND ps.d = i.d
+    JOIN {params} po ON po.kind = 'E' AND po.id = t.o_id
+                    AND po.d = (i.d + ck.d) % {d}
+    JOIN {params} pn ON pn.kind = 'E' AND pn.id = t.n_id
+                    AND pn.d = (i.d + ck.d) % {d}
+    JOIN {params} pr ON pr.kind = 'R' AND pr.id = t.p_id AND pr.d = i.d
+    JOIN {params} pr2 ON pr2.kind = 'R' AND pr2.id = t.p_id
+                     AND pr2.d = (ck.d - i.d + {d}) % {d}
+    GROUP BY t.s_id, t.p_id, t.o_id, t.n_id, ck.d
+),
+sc{n} AS MATERIALIZED (
+    SELECT c.s_id, c.p_id, c.o_id, c.n_id,
+           {margin} - SUM(pr.val * c.cp) + SUM(pr.val * c.cn) AS raw_loss
+    FROM corr{n} c
+    JOIN {params} pr ON pr.kind = 'R' AND pr.id = c.p_id AND pr.d = c.k
+    GROUP BY c.s_id, c.p_id, c.o_id, c.n_id
+),
+gv{n} AS MATERIALIZED (
+    SELECT c.* FROM corr{n} c
+    JOIN sc{n} sc ON sc.s_id = c.s_id AND sc.p_id = c.p_id
+                 AND sc.o_id = c.o_id
+    WHERE sc.raw_loss > 0
+),
+contrib{n} AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, k AS d, (rn - rp) AS gr FROM gv{n}
+    UNION ALL
+    SELECT 'E', o_id, k, -cv FROM gv{n}
+    UNION ALL
+    SELECT 'E', n_id, k, cv FROM gv{n}
+    UNION ALL
+    SELECT 'R', p_id, k, (cn - cp) FROM gv{n}
+),
+grads{n} AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib{n} GROUP BY kind, id, d
+),
+params{n} AS MATERIALIZED (
+    -- lr = 1: params stay integer, so the next step is exact again
+    SELECT p.kind, p.id, p.d, p.val - COALESCE(g.gr, 0) AS val
+    FROM {params} p
+    LEFT JOIN grads{n} g ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
+)"""
+
+
+def _two_step_tail(out_kind: str) -> str:
+    """Shared SELECT tail for the two-step oracles: step-2 update rows
+    (old_val = step-1 params) + one 'L' loss row per step."""
+    return f"""
+upd2 AS (
+    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
+           p.val AS old_val,
+           COALESCE(g.gr, 0) AS grad,
+           CAST(p.val - COALESCE(g.gr, 0) AS DOUBLE) AS new_val
+    FROM params1 p
+    LEFT JOIN grads2 g ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
+)
+SELECT CAST(2 AS BIGINT) AS step, kind, id, d, old_val, grad, new_val
+FROM upd2 WHERE kind = '{out_kind}' OR id % 37 = 0
+UNION ALL
+SELECT 1, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc1),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
+        FROM sc1)
+UNION ALL
+SELECT 2, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc2),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
+        FROM sc2)
+ORDER BY step, kind, id, d
+"""
+
+
+def _rescal_two_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = RESCAL_DIM
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % {RESCAL2_MOD} = {RESCAL2_RES}
+),
+dims AS (SELECT unnest(range({d})) AS d),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'W', id, i.d * {d} + j.d,
+           CAST(((id*19 + i.d*7 + j.d*3) % 9) - 4 AS BIGINT)
+    FROM (SELECT id FROM relation_dict)
+    CROSS JOIN dims i CROSS JOIN dims j
+),{_rescal_step_fragment(1, "params0", d, PAIR_MARGIN)},
+{_rescal_step_fragment(2, "params1", d, PAIR_MARGIN)},
+{_two_step_tail("W")}"""
+
+
+def _hole_two_step_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = HOLE_DIM
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded WHERE s_id % {HOLE2_MOD} = {HOLE2_RES}
+),
+dims AS (SELECT unnest(range({d})) AS d),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),{_hole_step_fragment(1, "params0", d, PAIR_MARGIN)},
+{_hole_step_fragment(2, "params1", d, PAIR_MARGIN)},
+{_two_step_tail("R")}"""
+
+
 RANK_MOD = 999
 RANK_RES = 3
 
@@ -926,7 +1305,9 @@ QUERIES = {
     "kge_transe_step_exact": kge_transe_step_exact,
     "kge_transe_two_step_exact": kge_transe_two_step_exact,
     "kge_rescal_step_exact": kge_rescal_step_exact,
+    "kge_rescal_two_step_exact": kge_rescal_two_step_exact,
     "kge_hole_step_exact": kge_hole_step_exact,
+    "kge_hole_two_step_exact": kge_hole_two_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
     "kge_rescal_train_metrics": kge_rescal_train_metrics,
     "kge_hole_train_metrics": kge_hole_train_metrics,
@@ -936,6 +1317,8 @@ ORACLES: dict[str, str] = {
     "kge_transe_step_exact": _transe_step_oracle(),
     "kge_transe_two_step_exact": _transe_two_step_oracle(),
     "kge_rescal_step_exact": _rescal_step_oracle(),
+    "kge_rescal_two_step_exact": _rescal_two_step_oracle(),
     "kge_hole_step_exact": _hole_step_oracle(),
+    "kge_hole_two_step_exact": _hole_two_step_oracle(),
     "kge_transe_rank_join": _transe_rank_join_oracle(),
 }

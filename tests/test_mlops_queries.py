@@ -41,18 +41,41 @@ def test_generalization_beats_random_10x(spark):
     assert m["n"] == 120
 
 
-def test_two_step_exact_loss_decreases(spark):
-    """The declared two-step LOOP query must show learning between its
-    per-step 'L' rows: fewer margin violations and lower total loss at
-    step 2 (step 2 is evaluated on step 1's updated parameters, so a
-    non-decrease would mean the chained update was not applied)."""
-    df = mlops.QUERIES["kge_transe_two_step_exact"](spark, SF_SMOKE)
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname, descends",
+    [
+        ("kge_transe_two_step_exact", True),
+        ("kge_rescal_two_step_exact", False),
+        ("kge_hole_two_step_exact", False),
+    ],
+)
+def test_two_step_exact_loop_chains(spark, qname, descends):
+    """Every declared two-step LOOP query must prove the chain was
+    applied between its per-step 'L' rows, and lr=1 must keep every
+    step-2 parameter slot integral (the exact-BIGINT closure the
+    oracle relies on).
+
+    Descent is asserted ONLY for TransE: its sign gradients are
+    bounded by the violation count, so a full-batch lr=1 step is a
+    contraction on this data.  RESCAL / HolE gradients scale with
+    parameter PRODUCTS — at lr=1 the loop measurably overshoots
+    (fewer/other violators but exploding residual margins), which the
+    DuckDB oracle replays exactly; the queries pin the loop MECHANICS,
+    not convergence (convergent float training is the train_metrics
+    family)."""
+    df = mlops.QUERIES[qname](spark, SF_SMOKE)
     l1, l2 = [
         r for r in df.filter("kind = 'L'").orderBy("step").collect()
     ]
     assert l1["old_val"] == l2["old_val"]          # same triple count
-    assert l2["grad"] < l1["grad"]                 # fewer violations
-    assert l2["new_val"] < l1["new_val"]           # lower total loss
+    # the chain was applied: step 2 was scored on DIFFERENT parameters
+    assert (l2["grad"], l2["new_val"]) != (l1["grad"], l1["new_val"])
+    if descends:
+        assert l2["grad"] < l1["grad"]             # fewer violations
+        assert l2["new_val"] < l1["new_val"]       # lower total loss
     # lr=1 keeps parameters integer: every step-2 slot must be integral
     frac = df.filter(
         "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"

@@ -144,6 +144,8 @@ def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
         "doc_pipeline_e2e",
         "tns_cp_als_rank3_exact",
         "doc_pad_sequences",
+        "kge_rescal_two_step_exact",
+        "kge_hole_two_step_exact",
     }
     ungated = {
         q for q in new11
