@@ -107,52 +107,64 @@ def main() -> None:
     # keep ratios BELOW data ratio, so they never false-positive).
     here = os.path.dirname(os.path.abspath(__file__))
     full["superlinear_vs_sibling"] = None
-    try:
-        import glob as _glob
+    import glob as _glob
 
-        best = None
-        for p in _glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")):
-            rec = json.load(open(p))
-            osf = rec.get("sf")
-            if osf and full["sf"] and osf != full["sf"]:
-                if best is None or abs(osf - full["sf"]) < abs(
-                    best["sf"] - full["sf"]
-                ):
-                    best = rec
-        if best is not None:
-            lo, hi = sorted([best, full], key=lambda r: r["sf"])
-            data_ratio = hi["sf"] / lo["sf"]
-            flags = {}
-            for n, t_hi in hi["queries"].items():
-                t_lo = lo["queries"].get(n)
-                if t_lo and t_lo > 0 and t_hi >= 1.0:
-                    r = t_hi / t_lo
-                    if r > 2.0 * data_ratio:
-                        flags[n] = round(r, 2)
+    best = None
+    for p in _glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")):
+        # a malformed sibling record must NOT silently disable the
+        # tripwire for the others — report it and keep scanning
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+            rec["queries"]  # older schema without timings is useless
+        except (OSError, ValueError, KeyError) as ex:
             full["superlinear_vs_sibling"] = {
-                "vs_sf": lo["sf"] if full is hi else hi["sf"],
-                "data_ratio": data_ratio,
-                "flagged": flags,
+                "error": f"unreadable sibling record {os.path.basename(p)}:"
+                         f" {ex}"
             }
-    except Exception:
-        pass
+            continue
+        osf = rec.get("sf")
+        if osf and full["sf"] and osf != full["sf"]:
+            if best is None or abs(osf - full["sf"]) < abs(
+                best["sf"] - full["sf"]
+            ):
+                best = rec
+    if best is not None:
+        lo, hi = sorted([best, full], key=lambda r: r["sf"])
+        data_ratio = hi["sf"] / lo["sf"]
+        flags = {}
+        for n, t_hi in hi["queries"].items():
+            t_lo = lo["queries"].get(n)
+            if t_lo and t_lo > 0 and t_hi >= 1.0:
+                r = t_hi / t_lo
+                if r > 2.0 * data_ratio:
+                    flags[n] = round(r, 2)
+        full["superlinear_vs_sibling"] = {
+            "vs_sf": lo["sf"] if full is hi else hi["sf"],
+            "data_ratio": data_ratio,
+            "flagged": flags,
+        }
     # Persist the complete per-query record (the driver's stdout capture
     # keeps only the LAST 2000 chars — with 190 queries the full line is
     # ~5.5 KB, so since round 2 the captured record never parsed), plus
     # a per-scale record the scale-curve check above compares against.
-    try:
-        out_path = os.path.join(here, "BENCH_FULL_latest.json")
-        with open(out_path, "w") as fh:
+    def _atomic_record(name: str) -> None:
+        # tmp + replace: a crash/full disk mid-dump can never leave a
+        # truncated record that poisons later tripwire runs
+        dst = os.path.join(here, name)
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(full, fh)
             fh.write("\n")
+        os.replace(tmp, dst)
+
+    try:
+        _atomic_record("BENCH_FULL_latest.json")
         if full["sf"]:
-            with open(
-                os.path.join(here, f"BENCH_FULL_sf{sf}.json"), "w"
-            ) as fh:
-                json.dump(full, fh)
-                fh.write("\n")
-    except Exception:
-        pass
+            _atomic_record(f"BENCH_FULL_sf{sf}.json")
+    except OSError as ex:
+        print(f"bench: could not persist full record: {ex}",
+              file=sys.stderr)
     # Full line first (humans / logs)...
     print(json.dumps(full))
     # ...then a FINAL line guaranteed to fit the 2000-char tail capture:

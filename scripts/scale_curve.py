@@ -28,22 +28,26 @@ def main() -> int:
         print(f"missing per-scale record: {e}", file=sys.stderr)
         return 2
     data_ratio = hi["sf"] / lo["sf"]
-    rows = []
-    for n, t_hi in sorted(hi["queries"].items(), key=lambda kv: -kv[1]):
-        t_lo = lo["queries"].get(n)
-        if t_lo is None or t_lo <= 0:
-            continue
-        rows.append((n, t_lo, t_hi, t_hi / t_lo))
-        if len(rows) >= top_n:
-            break
+    # the flag scan covers EVERY shared query — top_n bounds only the
+    # DISPLAY table (a superlinear query outside the top rows must not
+    # be reported as 'none', review r11)
+    all_rows = [
+        (n, t_lo, t_hi, t_hi / t_lo)
+        for n, t_hi in sorted(hi["queries"].items(), key=lambda kv: -kv[1])
+        if (t_lo := lo["queries"].get(n)) is not None and t_lo > 0
+    ]
+    flagged = [
+        n for n, t_lo, t_hi, r in all_rows
+        if r > 2 * data_ratio and t_hi >= 1.0
+    ]
+    rows = [
+        x for x in all_rows if x[0] in flagged
+    ] + [x for x in all_rows if x[0] not in flagged][:top_n]
     print(f"| query | sf0.01 s | sf0.1 s | ratio (data ×{data_ratio:.0f}) |")
     print("|---|---|---|---|")
     for n, t_lo, t_hi, r in rows:
-        note = " **superlinear**" if r > 2 * data_ratio else ""
+        note = " **superlinear**" if n in flagged else ""
         print(f"| `{n}` | {t_lo:.2f} | {t_hi:.2f} | {r:.1f}{note} |")
-    flagged = [
-        n for n, t_lo, t_hi, r in rows if r > 2 * data_ratio
-    ]
     print(
         f"\nflagged superlinear (ratio > {2 * data_ratio:.0f}): "
         f"{flagged or 'none'}"

@@ -158,6 +158,7 @@ def init_mor(df: DataFrame, path: str) -> None:
             "base": "base.v0",
             "deltas": [],
             "max_seq": -1,
+            "folded_ranges": [],
             "folded_max": -1,
         },
     )
@@ -207,17 +208,50 @@ def mor_upsert(
     return _commit_delta(rows.withColumn(_OP, F.lit("U")), path, seq)
 
 
+def _folded_ranges(m: dict) -> list[list[int]]:
+    """The EXACT set of compact-folded sequence numbers, as sorted
+    inclusive [lo, hi] ranges.  Manifests that predate the range
+    history carry only ``folded_max`` — for those, conservatively
+    treat every seq in [0, folded_max] as possibly folded (the
+    pre-range replay-is-a-no-op behavior; no false rejections)."""
+    fr = m.get("folded_ranges")
+    if fr is not None:
+        return [list(r) for r in fr]
+    fm = m.get("folded_max", -1)
+    return [[0, fm]] if fm >= 0 else []
+
+
+def _merge_ranges(*range_lists, seqs=()) -> list[list[int]]:
+    """Normalize ranges + individual seqs into sorted, disjoint,
+    inclusive [lo, hi] ranges (adjacent ranges coalesce), so the fold
+    history stays O(#gaps), not O(#batches)."""
+    items = [list(r) for rl in range_lists for r in rl]
+    items += [[s, s] for s in set(seqs)]
+    items.sort()
+    merged: list[list[int]] = []
+    for lo, hi in items:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
+
+
+def _in_ranges(ranges: list[list[int]], s: int) -> bool:
+    return any(lo <= s <= hi for lo, hi in ranges)
+
+
 def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
     m = _manifest(path)
     if m is None:
         raise FileNotFoundError(f"not a MoR table (no base): {path}")
     seqs = m["deltas"]
     max_seq = m.get("max_seq", max(seqs, default=-1))
-    folded_max = m.get("folded_max", max_seq)
+    folded = _folded_ranges(m)
     if seq is None:
         seq = max_seq + 1
     elif seq <= max_seq:
-        if seq in seqs or seq <= folded_max:
+        if seq in seqs or _in_ranges(folded, seq):
             # replayed batch: already committed (possibly already
             # FOLDED into a base by compact — the monotone max_seq
             # keeps sequence numbers from ever re-using a dir an older
@@ -225,11 +259,14 @@ def _commit_delta(delta: DataFrame, path: str, seq: int | None) -> int:
             return seq
         # an out-of-order EXPLICIT seq that was never committed nor
         # folded: silently dropping it would lose the batch with no
-        # error (ADVICE r10) — explicit seqs must be monotone
+        # error (ADVICE r10).  The fold history is an exact RANGE SET,
+        # so a never-seen seq in a gap BELOW the fold high-water mark
+        # (non-contiguous explicit seqs, then compact) raises too
+        # instead of masquerading as a replay.
         raise ValueError(
             f"explicit seq {seq} is <= max_seq {max_seq} but was never "
-            f"committed (live deltas {seqs}, folded through "
-            f"{folded_max}); replayable sources must supply MONOTONE "
+            f"committed (live deltas {seqs}, folded ranges "
+            f"{folded}); replayable sources must supply MONOTONE "
             "sequence numbers"
         )
     out = os.path.join(path, f"_d={seq}")
@@ -324,8 +361,13 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
             "base": new_base,
             "deltas": stragglers,
             "max_seq": cur.get("max_seq", max(cur["deltas"], default=-1)),
-            # fold history: replays of folded seqs stay no-ops while
-            # never-committed out-of-order explicit seqs now raise
+            # EXACT fold history (range-compressed): replays of folded
+            # seqs stay no-ops while never-committed explicit seqs —
+            # including ones inside gaps below the fold high-water
+            # mark — raise
+            "folded_ranges": _merge_ranges(
+                _folded_ranges(m), _folded_ranges(cur), seqs=m["deltas"]
+            ),
             "folded_max": max(
                 m.get("folded_max", -1),
                 cur.get("folded_max", -1),

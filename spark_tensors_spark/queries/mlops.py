@@ -312,71 +312,71 @@ TWO_STEP_MOD = 11
 TWO_STEP_RES = 3
 
 
-def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO CHAINED full-batch TransE SGD steps under a VALUE oracle —
-    the training LOOP itself, not just one step: step 1's updated
-    parameter TABLE (rebuilt by `exactstep.rebuild_embedding_table`, a
-    hash aggregate — never a driver matrix) is fed back as step 2's
-    parameters, exactly the update→gather cycle the reference iterates
-    (`TransE.scala:114-134`; `base.py:470-492`).  lr=1 keeps every
-    parameter INTEGER after the update, so the second gather / margin
-    test / sign-gradient pass is still exact BIGINT arithmetic and
-    DuckDB replays the whole two-iteration trajectory symbolically
-    (the single-step doctrine of kge_transe_step_exact, composed).
+def _two_step_query(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod: int,
+    res: int,
+    dim: int,
+    margin: int,
+    p_kind: str,
+    init_p,
+    gather_fn,
+    step_fn,
+    loss_fn,
+) -> DataFrame:
+    """ONE driver for every kge_*_two_step_exact query — two chained
+    full-batch SGD steps at lr=1 (the integer closure): step 1's
+    updated parameter TABLE is rebuilt by
+    `exactstep.rebuild_embedding_table` (a hash aggregate — never a
+    driver matrix) and fed back as step 2's parameters, exactly the
+    update→gather cycle the reference iterates (`TransE.scala:114-134`;
+    `base.py:470-492`).  Output: step-2 parameter slots (all ``p_kind``
+    slots + a 1/37 entity sample; their old_val column IS step 1's
+    result) plus one 'L' loss row per step.
 
-    Output: step-2 parameter slots (all relation slots + a 1/37 entity
-    sample; their old_val column IS step 1's result, their grad column
-    IS the re-evaluated violation set) plus one 'L' loss row per step —
-    the loss DECREASES between rows, which is the point of a loop.
-
-    Plan shape at 100 TB: two iterations of [4 shuffle joins on id +
-    one map-side-combinable segment-sum + a join-merge update], with a
-    localCheckpoint truncating lineage between them — the same
-    iteration topology `train/joinmerge.py` runs for float training."""
+    Plan shape at 100 TB: two iterations of [gather joins on id →
+    map-side-combinable segment-sums → join-merge update], with a
+    localCheckpoint truncating lineage between them — the
+    `train/joinmerge.py` iteration topology."""
     from spark_tensors_spark.queries.kg import _encoded
-    from spark_tensors_spark.train.exactstep import (
-        _gather_and_score,
-        rebuild_embedding_table,
-        transe_l1_loss_summary,
-        transe_l1_sgd_step,
-    )
+    from spark_tensors_spark.train.exactstep import rebuild_embedding_table
 
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     tri = (
-        enc.filter(F.col("s_id") % TWO_STEP_MOD == TWO_STEP_RES)
+        enc.filter(F.col("s_id") % mod == res)
         .select("s_id", "p_id", "o_id")
         .distinct()
         .localCheckpoint()
     )
-    E0 = _pseudo_E(spark, n_ent, STEP_DIM)
-    R0 = _pseudo_R(spark, rel.count(), STEP_DIM)
+    E0 = _pseudo_E(spark, n_ent, dim)
+    P0 = init_p(spark, rel.count(), dim)
 
-    def one_step(E, R, step_no: int):
-        scored = _gather_and_score(
-            tri, E, R, n_ent, STEP_MARGIN
-        ).localCheckpoint()
-        upd = transe_l1_sgd_step(
-            tri, E, R, dim=STEP_DIM, n_entities=n_ent,
-            margin=STEP_MARGIN, lr=1.0, scored=scored,
+    def one_step(E, P, step_no: int):
+        scored = gather_fn(tri, E, P, dim, n_ent, margin).localCheckpoint()
+        upd = step_fn(
+            tri, E, P, dim=dim, n_entities=n_ent,
+            margin=margin, lr=1.0, scored=scored,
         )
         loss = _loss_as_row(
-            transe_l1_loss_summary(
-                tri, E, R, dim=STEP_DIM, n_entities=n_ent,
-                margin=STEP_MARGIN, scored=scored,
+            loss_fn(
+                tri, E, P, dim=dim, n_entities=n_ent,
+                margin=margin, scored=scored,
             )
         ).withColumn("step", F.lit(step_no).cast("long"))
         return upd, loss
 
-    step1, loss1 = one_step(E0, R0, 1)
+    step1, loss1 = one_step(E0, P0, 1)
     step1 = step1.localCheckpoint()  # iteration barrier: lineage reset
     step2, loss2 = one_step(
         rebuild_embedding_table(step1, "E"),
-        rebuild_embedding_table(step1, "R"),
+        rebuild_embedding_table(step1, p_kind),
         2,
     )
     out2 = step2.filter(
-        (F.col("kind") == "R") | (F.col("id") % 37 == 0)
+        (F.col("kind") == p_kind) | (F.col("id") % 37 == 0)
     ).withColumn("step", F.lit(2).cast("long"))
     cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
     return (
@@ -384,6 +384,35 @@ def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(loss1.select(cols))
         .unionByName(loss2.select(cols))
         .orderBy("step", "kind", "id", "d")
+    )
+
+
+def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED full-batch TransE SGD steps under a VALUE oracle —
+    the training LOOP itself, not just one step (the single-step
+    doctrine of kge_transe_step_exact, composed; see
+    :func:`_two_step_query` for the shared mechanics).  lr=1 keeps
+    every parameter INTEGER after the update, so the second gather /
+    margin test / sign-gradient pass is still exact BIGINT arithmetic
+    and DuckDB replays the whole two-iteration trajectory symbolically.
+    TransE's sign gradients are bounded, so this loop DESCENDS: the
+    'L' loss row shrinks between steps (test-pinned)."""
+    from spark_tensors_spark.train.exactstep import (
+        _gather_and_score,
+        transe_l1_loss_summary,
+        transe_l1_sgd_step,
+    )
+
+    return _two_step_query(
+        spark, sf_dir,
+        mod=TWO_STEP_MOD, res=TWO_STEP_RES,
+        dim=STEP_DIM, margin=STEP_MARGIN, p_kind="R",
+        init_p=_pseudo_R,
+        gather_fn=lambda tri, E, R, d, n, m: _gather_and_score(
+            tri, E, R, n, m
+        ),
+        step_fn=transe_l1_sgd_step,
+        loss_fn=transe_l1_loss_summary,
     )
 
 
@@ -485,32 +514,7 @@ grads2 AS MATERIALIZED (
     SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
     FROM contrib2 GROUP BY kind, id, d
 ),
-upd2 AS (
-    SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
-           p.val AS old_val,
-           COALESCE(c.gr, 0) AS grad,
-           CAST(p.val - COALESCE(c.gr, 0) AS DOUBLE) AS new_val
-    FROM params1 p
-    LEFT JOIN grads2 c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
-)
-SELECT CAST(2 AS BIGINT) AS step, kind, id, d, old_val, grad, new_val
-FROM upd2 WHERE kind = 'R' OR id % 37 = 0
-UNION ALL
-SELECT 1, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-       (SELECT COUNT(*) FROM t),
-       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM sc1),
-       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
-        FROM sc1)
-UNION ALL
-SELECT 2, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-       (SELECT COUNT(*) FROM t),
-       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM sc2),
-       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
-        FROM sc2)
-ORDER BY step, kind, id, d
-"""
+{_two_step_tail("R")}"""
 
 
 RESCAL_DIM = 4
@@ -861,154 +865,61 @@ def _pseudo_W(spark, n_rel: int, d: int):
 def kge_rescal_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO CHAINED full-batch RESCAL SGD steps under a VALUE oracle —
     the bilinear training LOOP (score sᵀWₚo, `holek.py:136-150`;
-    pairwise margin objective `kge/hole.py:145-147`), composed exactly
-    as the reference's epoch loop iterates it (`base.py:470-492`):
-    step 1's updated parameter TABLE — including the d×d relation
-    MATRICES as flattened slots — is rebuilt by
-    `exactstep.rebuild_embedding_table` (a hash aggregate, never a
-    driver matrix) and fed back as step 2's parameters.  lr=1 keeps
-    every parameter INTEGER after the update, so step 2's bilinear
-    products, violation filter, and s⊗(o⁻−o⁺) matrix gradient are
-    still exact BIGINT arithmetic and DuckDB replays the whole
-    two-iteration trajectory symbolically.
+    pairwise margin objective `kge/hole.py:145-147`), composed via
+    :func:`_two_step_query`: step 1's updated parameter TABLE —
+    including the d×d relation MATRICES as flattened slots — feeds
+    step 2, and lr=1 keeps step 2's bilinear products, violation
+    filter, and s⊗(o⁻−o⁺) matrix gradient exact BIGINT, so DuckDB
+    replays the whole two-iteration trajectory symbolically.
 
-    Output: step-2 relation-matrix slots + a 1/37 entity sample (their
-    old_val column IS step 1's result) plus one 'L' loss row per step.
     NOTE the loop is pinned for its MECHANICS, not convergence:
     bilinear gradients scale with parameter products, so a full-batch
     lr=1 step overshoots (the loss row grows while the violation set
     shifts) — and the oracle replays that trajectory exactly too.
-    Convergent float training is the kge_rescal_train_metrics family.
-
-    Plan shape at 100 TB: two iterations of [gather joins on id →
-    per-kind wide segment-sums → join-merge update], with a
-    localCheckpoint truncating lineage between them — the
-    `train/joinmerge.py` iteration topology."""
-    from spark_tensors_spark.queries.kg import _encoded
+    Convergent float training is the kge_rescal_train_metrics family."""
     from spark_tensors_spark.train.exactstep import (
         _rescal_gather_score,
-        rebuild_embedding_table,
         rescal_bilinear_sgd_step,
         rescal_loss_summary,
     )
 
-    _raw, ent, rel, enc = _encoded(spark, sf_dir)
-    n_ent = ent.count()
-    n_rel = rel.count()
-    tri = (
-        enc.filter(F.col("s_id") % RESCAL2_MOD == RESCAL2_RES)
-        .select("s_id", "p_id", "o_id")
-        .distinct()
-        .localCheckpoint()
-    )
-    d = RESCAL_DIM
-    E0 = _pseudo_E(spark, n_ent, d)
-    W0 = _pseudo_W(spark, n_rel, d)
-
-    def one_step(E, W, step_no: int):
-        scored = _rescal_gather_score(
-            tri, E, W, d, n_ent, PAIR_MARGIN
-        ).localCheckpoint()
-        upd = rescal_bilinear_sgd_step(
-            tri, E, W, dim=d, n_entities=n_ent,
-            margin=PAIR_MARGIN, lr=1.0, scored=scored,
-        )
-        loss = _loss_as_row(
-            rescal_loss_summary(
-                tri, E, W, dim=d, n_entities=n_ent,
-                margin=PAIR_MARGIN, scored=scored,
-            )
-        ).withColumn("step", F.lit(step_no).cast("long"))
-        return upd, loss
-
-    step1, loss1 = one_step(E0, W0, 1)
-    step1 = step1.localCheckpoint()  # iteration barrier: lineage reset
-    step2, loss2 = one_step(
-        rebuild_embedding_table(step1, "E"),
-        rebuild_embedding_table(step1, "W"),
-        2,
-    )
-    out2 = step2.filter(
-        (F.col("kind") == "W") | (F.col("id") % 37 == 0)
-    ).withColumn("step", F.lit(2).cast("long"))
-    cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
-    return (
-        out2.select(cols)
-        .unionByName(loss1.select(cols))
-        .unionByName(loss2.select(cols))
-        .orderBy("step", "kind", "id", "d")
+    return _two_step_query(
+        spark, sf_dir,
+        mod=RESCAL2_MOD, res=RESCAL2_RES,
+        dim=RESCAL_DIM, margin=PAIR_MARGIN, p_kind="W",
+        init_p=_pseudo_W,
+        gather_fn=_rescal_gather_score,
+        step_fn=rescal_bilinear_sgd_step,
+        loss_fn=rescal_loss_summary,
     )
 
 
 def kge_hole_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO CHAINED full-batch HolE SGD steps under a VALUE oracle —
     the holographic training LOOP (score r·ccorr(s,o), `hole.py:19-20`;
-    objective + violation gating `hole.py:22-58`), composed as the
-    reference's epoch loop iterates it: step 1's updated parameter
-    TABLE feeds step 2's gather (`rebuild_embedding_table`, a hash
-    aggregate).  ccorr/cconv are stated by index algebra (the same
-    sums the production FFT kernels compute, parity-pinned), and lr=1
-    keeps parameters INTEGER, so both iterations — four correlation
-    families, both scores, both violation sets, all gradients — are
-    exact BIGINT and DuckDB replays the trajectory symbolically.
-
-    Output: step-2 relation slots + a 1/37 entity sample plus one 'L'
-    loss row per step.  Like the RESCAL loop, this pins MECHANICS, not
+    objective + violation gating `hole.py:22-58`), composed via
+    :func:`_two_step_query`.  ccorr/cconv are stated by index algebra
+    (the same sums the production FFT kernels compute, parity-pinned),
+    and lr=1 keeps parameters INTEGER, so both iterations — four
+    correlation families, both scores, both violation sets, all
+    gradients — are exact BIGINT and DuckDB replays the trajectory
+    symbolically.  Like the RESCAL loop, this pins MECHANICS, not
     convergence — correlation-valued gradients at lr=1 overshoot, and
     the oracle replays that trajectory exactly."""
-    from spark_tensors_spark.queries.kg import _encoded
     from spark_tensors_spark.train.exactstep import (
         _hole_gather_score,
         hole_ccorr_sgd_step,
         hole_loss_summary,
-        rebuild_embedding_table,
     )
 
-    _raw, ent, rel, enc = _encoded(spark, sf_dir)
-    n_ent = ent.count()
-    n_rel = rel.count()
-    tri = (
-        enc.filter(F.col("s_id") % HOLE2_MOD == HOLE2_RES)
-        .select("s_id", "p_id", "o_id")
-        .distinct()
-        .localCheckpoint()
-    )
-    d = HOLE_DIM
-    E0 = _pseudo_E(spark, n_ent, d)
-    R0 = _pseudo_R(spark, n_rel, d)
-
-    def one_step(E, R, step_no: int):
-        scored = _hole_gather_score(
-            tri, E, R, d, n_ent, PAIR_MARGIN
-        ).localCheckpoint()
-        upd = hole_ccorr_sgd_step(
-            tri, E, R, dim=d, n_entities=n_ent,
-            margin=PAIR_MARGIN, lr=1.0, scored=scored,
-        )
-        loss = _loss_as_row(
-            hole_loss_summary(
-                tri, E, R, dim=d, n_entities=n_ent,
-                margin=PAIR_MARGIN, scored=scored,
-            )
-        ).withColumn("step", F.lit(step_no).cast("long"))
-        return upd, loss
-
-    step1, loss1 = one_step(E0, R0, 1)
-    step1 = step1.localCheckpoint()
-    step2, loss2 = one_step(
-        rebuild_embedding_table(step1, "E"),
-        rebuild_embedding_table(step1, "R"),
-        2,
-    )
-    out2 = step2.filter(
-        (F.col("kind") == "R") | (F.col("id") % 37 == 0)
-    ).withColumn("step", F.lit(2).cast("long"))
-    cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
-    return (
-        out2.select(cols)
-        .unionByName(loss1.select(cols))
-        .unionByName(loss2.select(cols))
-        .orderBy("step", "kind", "id", "d")
+    return _two_step_query(
+        spark, sf_dir,
+        mod=HOLE2_MOD, res=HOLE2_RES,
+        dim=HOLE_DIM, margin=PAIR_MARGIN, p_kind="R",
+        init_p=_pseudo_R,
+        gather_fn=_hole_gather_score,
+        step_fn=hole_ccorr_sgd_step,
+        loss_fn=hole_loss_summary,
     )
 
 

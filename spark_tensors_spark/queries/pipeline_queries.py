@@ -658,7 +658,10 @@ def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = 64
     codes = _int8_codes(spark, sf_dir)
-    mt = moment_table(codes, d, "codes")
+    # exact_int: int8 codes are integer-valued, so partials accumulate
+    # in int64 and the BIGINT claim below holds past 2^53 rows·x² —
+    # the same overflow discipline as emb_pca_topvar (review r11)
+    mt = moment_table(codes, d, "codes", exact_int=True)
     slot = F.col("slot")
     s2 = slot - F.lit(d)
     return (

@@ -381,6 +381,12 @@ class KGETrainer:
         score_all = M.score_all_fn(self.model)
         rel_mat = self.W if self.model == "rescal" else self.R
 
+        if force_path not in (None, "agg", "closure"):
+            # a typo must not silently validate the OTHER path
+            raise ValueError(
+                f"force_path must be None, 'agg' or 'closure', "
+                f"got {force_path!r}"
+            )
         use_agg = (
             force_path == "agg"
             or (

@@ -266,6 +266,28 @@ def test_replay_of_folded_batch_is_noop_after_compact(spark, table):
     assert s == 7
 
 
+def test_never_committed_seq_in_fold_gap_raises_after_compact(
+    spark, table
+):
+    """The fold history is an exact RANGE SET: after non-contiguous
+    explicit seqs are folded by compact, a never-committed seq inside
+    the GAP must still raise — under the old folded_max high-water
+    check it silently no-op'd, losing the batch (review r11)."""
+    from spark_tensors_spark.operators.mor import _manifest
+
+    mor_upsert(_df(spark, [(3, "C", 300)]), table, ["k"], seq=5)
+    compact(spark, table, ["k"])
+    m = _manifest(table)
+    assert _snap(read_mor(spark, table, ["k"]))  # table alive
+    # seq 3 sits in the gap below the folded high-water mark (5) and
+    # was never committed: must raise, not vanish
+    with pytest.raises(ValueError, match="never"):
+        mor_upsert(_df(spark, [(9, "i", 90)]), table, ["k"], seq=3)
+    # genuine replays on either side of the gap stay no-ops
+    assert mor_upsert(_df(spark, [(3, "C", 300)]), table, ["k"], seq=5) == 5
+    assert m["folded_ranges"]  # exact history persisted
+
+
 def test_randomized_ops_match_dict_model(spark, tmp_path):
     """Model-based fuzz: random interleavings of upsert / delete /
     replay / compact / vacuum must always read back exactly what a
