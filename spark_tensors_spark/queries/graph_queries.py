@@ -360,18 +360,22 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle() -> str:
+    # every e{i}/k{i} is referenced twice by the next round — without
+    # MATERIALIZED DuckDB inlines the CTE chain and recomputes it
+    # exponentially (the unmaterialized form took ~110 s at sf0.01 vs
+    # ~2 s materialized; identical values either way)
     rounds = []
     prev = "e0"
     for i in range(1, KCORE_ROUNDS + 1):
         rounds.append(
-            f"""k{i} AS (
+            f"""k{i} AS MATERIALIZED (
     SELECT u AS node FROM (
         SELECT u, COUNT(*) AS d
         FROM (SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev})
         GROUP BY u
     ) WHERE d >= {KCORE_K}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
     SELECT e.u, e.v FROM {prev} e
     JOIN k{i} a ON a.node = e.u
     JOIN k{i} b ON b.node = e.v
@@ -380,13 +384,13 @@ e{i} AS (
         prev = f"e{i}"
     rounds_sql = ",\n".join(rounds)
     return f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
     SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
 ),
-e0 AS (
+e0 AS MATERIALIZED (
     SELECT DISTINCT a.pk AS u, b.pk AS v
     FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
 ),
@@ -459,7 +463,7 @@ def _ppr_oracle() -> str:
         prev = f"r{i}"
     iters_sql = ",\n".join(its)
     return f"""{TRIPLES_CTE},
-edges AS (SELECT DISTINCT s_id, o_id FROM triples_encoded),
+edges AS MATERIALIZED (SELECT DISTINCT s_id, o_id FROM triples_encoded),
 seeds AS (
     SELECT DISTINCT s_id AS node FROM edges ORDER BY node LIMIT {PPR_SEEDS}
 ),
@@ -597,7 +601,7 @@ def _bfs_oracle() -> str:
     prev = "d0"
     for k in range(1, BFS_DEPTH + 1):
         its.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
     SELECT n.node,
            least(n.depth, COALESCE(MIN(p.depth + 1), {inf})) AS depth
     FROM {prev} n
@@ -673,7 +677,7 @@ def _sssp_oracle() -> str:
     prev = "d0"
     for k in range(1, SSSP_ROUNDS + 1):
         its.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
     SELECT n.node,
            least(n.dist, COALESCE(MIN(p.dist + e.w), {inf})) AS dist
     FROM {prev} n
@@ -685,7 +689,7 @@ def _sssp_oracle() -> str:
         prev = f"d{k}"
     iters_sql = ",\n".join(its)
     return f"""{TRIPLES_CTE},
-edges AS (
+edges AS MATERIALIZED (
     SELECT s_id, o_id, (s_id * 7 + o_id * 3) % 9 + 1 AS w
     FROM (SELECT DISTINCT s_id, o_id FROM triples_encoded)
 ),

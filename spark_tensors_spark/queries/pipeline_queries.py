@@ -1622,16 +1622,16 @@ _LSH_REACH_PREFIX = (
             UNION ALL
             SELECT doc_id, 3, concat_ws('_', m6, m7) FROM sigs
         ),
-        banded AS (
+        banded AS MATERIALIZED (
             SELECT * FROM banded_all
             QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 64
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
