@@ -1211,8 +1211,135 @@ ORDER BY s_id, p_id, o_id
 """
 
 
+RESCAL_RANK_RES = 4
+HOLE_RANK_RES = 5
+
+
+def _bilinear_terms(s: str, p: str, c: str) -> str:
+    """Unrolled RESCAL bilinear score Σᵢⱼ e(s,i)·W(p,i,j)·e(c,j) on the
+    integer pseudo-parameters — ONE inline expression string valid in
+    both Spark SQL and DuckDB (pure codegen, no gather join)."""
+    terms = []
+    for i in range(RESCAL_DIM):
+        e_s = f"(({s}*31 + {i}*17) % 13 - 6)"
+        for j in range(RESCAL_DIM):
+            w = f"(({p}*19 + {i}*7 + {j}*3) % 9 - 4)"
+            e_c = f"(({c}*31 + {j}*17) % 13 - 6)"
+            terms.append(f"{e_s} * {w} * {e_c}")
+    return " + ".join(terms)
+
+
+def _hole_score_terms(s: str, p: str, c: str) -> str:
+    """Unrolled HolE score Σₖ r(p,k)·ccorr(s,c)ₖ =
+    Σₖᵢ r(p,k)·e(s,i)·e(c,(i+k) mod d) on the integer
+    pseudo-parameters — the index (i+k) mod d is a CONSTANT per term,
+    so the whole holographic score is one flat integer expression."""
+    terms = []
+    for k in range(HOLE_DIM):
+        r_k = f"(({p}*29 + {k}*23) % 11 - 5)"
+        for i in range(HOLE_DIM):
+            s_i = f"(({s}*31 + {i}*17) % 13 - 6)"
+            c_ik = f"(({c}*31 + {(i + k) % HOLE_DIM}*17) % 13 - 6)"
+            terms.append(f"{r_k} * {s_i} * {c_ik}")
+    return " + ".join(terms)
+
+
+def _rank_join_query(
+    spark: SparkSession, sf_dir: str, res: int, terms_fn
+) -> DataFrame:
+    """Shared driver for the kge_*_rank_join family: test triples
+    broadcast-cross-join the full entity id range, every candidate is
+    scored by an INLINE codegen expression on the integer
+    pseudo-parameters, and the true object's rank is one
+    map-side-combinable aggregate (`kg/eval.rank_of_true_agg` —
+    descending score, ties to the smaller id).  No driver matrix, no
+    closure, no per-group sort: the ranking mechanism that survives
+    100× entity growth, J7 eval-expansion semantics
+    (`hole.py:394-399`)."""
+    from spark_tensors_spark.kg.eval import rank_of_true_agg
+    from spark_tensors_spark.queries.kg import _encoded
+
+    _raw, ent, rel, enc = _encoded(spark, sf_dir)
+    n_ent = ent.count()
+    test = (
+        enc.filter(F.col("s_id") % RANK_MOD == res)
+        .select("s_id", "p_id", "o_id")
+        .distinct()
+        .withColumn(
+            "true_sc",
+            F.expr(terms_fn("s_id", "p_id", "o_id")).cast("long"),
+        )
+    )
+    cands = F.broadcast(test).crossJoin(
+        spark.range(n_ent).select(F.col("id").alias("c_id"))
+    ).withColumn(
+        "sc", F.expr(terms_fn("s_id", "p_id", "c_id")).cast("long")
+    )
+    return (
+        rank_of_true_agg(
+            cands,
+            group_cols=("s_id", "p_id", "o_id"),
+            score_col="sc",
+            cand_col="c_id",
+            true_score_col="true_sc",
+            true_cand_col="o_id",
+            ascending=False,
+        )
+        .orderBy("s_id", "p_id", "o_id")
+    )
+
+
+def kge_rescal_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-scale sort-free link-prediction ranking under the
+    BILINEAR score sᵀWₚo (`holek.py:136-150`) — the rank-join doctrine
+    of kge_transe_rank_join extended to RESCAL: candidates score via
+    an inline 16-term integer expression (d=4), rank = one
+    map-side-combinable better-count (descending, ties to smaller id).
+    Together with kge_hole_rank_join this puts the streaming ranking
+    path (`KGETrainer.evaluate` above AGG_RANK_ENTITY_THRESHOLD) under
+    a value oracle for EVERY model's score shape, not just TransE."""
+    return _rank_join_query(
+        spark, sf_dir, RESCAL_RANK_RES, _bilinear_terms
+    )
+
+
+def kge_hole_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-scale sort-free ranking under the HOLOGRAPHIC score
+    r·ccorr(s,o) (`hole.py:19-20`): ccorr unrolls to a flat 64-term
+    integer expression (d=8, (i+k) mod d constant per term), rank =
+    one map-side-combinable better-count.  See
+    :func:`kge_rescal_rank_join`."""
+    return _rank_join_query(spark, sf_dir, HOLE_RANK_RES, _hole_score_terms)
+
+
+def _rank_join_oracle(res: int, terms_fn) -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    return f"""{TRIPLES_CTE},
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           {terms_fn("s_id", "p_id", "o_id")} AS true_sc
+    FROM triples_encoded WHERE s_id % {RANK_MOD} = {res}
+),
+cand AS (SELECT id AS c_id FROM entity_dict)
+SELECT t.s_id, t.p_id, t.o_id,
+       CAST(1 + SUM(CASE WHEN sc > true_sc
+                         OR (sc = true_sc AND c_id < o_id)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS r
+FROM (
+    SELECT t.*, c_id,
+           {terms_fn("t.s_id", "t.p_id", "c_id")} AS sc
+    FROM t CROSS JOIN cand
+) t
+GROUP BY t.s_id, t.p_id, t.o_id
+ORDER BY s_id, p_id, o_id
+"""
+
+
 QUERIES = {
     "kge_transe_rank_join": kge_transe_rank_join,
+    "kge_rescal_rank_join": kge_rescal_rank_join,
+    "kge_hole_rank_join": kge_hole_rank_join,
     "kge_transe_step_exact": kge_transe_step_exact,
     "kge_transe_two_step_exact": kge_transe_two_step_exact,
     "kge_rescal_step_exact": kge_rescal_step_exact,
@@ -1232,4 +1359,8 @@ ORACLES: dict[str, str] = {
     "kge_hole_step_exact": _hole_step_oracle(),
     "kge_hole_two_step_exact": _hole_two_step_oracle(),
     "kge_transe_rank_join": _transe_rank_join_oracle(),
+    "kge_rescal_rank_join": _rank_join_oracle(
+        RESCAL_RANK_RES, _bilinear_terms
+    ),
+    "kge_hole_rank_join": _rank_join_oracle(HOLE_RANK_RES, _hole_score_terms),
 }

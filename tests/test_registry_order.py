@@ -146,6 +146,8 @@ def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
         "doc_pad_sequences",
         "kge_rescal_two_step_exact",
         "kge_hole_two_step_exact",
+        "kge_rescal_rank_join",
+        "kge_hole_rank_join",
     }
     ungated = {
         q for q in new11
