@@ -64,6 +64,8 @@ BNLJ_ALLOWED = {
     # tiny test-triple side broadcasts, the entity range stays
     # distributed — the intended 100×-scale ranking plan
     "kge_transe_rank_join",
+    "kge_rescal_rank_join",
+    "kge_hole_rank_join",
 }
 
 
