@@ -109,41 +109,56 @@ def main() -> None:
     full["superlinear_vs_sibling"] = None
     import glob as _glob
 
-    best = None
-    for p in _glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")):
-        # a malformed sibling record must NOT silently disable the
-        # tripwire for the others — report it and keep scanning
-        try:
-            with open(p) as fh:
-                rec = json.load(fh)
-            rec["queries"]  # older schema without timings is useless
-        except (OSError, ValueError, KeyError) as ex:
+    # The tripwire must never lose a finished run (a crash here would
+    # discard every timing above) and must never hide a broken sibling
+    # record: per-file failures are collected and reported alongside
+    # whatever comparison still succeeds.
+    try:
+        best = None
+        rec_errors = []
+        for p in _glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")):
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+                if not isinstance(rec.get("queries"), dict):
+                    raise ValueError("no per-query timings dict")
+            except (OSError, ValueError) as ex:
+                rec_errors.append(
+                    f"unreadable sibling record {os.path.basename(p)}: {ex}"
+                )
+                continue
+            osf = rec.get("sf")
+            if osf and full["sf"] and osf != full["sf"]:
+                if best is None or abs(osf - full["sf"]) < abs(
+                    best["sf"] - full["sf"]
+                ):
+                    best = rec
+        if best is not None:
+            lo, hi = sorted([best, full], key=lambda r: r["sf"])
+            data_ratio = hi["sf"] / lo["sf"]
+            flags = {}
+            for n, t_hi in hi["queries"].items():
+                t_lo = lo["queries"].get(n)
+                if (
+                    isinstance(t_hi, (int, float))
+                    and isinstance(t_lo, (int, float))
+                    and t_lo > 0
+                    and t_hi >= 1.0
+                ):
+                    r = t_hi / t_lo
+                    if r > 2.0 * data_ratio:
+                        flags[n] = round(r, 2)
             full["superlinear_vs_sibling"] = {
-                "error": f"unreadable sibling record {os.path.basename(p)}:"
-                         f" {ex}"
+                "vs_sf": lo["sf"] if full is hi else hi["sf"],
+                "data_ratio": data_ratio,
+                "flagged": flags,
             }
-            continue
-        osf = rec.get("sf")
-        if osf and full["sf"] and osf != full["sf"]:
-            if best is None or abs(osf - full["sf"]) < abs(
-                best["sf"] - full["sf"]
-            ):
-                best = rec
-    if best is not None:
-        lo, hi = sorted([best, full], key=lambda r: r["sf"])
-        data_ratio = hi["sf"] / lo["sf"]
-        flags = {}
-        for n, t_hi in hi["queries"].items():
-            t_lo = lo["queries"].get(n)
-            if t_lo and t_lo > 0 and t_hi >= 1.0:
-                r = t_hi / t_lo
-                if r > 2.0 * data_ratio:
-                    flags[n] = round(r, 2)
-        full["superlinear_vs_sibling"] = {
-            "vs_sf": lo["sf"] if full is hi else hi["sf"],
-            "data_ratio": data_ratio,
-            "flagged": flags,
-        }
+            if rec_errors:
+                full["superlinear_vs_sibling"]["record_errors"] = rec_errors
+        elif rec_errors:
+            full["superlinear_vs_sibling"] = {"record_errors": rec_errors}
+    except Exception as ex:  # never abort the run for the tripwire
+        full["superlinear_vs_sibling"] = {"error": f"tripwire failed: {ex}"}
     # Persist the complete per-query record (the driver's stdout capture
     # keeps only the LAST 2000 chars — with 190 queries the full line is
     # ~5.5 KB, so since round 2 the captured record never parsed), plus

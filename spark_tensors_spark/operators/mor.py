@@ -217,7 +217,14 @@ def _folded_ranges(m: dict) -> list[list[int]]:
     fr = m.get("folded_ranges")
     if fr is not None:
         return [list(r) for r in fr]
-    fm = m.get("folded_max", -1)
+    fm = m.get("folded_max")
+    if fm is None:
+        # manifests from before ANY fold history existed (the
+        # manifest-pointer generation between the layout change and
+        # folded_max's introduction): conservatively treat everything
+        # ≤ max_seq as possibly folded — the behavior those tables
+        # were written under, so a legitimate replay never raises
+        fm = m.get("max_seq", max(m.get("deltas", []), default=-1))
     return [[0, fm]] if fm >= 0 else []
 
 

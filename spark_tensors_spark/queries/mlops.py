@@ -1154,61 +1154,12 @@ def kge_transe_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregate (1 + count of strictly-better candidates,
     ties to the smaller id).  Candidate generation against all
     entities is the J7 eval-expansion semantics (`hole.py:394-399`);
-    the oracle replays score + rank symbolically."""
-    from spark_tensors_spark.queries.kg import _encoded
-
-    _raw, ent, rel, enc = _encoded(spark, sf_dir)
-    n_ent = ent.count()
-    from spark_tensors_spark.kg.eval import rank_of_true_agg
-
-    dist_true = F.expr(_dist_terms("s_id", "p_id", "o_id"))
-    test = (
-        enc.filter(F.col("s_id") % RANK_MOD == RANK_RES)
-        .select("s_id", "p_id", "o_id")
-        .distinct()
-        .withColumn("true_d", dist_true.cast("long"))
+    the oracle replays score + rank symbolically.  Routed through the shared
+    :func:`_rank_join_query` driver (ascending: L1 distance, smaller
+    is better)."""
+    return _rank_join_query(
+        spark, sf_dir, RANK_RES, _dist_terms, ascending=True
     )
-    cands = F.broadcast(test).crossJoin(
-        spark.range(n_ent).select(F.col("id").alias("c_id"))
-    ).withColumn(
-        "d", F.expr(_dist_terms("s_id", "p_id", "c_id")).cast("long")
-    )
-    return (
-        rank_of_true_agg(
-            cands,
-            group_cols=("s_id", "p_id", "o_id"),
-            score_col="d",
-            cand_col="c_id",
-            true_score_col="true_d",
-            true_cand_col="o_id",
-            ascending=True,
-        )
-        .orderBy("s_id", "p_id", "o_id")
-    )
-
-
-def _transe_rank_join_oracle() -> str:
-    from spark_tensors_spark.queries.kg import TRIPLES_CTE
-
-    return f"""{TRIPLES_CTE},
-t AS MATERIALIZED (
-    SELECT DISTINCT s_id, p_id, o_id,
-           {_dist_terms("s_id", "p_id", "o_id")} AS true_d
-    FROM triples_encoded WHERE s_id % {RANK_MOD} = {RANK_RES}
-),
-cand AS (SELECT id AS c_id FROM entity_dict)
-SELECT t.s_id, t.p_id, t.o_id,
-       CAST(1 + SUM(CASE WHEN d < true_d
-                         OR (d = true_d AND c_id < o_id)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS r
-FROM (
-    SELECT t.*, c_id,
-           {_dist_terms("t.s_id", "t.p_id", "c_id")} AS d
-    FROM t CROSS JOIN cand
-) t
-GROUP BY t.s_id, t.p_id, t.o_id
-ORDER BY s_id, p_id, o_id
-"""
 
 
 RESCAL_RANK_RES = 4
@@ -1245,17 +1196,22 @@ def _hole_score_terms(s: str, p: str, c: str) -> str:
 
 
 def _rank_join_query(
-    spark: SparkSession, sf_dir: str, res: int, terms_fn
+    spark: SparkSession,
+    sf_dir: str,
+    res: int,
+    terms_fn,
+    ascending: bool = False,
 ) -> DataFrame:
     """Shared driver for the kge_*_rank_join family: test triples
     broadcast-cross-join the full entity id range, every candidate is
     scored by an INLINE codegen expression on the integer
     pseudo-parameters, and the true object's rank is one
     map-side-combinable aggregate (`kg/eval.rank_of_true_agg` —
-    descending score, ties to the smaller id).  No driver matrix, no
-    closure, no per-group sort: the ranking mechanism that survives
-    100× entity growth, J7 eval-expansion semantics
-    (`hole.py:394-399`)."""
+    ``ascending`` follows the score's direction: True for TransE's
+    distance, False for the similarity scores; ties to the smaller
+    id).  No driver matrix, no closure, no per-group sort: the ranking
+    mechanism that survives 100× entity growth, J7 eval-expansion
+    semantics (`hole.py:394-399`)."""
     from spark_tensors_spark.kg.eval import rank_of_true_agg
     from spark_tensors_spark.queries.kg import _encoded
 
@@ -1283,7 +1239,7 @@ def _rank_join_query(
             cand_col="c_id",
             true_score_col="true_sc",
             true_cand_col="o_id",
-            ascending=False,
+            ascending=ascending,
         )
         .orderBy("s_id", "p_id", "o_id")
     )
@@ -1312,9 +1268,10 @@ def kge_hole_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_join_query(spark, sf_dir, HOLE_RANK_RES, _hole_score_terms)
 
 
-def _rank_join_oracle(res: int, terms_fn) -> str:
+def _rank_join_oracle(res: int, terms_fn, ascending: bool = False) -> str:
     from spark_tensors_spark.queries.kg import TRIPLES_CTE
 
+    better = "<" if ascending else ">"
     return f"""{TRIPLES_CTE},
 t AS MATERIALIZED (
     SELECT DISTINCT s_id, p_id, o_id,
@@ -1323,7 +1280,7 @@ t AS MATERIALIZED (
 ),
 cand AS (SELECT id AS c_id FROM entity_dict)
 SELECT t.s_id, t.p_id, t.o_id,
-       CAST(1 + SUM(CASE WHEN sc > true_sc
+       CAST(1 + SUM(CASE WHEN sc {better} true_sc
                          OR (sc = true_sc AND c_id < o_id)
                     THEN 1 ELSE 0 END) AS BIGINT) AS r
 FROM (
@@ -1358,7 +1315,9 @@ ORACLES: dict[str, str] = {
     "kge_rescal_two_step_exact": _rescal_two_step_oracle(),
     "kge_hole_step_exact": _hole_step_oracle(),
     "kge_hole_two_step_exact": _hole_two_step_oracle(),
-    "kge_transe_rank_join": _transe_rank_join_oracle(),
+    "kge_transe_rank_join": _rank_join_oracle(
+        RANK_RES, _dist_terms, ascending=True
+    ),
     "kge_rescal_rank_join": _rank_join_oracle(
         RESCAL_RANK_RES, _bilinear_terms
     ),

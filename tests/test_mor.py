@@ -288,6 +288,33 @@ def test_never_committed_seq_in_fold_gap_raises_after_compact(
     assert m["folded_ranges"]  # exact history persisted
 
 
+def test_manifest_without_any_fold_history_keeps_replay_noop(spark, table):
+    """Manifests from the generation BETWEEN the manifest-pointer
+    layout and the fold history (max_seq present, neither folded_max
+    nor folded_ranges): a replay of a seq ≤ max_seq must stay a no-op
+    — those tables were written under the conservative
+    everything-possibly-folded contract, so raising would crash a
+    legitimate replayable source (review r11)."""
+    import json
+    import os
+
+    from spark_tensors_spark.operators.mor import _MANIFEST, _manifest
+
+    mor_upsert(_df(spark, [(5, "e", 50)]), table, ["k"], seq=7)
+    mpath = os.path.join(table, _MANIFEST)
+    m = json.load(open(mpath))
+    for k in ("folded_max", "folded_ranges"):
+        m.pop(k, None)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    before = _snap(read_mor(spark, table, ["k"]))
+    # seq 3 was never committed, but without fold history the old
+    # contract treats it as possibly-folded: no-op, not a raise
+    assert mor_upsert(_df(spark, [(9, "i", 90)]), table, ["k"], seq=3) == 3
+    assert _snap(read_mor(spark, table, ["k"])) == before
+    assert _manifest(table) is not None
+
+
 def test_randomized_ops_match_dict_model(spark, tmp_path):
     """Model-based fuzz: random interleavings of upsert / delete /
     replay / compact / vacuum must always read back exactly what a
