@@ -366,3 +366,36 @@ def test_randomized_ops_match_dict_model(spark, tmp_path):
                 got = _snap(read_mor(spark, path, ["k"]))
                 assert got == sorted(model.values()), (seed, step, op)
         assert _snap(read_mor(spark, path, ["k"])) == sorted(model.values())
+
+
+def test_merge_ranges_matches_set_model():
+    """Property: _merge_ranges/_in_ranges over random range lists +
+    seqs behave exactly like the flat set union they compress — and
+    the output is normalized (sorted, disjoint, gap-separated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_tensors_spark.operators.mor import _in_ranges, _merge_ranges
+
+    rng_list = st.lists(
+        st.tuples(
+            st.integers(0, 40), st.integers(0, 8)
+        ).map(lambda t: [t[0], t[0] + t[1]]),
+        max_size=6,
+    )
+    seqs = st.lists(st.integers(0, 50), max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=rng_list, b=rng_list, s=seqs)
+    def check(a, b, s):
+        merged = _merge_ranges(a, b, seqs=s)
+        model = set(s)
+        for lo, hi in a + b:
+            model |= set(range(lo, hi + 1))
+        for x in range(0, 55):
+            assert _in_ranges(merged, x) == (x in model), (x, merged)
+        # normalized: sorted, disjoint, non-adjacent
+        for (l1, h1), (l2, h2) in zip(merged, merged[1:]):
+            assert l1 <= h1 and l2 <= h2 and l2 > h1 + 1
+
+    check()
