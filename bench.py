@@ -178,6 +178,10 @@ def main() -> None:
         if full["sf"]:
             _atomic_record(f"BENCH_FULL_sf{sf}.json")
     except OSError as ex:
+        # also mark the printed record itself: a later tripwire run
+        # comparing against a stale sibling record must be visible in
+        # the captured output, not only on stderr
+        full["record_persist_error"] = str(ex)
         print(f"bench: could not persist full record: {ex}",
               file=sys.stderr)
     # Full line first (humans / logs)...

@@ -43,6 +43,10 @@ def main() -> int:
     rows = [
         x for x in all_rows if x[0] in flagged
     ] + [x for x in all_rows if x[0] not in flagged][:top_n]
+    print(
+        f"Top-{top_n} slowest shared queries by sf0.1 wall time; flagged "
+        "superlinear queries are ALWAYS included regardless of rank.\n"
+    )
     print(f"| query | sf0.01 s | sf0.1 s | ratio (data ×{data_ratio:.0f}) |")
     print("|---|---|---|---|")
     for n, t_lo, t_hi, r in rows:

@@ -361,27 +361,38 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     merged.localCheckpoint().write.parquet(out)
     cur = _manifest(path) or m
     stragglers = sorted(set(cur["deltas"]) - set(m["deltas"]))
-    _write_manifest(
-        path,
-        {
-            "v": new_v,
-            "base": new_base,
-            "deltas": stragglers,
-            "max_seq": cur.get("max_seq", max(cur["deltas"], default=-1)),
-            # EXACT fold history (range-compressed): replays of folded
-            # seqs stay no-ops while never-committed explicit seqs —
-            # including ones inside gaps below the fold high-water
-            # mark — raise
-            "folded_ranges": _merge_ranges(
-                _folded_ranges(m), _folded_ranges(cur), seqs=m["deltas"]
-            ),
-            "folded_max": max(
-                m.get("folded_max", -1),
-                cur.get("folded_max", -1),
-                max(m["deltas"], default=-1),
-            ),
-        },
+    # tables grandfathered from folded_max-only history keep a
+    # permanent 'conservative' marker: their [0, folded_max] range is
+    # an over-approximation, so replay-raise protection never applies
+    # inside it — the marker lets operators tell exact histories from
+    # grandfathered ones (the folding itself is unchanged)
+    conservative = bool(
+        m.get("conservative")
+        or cur.get("conservative")
+        or ("folded_ranges" not in m and _folded_ranges(m))
+        or ("folded_ranges" not in cur and _folded_ranges(cur))
     )
+    new_m = {
+        "v": new_v,
+        "base": new_base,
+        "deltas": stragglers,
+        "max_seq": cur.get("max_seq", max(cur["deltas"], default=-1)),
+        # EXACT fold history (range-compressed): replays of folded
+        # seqs stay no-ops while never-committed explicit seqs —
+        # including ones inside gaps below the fold high-water
+        # mark — raise
+        "folded_ranges": _merge_ranges(
+            _folded_ranges(m), _folded_ranges(cur), seqs=m["deltas"]
+        ),
+        "folded_max": max(
+            m.get("folded_max", -1),
+            cur.get("folded_max", -1),
+            max(m["deltas"], default=-1),
+        ),
+    }
+    if conservative:
+        new_m["conservative"] = True
+    _write_manifest(path, new_m)
 
 
 def vacuum_mor(path: str) -> list[str]:

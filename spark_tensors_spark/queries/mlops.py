@@ -325,18 +325,20 @@ def _two_step_query(
     gather_fn,
     step_fn,
     loss_fn,
+    n_steps: int = 2,
 ) -> DataFrame:
-    """ONE driver for every kge_*_two_step_exact query — two chained
-    full-batch SGD steps at lr=1 (the integer closure): step 1's
-    updated parameter TABLE is rebuilt by
-    `exactstep.rebuild_embedding_table` (a hash aggregate — never a
-    driver matrix) and fed back as step 2's parameters, exactly the
-    update→gather cycle the reference iterates (`TransE.scala:114-134`;
-    `base.py:470-492`).  Output: step-2 parameter slots (all ``p_kind``
-    slots + a 1/37 entity sample; their old_val column IS step 1's
-    result) plus one 'L' loss row per step.
+    """ONE driver for every kge_*_two_step_exact query (and the
+    n_steps≥3 loop variants) — ``n_steps`` chained full-batch SGD steps
+    at lr=1 (the integer closure): each step's updated parameter TABLE
+    is rebuilt by `exactstep.rebuild_embedding_table` (a hash aggregate
+    — never a driver matrix) and fed back as the next step's
+    parameters, exactly the update→gather cycle the reference iterates
+    (`TransE.scala:114-134`; `base.py:470-492`).  Output: final-step
+    parameter slots (all ``p_kind`` slots + a 1/37 entity sample; their
+    old_val column IS the previous step's result) plus one 'L' loss row
+    per step.
 
-    Plan shape at 100 TB: two iterations of [gather joins on id →
+    Plan shape at 100 TB: n iterations of [gather joins on id →
     map-side-combinable segment-sums → join-merge update], with a
     localCheckpoint truncating lineage between them — the
     `train/joinmerge.py` iteration topology."""
@@ -351,8 +353,8 @@ def _two_step_query(
         .distinct()
         .localCheckpoint()
     )
-    E0 = _pseudo_E(spark, n_ent, dim)
-    P0 = init_p(spark, rel.count(), dim)
+    E = _pseudo_E(spark, n_ent, dim)
+    P = init_p(spark, rel.count(), dim)
 
     def one_step(E, P, step_no: int):
         scored = gather_fn(tri, E, P, dim, n_ent, margin).localCheckpoint()
@@ -368,23 +370,24 @@ def _two_step_query(
         ).withColumn("step", F.lit(step_no).cast("long"))
         return upd, loss
 
-    step1, loss1 = one_step(E0, P0, 1)
-    step1 = step1.localCheckpoint()  # iteration barrier: lineage reset
-    step2, loss2 = one_step(
-        rebuild_embedding_table(step1, "E"),
-        rebuild_embedding_table(step1, p_kind),
-        2,
-    )
-    out2 = step2.filter(
+    losses = []
+    step_out = None
+    for k in range(1, n_steps + 1):
+        step_out, loss = one_step(E, P, k)
+        losses.append(loss)
+        if k < n_steps:
+            # iteration barrier: lineage reset between chained steps
+            step_out = step_out.localCheckpoint()
+            E = rebuild_embedding_table(step_out, "E")
+            P = rebuild_embedding_table(step_out, p_kind)
+    out = step_out.filter(
         (F.col("kind") == p_kind) | (F.col("id") % 37 == 0)
-    ).withColumn("step", F.lit(2).cast("long"))
+    ).withColumn("step", F.lit(n_steps).cast("long"))
     cols = ["step", "kind", "id", "d", "old_val", "grad", "new_val"]
-    return (
-        out2.select(cols)
-        .unionByName(loss1.select(cols))
-        .unionByName(loss2.select(cols))
-        .orderBy("step", "kind", "id", "d")
-    )
+    result = out.select(cols)
+    for loss in losses:
+        result = result.unionByName(loss.select(cols))
+    return result.orderBy("step", "kind", "id", "d")
 
 
 def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +520,130 @@ grads2 AS MATERIALIZED (
 {_two_step_tail("R")}"""
 
 
+ENTITY_LOOP_STEPS = 3
+
+
+def _transe_step_fragment(n: int, params: str, margin: int) -> str:
+    """CTEs for ONE exact L1-TransE step reading parameters from the
+    table ``params`` (kind, id, d, val) — the step semantics of
+    `_transe_two_step_oracle`'s hand-written step 2, factored so an
+    arbitrary-length chain applies it per step (the
+    `_rescal_step_fragment` doctrine)."""
+    sgn = "CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END"
+    sp = sgn.format(x="(sv + pv - ov)")
+    sn = sgn.format(x="(sv + pv - nv)")
+    return f"""
+g{n} AS MATERIALIZED (
+    SELECT t.s_id, t.p_id, t.o_id, t.n_id, dims.d,
+           ps.val AS sv, pp.val AS pv, po.val AS ov, pn.val AS nv
+    FROM t CROSS JOIN dims
+    JOIN {params} ps ON ps.kind = 'E' AND ps.id = t.s_id AND ps.d = dims.d
+    JOIN {params} pp ON pp.kind = 'R' AND pp.id = t.p_id AND pp.d = dims.d
+    JOIN {params} po ON po.kind = 'E' AND po.id = t.o_id AND po.d = dims.d
+    JOIN {params} pn ON pn.kind = 'E' AND pn.id = t.n_id AND pn.d = dims.d
+),
+sc{n} AS MATERIALIZED (
+    SELECT s_id, p_id, o_id, n_id,
+           {margin} + SUM(ABS(sv + pv - ov))
+                    - SUM(ABS(sv + pv - nv)) AS raw_loss
+    FROM g{n} GROUP BY s_id, p_id, o_id, n_id
+),
+gv{n} AS MATERIALIZED (
+    SELECT g.*
+    FROM g{n} g JOIN sc{n} sc ON sc.s_id = g.s_id AND sc.p_id = g.p_id
+                             AND sc.o_id = g.o_id
+    WHERE sc.raw_loss > 0
+),
+contrib{n} AS MATERIALIZED (
+    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv{n}
+    UNION ALL
+    SELECT 'E', o_id, d, -({sp}) FROM gv{n}
+    UNION ALL
+    SELECT 'E', n_id, d, ({sn}) FROM gv{n}
+    UNION ALL
+    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv{n}
+),
+grads{n} AS MATERIALIZED (
+    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
+    FROM contrib{n} GROUP BY kind, id, d
+),
+params{n} AS MATERIALIZED (
+    -- lr = 1: params stay integer, so the next step is exact again
+    SELECT p.kind, p.id, p.d, p.val - COALESCE(g.gr, 0) AS val
+    FROM {params} p
+    LEFT JOIN grads{n} g ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
+)"""
+
+
+def kge_transe_three_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE chained full-batch TransE SGD steps over the FULL encoded
+    KG — the two-step loop's chaining composed with the rank-join
+    family's ENTITY-SCALE frame: no mod-subset, every triple trains,
+    every entity's embedding row participates in the gather/update
+    cycle (the reference's epoch loop over the whole training split,
+    `TransE.scala:114-134`, `base.py:470-492`).  lr=1 keeps parameters
+    INTEGER after each update, so all three gathers / margin tests /
+    sign-gradient passes are exact BIGINT arithmetic and DuckDB replays
+    the whole three-iteration trajectory symbolically (per-round
+    MATERIALIZED CTEs — multiply-referenced rounds must materialize or
+    the inliner goes exponential).  NOTE: with the full KG the
+    violation count shrinks per step but total loss OVERSHOOTS — only
+    3 relations exist, so each full-batch R-slot gradient is a
+    sign-sum over O(|KG|) triples; like the RESCAL/HolE loops this
+    pins MECHANICS, not convergence (test-pinned in
+    tests/test_mlops_queries.py; convergent float training is the
+    train_metrics family).
+
+    Plan shape at 100 TB: three iterations of [gather joins on id →
+    map-side-combinable segment-sums → join-merge update] over the
+    full entity table, localCheckpoint truncating lineage between
+    iterations — iteration count scales wall-clock, never the plan."""
+    from spark_tensors_spark.train.exactstep import (
+        _gather_and_score,
+        transe_l1_loss_summary,
+        transe_l1_sgd_step,
+    )
+
+    return _two_step_query(
+        spark, sf_dir,
+        mod=1, res=0,  # x % 1 == 0: the FULL encoded KG, no subset
+        dim=STEP_DIM, margin=STEP_MARGIN, p_kind="R",
+        init_p=_pseudo_R,
+        gather_fn=lambda tri, E, R, d, n, m: _gather_and_score(
+            tri, E, R, n, m
+        ),
+        step_fn=transe_l1_sgd_step,
+        loss_fn=transe_l1_loss_summary,
+        n_steps=ENTITY_LOOP_STEPS,
+    )
+
+
+def _transe_three_step_entity_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    steps = "".join(
+        _transe_step_fragment(k, f"params{k - 1}", STEP_MARGIN) + ","
+        for k in range(1, ENTITY_LOOP_STEPS + 1)
+    )
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded
+),
+dims AS (SELECT unnest(range({STEP_DIM})) AS d),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),{steps}
+{_chain_tail("R", ENTITY_LOOP_STEPS)}"""
+
+
 RESCAL_DIM = 4
 HOLE_DIM = 8
 PAIR_MARGIN = 2
@@ -589,16 +716,7 @@ def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = RESCAL_DIM
     E = _pseudo_E(spark, n_ent, d)
-    w_seq = F.sequence(F.lit(0), F.lit(d * d - 1))
-    W = spark.range(n_rel).select(
-        "id",
-        F.transform(
-            w_seq,
-            lambda s: (
-                (F.col("id") * 19 + F.floor(s / d) * 7 + (s % d) * 3) % 9 - 4
-            ).cast("long"),
-        ).alias("vec"),
-    )
+    W = _pseudo_W(spark, n_rel, d)
     # gather once, consume twice (update rows + loss row)
     scored = _rescal_gather_score(
         tri, E, W, d, n_ent, PAIR_MARGIN
@@ -847,9 +965,10 @@ HOLE2_MOD, HOLE2_RES = 11, 7
 
 def _pseudo_W(spark, n_rel: int, d: int):
     """Integer pseudo relation-MATRIX table (id, vec[d·d]) with
-    W(id, i, j) = ((id·19 + i·7 + j·3) mod 9) − 4 — the same formula
-    kge_rescal_step_exact states inline; shared here so the two-step
-    query initializes from the identical W₀."""
+    W(id, i, j) = ((id·19 + i·7 + j·3) mod 9) − 4 — the single source
+    of the W₀ init formula, shared by kge_rescal_step_exact and the
+    multi-step loop queries so every RESCAL oracle starts from the
+    identical W₀."""
     w_seq = F.sequence(F.lit(0), F.lit(d * d - 1))
     return spark.range(n_rel).select(
         "id",
@@ -1045,36 +1164,39 @@ params{n} AS MATERIALIZED (
 )"""
 
 
-def _two_step_tail(out_kind: str) -> str:
-    """Shared SELECT tail for the two-step oracles: step-2 update rows
-    (old_val = step-1 params) + one 'L' loss row per step."""
+def _chain_tail(out_kind: str, n_steps: int) -> str:
+    """Shared SELECT tail for the chained-step oracles: final-step
+    update rows (old_val = previous step's params) + one 'L' loss row
+    per step."""
+    loss_rows = "\n".join(
+        f"""UNION ALL
+SELECT {k}, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT COUNT(*) FROM t),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM sc{k}),
+       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
+        FROM sc{k})"""
+        for k in range(1, n_steps + 1)
+    )
     return f"""
-upd2 AS (
+upd_fin AS (
     SELECT p.kind, p.id, CAST(p.d AS BIGINT) AS d,
            p.val AS old_val,
            COALESCE(g.gr, 0) AS grad,
            CAST(p.val - COALESCE(g.gr, 0) AS DOUBLE) AS new_val
-    FROM params1 p
-    LEFT JOIN grads2 g ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
+    FROM params{n_steps - 1} p
+    LEFT JOIN grads{n_steps} g
+        ON g.kind = p.kind AND g.id = p.id AND g.d = p.d
 )
-SELECT CAST(2 AS BIGINT) AS step, kind, id, d, old_val, grad, new_val
-FROM upd2 WHERE kind = '{out_kind}' OR id % 37 = 0
-UNION ALL
-SELECT 1, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-       (SELECT COUNT(*) FROM t),
-       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM sc1),
-       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
-        FROM sc1)
-UNION ALL
-SELECT 2, 'L', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-       (SELECT COUNT(*) FROM t),
-       (SELECT CAST(COALESCE(SUM(CASE WHEN raw_loss > 0 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM sc2),
-       (SELECT CAST(COALESCE(SUM(GREATEST(0, raw_loss)), 0) AS DOUBLE)
-        FROM sc2)
+SELECT CAST({n_steps} AS BIGINT) AS step, kind, id, d, old_val, grad, new_val
+FROM upd_fin WHERE kind = '{out_kind}' OR id % 37 = 0
+{loss_rows}
 ORDER BY step, kind, id, d
 """
+
+
+def _two_step_tail(out_kind: str) -> str:
+    return _chain_tail(out_kind, 2)
 
 
 def _rescal_two_step_oracle() -> str:
@@ -1299,6 +1421,7 @@ QUERIES = {
     "kge_hole_rank_join": kge_hole_rank_join,
     "kge_transe_step_exact": kge_transe_step_exact,
     "kge_transe_two_step_exact": kge_transe_two_step_exact,
+    "kge_transe_three_step_entity": kge_transe_three_step_entity,
     "kge_rescal_step_exact": kge_rescal_step_exact,
     "kge_rescal_two_step_exact": kge_rescal_two_step_exact,
     "kge_hole_step_exact": kge_hole_step_exact,
@@ -1311,6 +1434,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "kge_transe_step_exact": _transe_step_oracle(),
     "kge_transe_two_step_exact": _transe_two_step_oracle(),
+    "kge_transe_three_step_entity": _transe_three_step_entity_oracle(),
     "kge_rescal_step_exact": _rescal_step_oracle(),
     "kge_rescal_two_step_exact": _rescal_two_step_oracle(),
     "kge_hole_step_exact": _hole_step_oracle(),

@@ -35,10 +35,19 @@ def doc_source_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_ids is rendered as a sorted comma-joined STRING: the compared
+    # output must stay scalar-only (driver-contract invariant — the
+    # driver's canonicalizer cannot sort array-typed columns; pinned by
+    # tests/test_plan_hygiene.py) while still covering every member
     docs = load_table(spark, sf_dir, "documents")
     return (
         dedup.exact_duplicate_groups(docs)
-        .select("content_hash", "cnt", "keep_doc_id", "doc_ids")
+        .select(
+            "content_hash",
+            "cnt",
+            "keep_doc_id",
+            F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
+        )
         .orderBy("content_hash")
     )
 
@@ -1465,8 +1474,13 @@ def doc_pad_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), then one shuffle join token→id and one groupBy re-assembly;
     the pad itself
     (:func:`~spark_tensors_spark.functions.columns.pad_sequences_col`)
-    is pure codegen.  The padded ARRAY is in the compared output, so
-    the oracle checks every element position, not a digest.
+    is pure codegen.  The padded array is compared ELEMENT-WISE via
+    ``posexplode`` into scalar ``(doc_id, pos, id_at_pos)`` rows — the
+    oracle still checks every element position, but the compared
+    output schema stays scalar-only (driver-contract invariant: the
+    driver's canonicalizer cannot sort array-typed columns, the sole
+    r11 CORRECTNESS failure; pinned repo-wide by
+    ``tests/test_plan_hygiene.py``).
     """
     from spark_tensors_spark.functions.columns import pad_sequences_col
     from spark_tensors_spark.kg.dictionary import assign_ids
@@ -1491,14 +1505,20 @@ def doc_pad_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("orig_len"),
         )
     )
-    return seqs.select(
+    padded = seqs.select(
         "doc_id",
         "orig_len",
         pad_sequences_col("ids", PAD_MAXLEN).alias("padded"),
         F.greatest(
             F.lit(0), F.lit(PAD_MAXLEN) - F.col("orig_len")
         ).cast("long").alias("n_pad"),
-    ).orderBy("doc_id")
+    )
+    return padded.select(
+        "doc_id",
+        "orig_len",
+        F.posexplode("padded").alias("pos", "id_at_pos"),
+        "n_pad",
+    ).withColumn("pos", F.col("pos").cast("long")).orderBy("doc_id", "pos")
 
 
 QUERIES = {
@@ -1816,15 +1836,26 @@ ORACLES = {
             GROUP BY t.doc_id
         )
         -- list_resize segfaults on non-flat vectors in DuckDB 1.0.0;
-        -- pad by concat with a generated fill list instead.
+        -- pad by concat with a generated fill list instead.  Scalar
+        -- output contract: unnest the padded list positionally (two
+        -- unnests in one SELECT zip) so no array column is compared.
+        , pad AS (
+            SELECT doc_id, orig_len,
+                   list_concat(
+                       ids[1:{PAD_MAXLEN}],
+                       list_transform(
+                           range(greatest(0, {PAD_MAXLEN} - orig_len)),
+                           x -> CAST(0 AS BIGINT))) AS padded,
+                   CAST(greatest(0, {PAD_MAXLEN} - orig_len) AS BIGINT)
+                       AS n_pad
+            FROM seqs
+        )
         SELECT doc_id, orig_len,
-               list_concat(
-                   ids[1:{PAD_MAXLEN}],
-                   list_transform(range(greatest(0, {PAD_MAXLEN} - orig_len)),
-                                  x -> CAST(0 AS BIGINT))) AS padded,
-               CAST(greatest(0, {PAD_MAXLEN} - orig_len) AS BIGINT) AS n_pad
-        FROM seqs
-        ORDER BY doc_id
+               CAST(unnest(range({PAD_MAXLEN})) AS BIGINT) AS pos,
+               unnest(padded) AS id_at_pos,
+               n_pad
+        FROM pad
+        ORDER BY doc_id, pos
     """,
     "doc_source_hash_stats": """
         SELECT source, COUNT(*) AS n_docs,
@@ -1834,7 +1865,7 @@ ORACLES = {
     "doc_exact_dup_groups": """
         SELECT md5(text) AS content_hash, COUNT(*) AS cnt,
                MIN(doc_id) AS keep_doc_id,
-               list_sort(list(doc_id)) AS doc_ids
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
         FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
         ORDER BY content_hash
     """,

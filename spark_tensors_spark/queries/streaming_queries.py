@@ -1260,9 +1260,17 @@ def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the emitted set exactly: every session with a
     successor, plus last sessions whose timer the final watermark
     (max event ms − delay) passed; still-open sessions stay in state,
-    unemitted."""
+    unemitted.
+
+    This query runs its state through the ROCKSDB provider
+    (`session.rocksdb_state`) — the deployable 100 TB state store, so
+    the externally gated row verifies the configuration production
+    would run, not just the default in-heap provider (provider
+    assertion + HDFS≡RocksDB equality in tests/test_streaming.py)."""
     import os
     import shutil
+
+    from spark_tensors_spark.session import rocksdb_state
 
     from spark_tensors_spark.streaming.sessionize import (
         sessionize_stream_ttl,
@@ -1312,16 +1320,17 @@ def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch overwrites exactly its own _batch_id partition
     from spark_tensors_spark.streaming.sinks import write_idempotent_batch
 
-    q = (
-        closed.writeStream.outputMode("append")
-        .foreachBatch(
-            lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+    with rocksdb_state(spark):
+        q = (
+            closed.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     got = spark.read.parquet(out_dir).drop("_batch_id")
     out = (
         got.orderBy("user_id", "session_idx")

@@ -24,6 +24,7 @@ Scale notes (100 TB design intent, tested on local[*]):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +49,29 @@ def rocksdb_state_conf() -> dict[str, str]:
         "spark.sql.streaming.stateStore.rocksdb"
         ".changelogCheckpointing.enabled": "true",
     }
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Run the enclosed streaming query under the RocksDB state-store
+    provider on an EXISTING session (the provider is a per-query conf
+    read at stream start, so it can be toggled on a shared/driver
+    session), restoring the previous conf on exit.  This is how a
+    declared query routes its state through the deployable 100 TB
+    provider even when the caller (the driver's correctness gate, the
+    bench CLI) built the session without ``rocksdb_state=True``."""
+    conf = rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_session(

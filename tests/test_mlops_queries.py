@@ -81,3 +81,33 @@ def test_two_step_exact_loop_chains(spark, qname, descends):
         "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"
     ).count()
     assert frac == 0
+
+
+def test_three_step_entity_loop_chains(spark):
+    """kge_transe_three_step_entity: the FULL-KG three-iteration loop
+    must (a) keep the triple count constant across its three 'L' rows,
+    (b) strictly shrink the VIOLATION count at every step while the
+    loss values stay pairwise distinct (the chain was applied), and
+    (c) keep every final-step parameter slot integral (the
+    exact-BIGINT closure its DuckDB oracle replays).
+
+    Unlike the mod-11 subset of kge_transe_two_step_exact, the full KG
+    does NOT descend in total loss at lr=1: only 3 relations exist, so
+    each full-batch R-slot gradient is a sign-sum over O(|KG|) triples
+    and the relation step overshoots (violations fall, residual
+    margins explode) — the loop pins MECHANICS, not convergence, and
+    the DuckDB oracle replays the overshooting trajectory exactly
+    (the kge-exact-loop doctrine; convergent float training is the
+    train_metrics family)."""
+    df = mlops.QUERIES["kge_transe_three_step_entity"](spark, SF_SMOKE)
+    losses = df.filter("kind = 'L'").orderBy("step").collect()
+    assert len(losses) == mlops.ENTITY_LOOP_STEPS
+    assert len({r["old_val"] for r in losses}) == 1   # same triple count
+    viol = [r["grad"] for r in losses]
+    loss = [r["new_val"] for r in losses]
+    assert viol == sorted(viol, reverse=True) and len(set(viol)) == len(viol)
+    assert len(set(loss)) == len(loss)  # every step rescored the chain
+    frac = df.filter(
+        "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"
+    ).count()
+    assert frac == 0

@@ -70,17 +70,45 @@ BNLJ_ALLOWED = {
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark):
+def all_frames(spark):
     import __spark_entry__ as entry
 
-    plans = {}
+    frames = {}
     for name, fn in sorted(entry.queries().items()):
-        df = fn(spark, SF_SMOKE)
+        frames[name] = fn(spark, SF_SMOKE)
+    return frames
+
+
+@pytest.fixture(scope="module")
+def all_plans(all_frames):
+    plans = {}
+    for name, df in all_frames.items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plans[name] = buf.getvalue()
     return plans
+
+
+def test_compared_output_is_scalar_only(all_frames):
+    """Driver-contract invariant: the driver's canonicalizer sorts the
+    compared result as a pandas DataFrame, and ``sort_values`` on a
+    list/dict-typed column throws ``TypeError: unhashable type`` — the
+    sole r11 CORRECTNESS failure (doc_pad_sequences' array<bigint>
+    column).  Every declared query's output schema must therefore be
+    scalar-only; arrays are compared element-wise via posexplode rows
+    or joined into strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {
+        name: [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for name, df in all_frames.items()
+    }
+    assert {n: c for n, c in offenders.items() if c} == {}
 
 
 def test_no_row_at_a_time_python(all_plans):

@@ -3,6 +3,7 @@ runs (availableNow trigger → memory sink) proving batch ≡ stream."""
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 
 import pytest
@@ -665,16 +666,12 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
     rationale: the default provider keeps every key in executor heap —
     a memory cliff at 100 TB key cardinality; RocksDB spills to local
     disk and checkpoints incrementally."""
-    from spark_tensors_spark.session import rocksdb_state_conf
+    from spark_tensors_spark.session import rocksdb_state
     from spark_tensors_spark.streaming.stateful import running_user_totals
     from spark_tensors_spark.streaming.windows import tumbling_window_agg
 
     d, schema = stream_source
-    conf = rocksdb_state_conf()
-    old = {k: spark.conf.get(k, None) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
+    with rocksdb_state(spark):
         stream = spark.readStream.schema(schema).parquet(d)
         q = (
             running_user_totals(stream)
@@ -688,6 +685,16 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
         assert "RocksDBStateStoreProvider" in spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass"
         )
+        # provider assertion from the EXECUTED query, not just the conf:
+        # only the RocksDB provider reports rocksdb* custom state metrics
+        prog = q.lastProgress
+        rocks_metrics = [
+            m
+            for op in prog["stateOperators"]
+            for m in op.get("customMetrics", {})
+            if m.startswith("rocksdb")
+        ]
+        assert rocks_metrics, prog
         got = {
             r.user_id: (r.n, round(r.total, 6), r.last_ts_us)
             for r in spark.sql(
@@ -712,9 +719,39 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
         q2 = _run_stream(out, "tumbling_rocksdb")
         assert spark.sql("SELECT COUNT(*) FROM tumbling_rocksdb").first()[0] > 0
         q2.stop()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    # the context manager restored the session to the default provider
+    assert "RocksDBStateStoreProvider" not in (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "",
+        )
+        or ""
+    )
+
+
+def test_session_ttl_query_routes_state_through_rocksdb(spark, monkeypatch):
+    """ev_stream_session_ttl is the DECLARED query that externally
+    verifies the RocksDB provider: pin that it actually enters
+    session.rocksdb_state (so the gated row runs the deployable state
+    store, not the default), and that the provider conf is live while
+    its stream executes."""
+    import spark_tensors_spark.session as sess
+    from spark_tensors_spark.queries.streaming_queries import (
+        ev_stream_session_ttl,
+    )
+
+    seen = {}
+    real = sess.rocksdb_state
+
+    @contextlib.contextmanager
+    def spy(s):
+        with real(s):
+            seen["provider_during_run"] = s.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+            yield s
+
+    monkeypatch.setattr(sess, "rocksdb_state", spy)
+    out = ev_stream_session_ttl(spark, SF)
+    assert out.count() > 0
+    assert "RocksDBStateStoreProvider" in seen.get("provider_during_run", "")
