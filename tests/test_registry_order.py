@@ -163,3 +163,35 @@ def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
         q for q in stale_trio if hist.get(q, (99, "ok"))[0] <= 6
     }
     assert still_stale <= set(names[:50]), still_stale - set(names[:50])
+
+
+def test_r12_new_oracles_lead_window_without_displacing_r7_set():
+    """The round-12 entries (the fixed doc_pad_sequences — r11's sole
+    gate failure, now scalar-output — and the new entity-scale 3-step
+    loop) front the window until gated (self-retiring), AND the full
+    r7-stale set the r11 verdict flagged must still sit inside the
+    50-slot window behind them (the rotation must re-gate them in
+    r12)."""
+    import os
+
+    qs, oracles = entry._registry()
+    names = list(qs)
+    hist = entry._gate_history(os.path.dirname(entry.__file__))
+    new12 = {"doc_pad_sequences", "kge_transe_three_step_entity"}
+    ungated = {
+        q for q in new12
+        if hist.get(q, (0, "never"))[1] != "ok"
+    }
+    assert ungated <= set(names[: len(ungated)]), (
+        ungated - set(names[: len(ungated)])
+    )
+    r7_set = {
+        "graph_link_prediction", "graph_sssp", "mm_media_catalog",
+        "mm_wav_energy", "q20_dominant_supplier", "q23_portable_sql",
+        "q24_local_supplier_revenue", "q25_fk_orphans", "tns_cp_als_fit",
+        "tns_mttkrp",
+    }
+    still_stale = {
+        q for q in r7_set if hist.get(q, (99, "ok"))[0] <= 7
+    }
+    assert still_stale <= set(names[:50]), still_stale - set(names[:50])
