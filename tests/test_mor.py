@@ -315,6 +315,43 @@ def test_manifest_without_any_fold_history_keeps_replay_noop(spark, table):
     assert _manifest(table) is not None
 
 
+def test_grandfathered_fold_history_gets_permanent_conservative_marker(
+    spark, table
+):
+    """Compacting a table whose manifest carries only ``folded_max``
+    (or no fold history at all) writes a PERMANENT
+    ``conservative: true`` marker so operators can tell
+    over-approximated fold histories from exact ones (ADVICE r11).
+    The marker must survive subsequent delta commits AND further
+    compacts; a table with an exact range history must never gain it."""
+    import json
+    import os
+
+    from spark_tensors_spark.operators.mor import _MANIFEST, _manifest
+
+    mor_upsert(_df(spark, [(5, "e", 50)]), table, ["k"], seq=4)
+    mpath = os.path.join(table, _MANIFEST)
+    m = json.load(open(mpath))
+    m.pop("folded_ranges", None)  # grandfather: folded_max-only history
+    m["folded_max"] = 2
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    compact(spark, table, ["k"])
+    assert _manifest(table).get("conservative") is True
+    # marker survives a subsequent delta commit (the {**m} spread)...
+    mor_upsert(_df(spark, [(6, "f", 60)]), table, ["k"])
+    assert _manifest(table).get("conservative") is True
+    # ...and a further compact (explicit carry-forward)
+    compact(spark, table, ["k"])
+    assert _manifest(table).get("conservative") is True
+    # control: an exact-history table never gains the marker
+    fresh = table + "_exact"
+    init_mor(_df(spark, [(1, "a", 10)]), fresh)
+    mor_upsert(_df(spark, [(2, "b", 20)]), fresh, ["k"])
+    compact(spark, fresh, ["k"])
+    assert "conservative" not in _manifest(fresh)
+
+
 def test_randomized_ops_match_dict_model(spark, tmp_path):
     """Model-based fuzz: random interleavings of upsert / delete /
     replay / compact / vacuum must always read back exactly what a

@@ -671,6 +671,9 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
     from spark_tensors_spark.streaming.windows import tumbling_window_agg
 
     d, schema = stream_source
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     with rocksdb_state(spark):
         stream = spark.readStream.schema(schema).parquet(d)
         q = (
@@ -681,13 +684,15 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        assert finished, "stream did not finish within 120 s"
         assert "RocksDBStateStoreProvider" in spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass"
         )
         # provider assertion from the EXECUTED query, not just the conf:
         # only the RocksDB provider reports rocksdb* custom state metrics
         prog = q.lastProgress
+        assert prog is not None, "no progress recorded"
         rocks_metrics = [
             m
             for op in prog["stateOperators"]
@@ -719,13 +724,14 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
         q2 = _run_stream(out, "tumbling_rocksdb")
         assert spark.sql("SELECT COUNT(*) FROM tumbling_rocksdb").first()[0] > 0
         q2.stop()
-    # the context manager restored the session to the default provider
-    assert "RocksDBStateStoreProvider" not in (
+    # the context manager restored the PREVIOUS provider conf (which is
+    # the default unless the session itself was built with RocksDB,
+    # e.g. SPARK_GRAFT_ROCKSDB=1 — restore-to-previous, not to-default)
+    assert (
         spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "",
+            "spark.sql.streaming.stateStore.providerClass", None
         )
-        or ""
+        == prev_provider
     )
 
 
