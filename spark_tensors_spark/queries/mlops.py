@@ -420,15 +420,13 @@ def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _transe_two_step_oracle() -> str:
+    """Generated from `_transe_step_fragment` applied to params0 then
+    params1 — ONE statement of the TransE step semantics covers the
+    two-step loop, the same generator shape as the RESCAL/HolE two-step
+    oracles (r12: the hand-written step-1-inlined SQL was replaced by
+    the shared fragment; values verified identical at all scales)."""
     from spark_tensors_spark.queries.kg import TRIPLES_CTE
 
-    sv = "((s_id*31 + d*17) % 13) - 6"
-    pv = "((p_id*29 + d*23) % 11) - 5"
-    ov = "((o_id*31 + d*17) % 13) - 6"
-    nv = "((n_id*31 + d*17) % 13) - 6"
-    sgn = "CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END"
-    sp = sgn.format(x="(sv + pv - ov)")
-    sn = sgn.format(x="(sv + pv - nv)")
     return f"""{TRIPLES_CTE},
 n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
 t AS MATERIALIZED (
@@ -437,37 +435,6 @@ t AS MATERIALIZED (
     FROM triples_encoded WHERE s_id % {TWO_STEP_MOD} = {TWO_STEP_RES}
 ),
 dims AS (SELECT unnest(range({STEP_DIM})) AS d),
--- ======== step 1: pseudo-init parameters stated by formula ========
-g1 AS MATERIALIZED (
-    SELECT s_id, p_id, o_id, n_id, d,
-           {sv} AS sv, {pv} AS pv, {ov} AS ov, {nv} AS nv
-    FROM t CROSS JOIN dims
-),
-sc1 AS MATERIALIZED (
-    SELECT s_id, p_id, o_id, n_id,
-           {STEP_MARGIN} + SUM(ABS(sv + pv - ov))
-                         - SUM(ABS(sv + pv - nv)) AS raw_loss
-    FROM g1 GROUP BY s_id, p_id, o_id, n_id
-),
-gv1 AS MATERIALIZED (
-    SELECT g1.*
-    FROM g1 JOIN sc1 ON sc1.s_id = g1.s_id AND sc1.p_id = g1.p_id
-                    AND sc1.o_id = g1.o_id
-    WHERE sc1.raw_loss > 0
-),
-contrib1 AS MATERIALIZED (
-    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv1
-    UNION ALL
-    SELECT 'E', o_id, d, -({sp}) FROM gv1
-    UNION ALL
-    SELECT 'E', n_id, d, ({sn}) FROM gv1
-    UNION ALL
-    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv1
-),
-grads1 AS MATERIALIZED (
-    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
-    FROM contrib1 GROUP BY kind, id, d
-),
 params0 AS MATERIALIZED (
     SELECT 'E' AS kind, id, d,
            CAST(((id*31 + d*17) % 13) - 6 AS BIGINT) AS val
@@ -475,48 +442,8 @@ params0 AS MATERIALIZED (
     UNION ALL
     SELECT 'R', id, d, CAST(((id*29 + d*23) % 11) - 5 AS BIGINT)
     FROM (SELECT id FROM relation_dict) CROSS JOIN dims
-),
--- lr = 1: params stay integer, so step 2 is exact BIGINT again
-params1 AS MATERIALIZED (
-    SELECT p.kind, p.id, p.d, p.val - COALESCE(c.gr, 0) AS val
-    FROM params0 p
-    LEFT JOIN grads1 c ON c.kind = p.kind AND c.id = p.id AND c.d = p.d
-),
--- ======== step 2: parameters come from the step-1 table ========
-g2 AS MATERIALIZED (
-    SELECT t.s_id, t.p_id, t.o_id, t.n_id, dims.d,
-           ps.val AS sv, pp.val AS pv, po.val AS ov, pn.val AS nv
-    FROM t CROSS JOIN dims
-    JOIN params1 ps ON ps.kind = 'E' AND ps.id = t.s_id AND ps.d = dims.d
-    JOIN params1 pp ON pp.kind = 'R' AND pp.id = t.p_id AND pp.d = dims.d
-    JOIN params1 po ON po.kind = 'E' AND po.id = t.o_id AND po.d = dims.d
-    JOIN params1 pn ON pn.kind = 'E' AND pn.id = t.n_id AND pn.d = dims.d
-),
-sc2 AS MATERIALIZED (
-    SELECT s_id, p_id, o_id, n_id,
-           {STEP_MARGIN} + SUM(ABS(sv + pv - ov))
-                         - SUM(ABS(sv + pv - nv)) AS raw_loss
-    FROM g2 GROUP BY s_id, p_id, o_id, n_id
-),
-gv2 AS MATERIALIZED (
-    SELECT g2.*
-    FROM g2 JOIN sc2 ON sc2.s_id = g2.s_id AND sc2.p_id = g2.p_id
-                    AND sc2.o_id = g2.o_id
-    WHERE sc2.raw_loss > 0
-),
-contrib2 AS MATERIALIZED (
-    SELECT 'E' AS kind, s_id AS id, d, ({sp}) - ({sn}) AS gr FROM gv2
-    UNION ALL
-    SELECT 'E', o_id, d, -({sp}) FROM gv2
-    UNION ALL
-    SELECT 'E', n_id, d, ({sn}) FROM gv2
-    UNION ALL
-    SELECT 'R', p_id, d, ({sp}) - ({sn}) FROM gv2
-),
-grads2 AS MATERIALIZED (
-    SELECT kind, id, d, CAST(SUM(gr) AS BIGINT) AS gr
-    FROM contrib2 GROUP BY kind, id, d
-),
+),{_transe_step_fragment(1, "params0", STEP_MARGIN)},
+{_transe_step_fragment(2, "params1", STEP_MARGIN)},
 {_two_step_tail("R")}"""
 
 
