@@ -214,6 +214,99 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    n: int,
+    alpha: float = 0.5,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain mixture: exactly ``n`` rows with
+    per-domain quotas ∝ count^alpha — the T5/mT5/Pile source-balancing
+    step (alpha=1 reproduces natural proportions, alpha→0 flattens to
+    uniform; alpha≈0.3-0.7 is the usual pretraining regime).  Unlike
+    :func:`mixture_sample` the weights are DERIVED FROM THE DATA, so
+    the whole allocation runs as DataFrame ops — no driver collect:
+
+      counts (one hash aggregate, |domains| rows)
+      → integer weights floor(count^alpha · scale + 0.5)
+      → largest-remainder quotas in EXACT BIGINT arithmetic
+        ((n·w) div W / (n·w) mod W over one whole-frame window on the
+        |domains|-row frame — a single-partition exchange of a few
+        rows, not a data shuffle)
+      → broadcast-join the quota row onto the per-domain md5 rank
+        (same portable rank as mixture_sample/stratified_split).
+
+    Cross-engine exactness: for alpha=0.5 the weight uses sqrt(), which
+    IEEE 754 requires to be correctly rounded — bit-identical on every
+    engine, so floor(·scale+0.5) and everything after it is exact
+    integer arithmetic DuckDB replays verbatim.  Other alphas go
+    through pow(), which libm does NOT guarantee to the last ulp; the
+    declared query pins alpha=0.5 (doc_temperature_mixture), other
+    alphas are engine-exact only in the integer stage.
+
+    Returns (strat_col, id_col, sample_rank, quota) — quota is carried
+    in the output so the allocation itself sits under the value oracle,
+    not just the membership."""
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    if alpha == 0.5:
+        raw_w = F.sqrt(F.col("_n_s").cast("double"))
+    else:
+        raw_w = F.pow(F.col("_n_s").cast("double"), F.lit(float(alpha)))
+    wts = counts.select(
+        strat_col,
+        F.floor(raw_w * F.lit(weight_scale) + F.lit(0.5))
+        .cast("long")
+        .alias("_wt"),
+    )
+    w_all = Window.partitionBy()
+    base = (
+        wts.withColumn("_W", F.sum("_wt").over(w_all))
+        .withColumn("_nw", F.lit(n).cast("long") * F.col("_wt"))
+        .select(
+            strat_col,
+            F.expr("_nw div _W").alias("_q0"),
+            (F.col("_nw") % F.col("_W")).alias("_rem"),
+        )
+    )
+    rr = (
+        base.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_rem").desc(), F.col(strat_col)
+                )
+            ),
+        )
+        .withColumn("_k", F.lit(n).cast("long") - F.sum("_q0").over(w_all))
+    )
+    alloc = rr.select(
+        strat_col,
+        (
+            F.col("_q0")
+            + F.when(F.col("_r") <= F.col("_k"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("quota"),
+    )
+    w_rank = Window.partitionBy(strat_col).orderBy(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"_tmx{seed}"))
+        ),
+        id_col,
+    )
+    ranked = df.select(strat_col, id_col).withColumn(
+        "sample_rank", F.row_number().over(w_rank).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), strat_col)
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(strat_col, id_col, "sample_rank", "quota")
+    )
+
+
 def es_sample_key_col(
     id_col: str, weight_col: str, seed: int = 42
 ) -> Column:

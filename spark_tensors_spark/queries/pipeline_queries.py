@@ -1454,6 +1454,90 @@ def doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_MIX_N = 200
+
+# deterministic skewed pretraining domains (50/30/15/5%): valid in both
+# Spark SQL and DuckDB verbatim
+TEMP_MIX_DOMAIN = (
+    "CASE WHEN doc_id % 100 < 50 THEN 'web' "
+    "WHEN doc_id % 100 < 80 THEN 'books' "
+    "WHEN doc_id % 100 < 95 THEN 'code' ELSE 'wiki' END"
+)
+
+
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source balancing
+    (`curation.temperature_mixture_sample`, alpha=0.5): per-domain
+    quotas ∝ sqrt(count) by exact-BIGINT largest remainder, members by
+    portable md5 rank — the T5/mT5/Pile flattening step that upweights
+    small domains at pretraining-mixture time.  The fixture's `source`
+    column is uniform (20 equal sources — flattening would be
+    invisible), so the query stratifies on a deterministic SKEWED
+    domain (50/30/15/5% by doc_id) and the temperature visibly lifts
+    the small domains: quotas ≈ 76/59/42/24 of 200 vs the 100/60/30/10
+    natural proportions.  Everything from the count aggregate down is
+    either IEEE-pinned (sqrt is correctly rounded by the standard) or
+    pure integer arithmetic, so the oracle replays the WHOLE
+    allocation — weights, div/mod quotas, remainder ranking, shortfall
+    top-up — not just the membership; the quota column rides along in
+    the compared output."""
+    from spark_tensors_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(TEMP_MIX_DOMAIN).alias("domain"), "doc_id"
+    )
+    return curation.temperature_mixture_sample(
+        docs, TEMP_MIX_N, alpha=0.5, strat_col="domain"
+    ).orderBy("domain", "sample_rank")
+
+
+_TEMP_MIX_SQL = f"""
+    WITH doms AS (
+        SELECT {TEMP_MIX_DOMAIN} AS domain, doc_id FROM documents
+    ),
+    counts AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM doms GROUP BY domain
+    ),
+    wts AS (
+        SELECT domain,
+               CAST(FLOOR(sqrt(CAST(n_s AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS wt
+        FROM counts
+    ),
+    base AS (
+        SELECT domain,
+               ({TEMP_MIX_N} * wt) // (SELECT SUM(wt) FROM wts) AS q0,
+               ({TEMP_MIX_N} * wt) % (SELECT SUM(wt) FROM wts) AS rem
+        FROM wts
+    ),
+    rr AS (
+        SELECT domain, q0,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS r
+        FROM base
+    ),
+    alloc AS (
+        SELECT domain,
+               CAST(q0 + CASE WHEN r <= {TEMP_MIX_N} - (SELECT SUM(q0)
+                                                        FROM base)
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM rr
+    ),
+    ranked AS (
+        SELECT domain, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '_tmx42'),
+                            doc_id) AS BIGINT) AS sample_rank
+        FROM doms
+    )
+    SELECT r.domain, r.doc_id, r.sample_rank, a.quota
+    FROM ranked r JOIN alloc a USING (domain)
+    WHERE r.sample_rank <= a.quota
+    ORDER BY domain, sample_rank
+"""
+
+
 PAD_MAXLEN = 12
 
 
@@ -1564,6 +1648,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_dup_spans": doc_dup_spans,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_temperature_mixture": doc_temperature_mixture,
     "doc_shard_export": doc_shard_export,
     "emb_hard_negatives": emb_hard_negatives,
     "doc_minhash_jaccard_est": doc_minhash_jaccard_est,
@@ -1956,6 +2041,7 @@ ORACLES = {
         FROM s GROUP BY source ORDER BY source
     """,
     "doc_mixture_sample": _mixture_sample_oracle(),
+    "doc_temperature_mixture": _TEMP_MIX_SQL,
     "doc_shard_export": ORACLE_DOC_SHARD_EXPORT,
     "doc_dup_spans": f"""
         WITH toks AS (

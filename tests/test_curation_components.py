@@ -347,3 +347,59 @@ def test_mixture_allocation_properties_hypothesis():
         assert q == mixture_allocation(weights, n)
 
     prop()
+
+
+def test_temperature_mixture_flattens_skewed_domains(spark):
+    """temperature_mixture_sample invariants on a hand-built skewed
+    corpus: (a) exactly n rows, quotas sum to n; (b) per-domain quota
+    ordering follows domain size; (c) alpha=0.5 FLATTENS toward the
+    uniform share n/|domains|: every domain whose natural share
+    exceeds uniform shrinks, every domain below uniform grows; (d)
+    alpha=1.0
+    reproduces the proportional largest-remainder allocation; (e)
+    members are the md5-rank prefix (ranks 1..quota, no gaps)."""
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline.curation import (
+        mixture_allocation,
+        temperature_mixture_sample,
+    )
+
+    sizes = {"web": 500, "books": 300, "code": 150, "wiki": 50}
+    rows, i = [], 0
+    for dom, k in sizes.items():
+        for _ in range(k):
+            rows.append((i, dom))
+            i += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source"]),
+        "doc_id long, source string",
+    )
+    n = 200
+    out = temperature_mixture_sample(df, n, alpha=0.5).collect()
+    assert len(out) == n
+    quota = {}
+    ranks = {}
+    for r in out:
+        quota[r.source] = r.quota
+        ranks.setdefault(r.source, []).append(r.sample_rank)
+    assert sum(quota.values()) == n
+    # ordering follows size
+    assert quota["web"] > quota["books"] > quota["code"] > quota["wiki"]
+    # flattening toward uniform (n/4 = 50): natural shares are web 100,
+    # books 60 (both above uniform → shrink), code 30, wiki 10 (below
+    # uniform → grow)
+    total = sum(sizes.values())
+    for dom in ("web", "books"):
+        assert quota[dom] < n * sizes[dom] / total
+    for dom in ("code", "wiki"):
+        assert quota[dom] > n * sizes[dom] / total
+    # member sets are rank prefixes
+    for dom, rk in ranks.items():
+        assert sorted(rk) == list(range(1, quota[dom] + 1))
+    # alpha=1.0 ≡ proportional largest remainder on the raw counts
+    out1 = temperature_mixture_sample(df, n, alpha=1.0).collect()
+    quota1 = {r.source: r.quota for r in out1}
+    assert quota1 == mixture_allocation(
+        {k: float(v) for k, v in sizes.items()}, n
+    )

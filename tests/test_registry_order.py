@@ -177,7 +177,11 @@ def test_r12_new_oracles_lead_window_without_displacing_r7_set():
     qs, oracles = entry._registry()
     names = list(qs)
     hist = entry._gate_history(os.path.dirname(entry.__file__))
-    new12 = {"doc_pad_sequences", "kge_transe_three_step_entity"}
+    new12 = {
+        "doc_pad_sequences",
+        "kge_transe_three_step_entity",
+        "doc_temperature_mixture",
+    }
     ungated = {
         q for q in new12
         if hist.get(q, (0, "never"))[1] != "ok"
