@@ -198,19 +198,33 @@ def mixture_sample(
         ),
         f"{strat_col} string, _quota long",
     )
+    return _rank_prefix_sample(
+        df, alloc, strat_col, id_col, f"_mx{seed}", "_quota"
+    ).select(strat_col, id_col, "sample_rank")
+
+
+def _rank_prefix_sample(
+    df: DataFrame,
+    alloc: DataFrame,
+    strat_col: str,
+    id_col: str,
+    seed_tag: str,
+    quota_col: str,
+) -> DataFrame:
+    """Shared sampling tail for the mixture operators: portable md5
+    rank within each domain (ties by id), broadcast-join the quota
+    table, keep the rank prefix.  ONE statement of the hash recipe /
+    tie-break / broadcast hint, so the explicit-weight and
+    temperature variants can never drift apart."""
     w = Window.partitionBy(strat_col).orderBy(
-        F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(f"_mx{seed}"))
-        ),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed_tag))),
         id_col,
     )
     ranked = df.select(strat_col, id_col).withColumn(
         "sample_rank", F.row_number().over(w).cast("long")
     )
-    return (
-        ranked.join(F.broadcast(alloc), strat_col)
-        .filter(F.col("sample_rank") <= F.col("_quota"))
-        .select(strat_col, id_col, "sample_rank")
+    return ranked.join(F.broadcast(alloc), strat_col).filter(
+        F.col("sample_rank") <= F.col(quota_col)
     )
 
 
@@ -247,6 +261,18 @@ def temperature_mixture_sample(
     declared query pins alpha=0.5 (doc_temperature_mixture), other
     alphas are engine-exact only in the integer stage.
 
+    Contract edges: like :func:`mixture_sample`, a SHORT domain
+    (count < its quota) yields its full membership, so the output can
+    then carry fewer than ``n`` rows — and temperature flattening
+    makes quota > count the EXPECTED regime for very small domains at
+    alpha < 1, so size ``n`` to the corpus, not the other way.  The
+    integer stage requires n·max(wt) < 2⁶³, i.e.
+    n · weight_scale · max(count)^alpha < 9.2e18 (at the defaults:
+    n·sqrt(max domain count) < 9.2e12 — a 1e12-doc domain caps n at
+    ~9e6); a raise_error guard trips on the wrapped-negative product
+    rather than letting non-ANSI Spark diverge from DuckDB's
+    out-of-range error.
+
     Returns (strat_col, id_col, sample_rank, quota) — quota is carried
     in the output so the allocation itself sits under the value oracle,
     not just the membership."""
@@ -265,6 +291,22 @@ def temperature_mixture_sample(
     base = (
         wts.withColumn("_W", F.sum("_wt").over(w_all))
         .withColumn("_nw", F.lit(n).cast("long") * F.col("_wt"))
+        # int64 guard: a wrapped n·wt product goes negative under
+        # non-ANSI Spark while DuckDB raises out-of-range — fail loudly
+        # and identically instead (bound documented in the docstring)
+        .withColumn(
+            "_nw",
+            F.when(
+                F.col("_nw") < 0,
+                F.raise_error(
+                    F.lit(
+                        "temperature_mixture_sample: n * weight "
+                        "overflows int64 — lower n or weight_scale "
+                        "(need n * scale * max(count)^alpha < 9.2e18)"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_nw")),
+        )
         .select(
             strat_col,
             F.expr("_nw div _W").alias("_q0"),
@@ -291,20 +333,9 @@ def temperature_mixture_sample(
             )
         ).cast("long").alias("quota"),
     )
-    w_rank = Window.partitionBy(strat_col).orderBy(
-        F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(f"_tmx{seed}"))
-        ),
-        id_col,
-    )
-    ranked = df.select(strat_col, id_col).withColumn(
-        "sample_rank", F.row_number().over(w_rank).cast("long")
-    )
-    return (
-        ranked.join(F.broadcast(alloc), strat_col)
-        .filter(F.col("sample_rank") <= F.col("quota"))
-        .select(strat_col, id_col, "sample_rank", "quota")
-    )
+    return _rank_prefix_sample(
+        df, alloc, strat_col, id_col, f"_tmx{seed}", "quota"
+    ).select(strat_col, id_col, "sample_rank", "quota")
 
 
 def es_sample_key_col(

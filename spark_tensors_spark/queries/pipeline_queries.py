@@ -1474,7 +1474,7 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is uniform (20 equal sources — flattening would be
     invisible), so the query stratifies on a deterministic SKEWED
     domain (50/30/15/5% by doc_id) and the temperature visibly lifts
-    the small domains: quotas ≈ 76/59/42/24 of 200 vs the 100/60/30/10
+    the small domains: quotas = 76/59/41/24 of 200 vs the 100/60/30/10
     natural proportions.  Everything from the count aggregate down is
     either IEEE-pinned (sqrt is correctly rounded by the standard) or
     pure integer arithmetic, so the oracle replays the WHOLE
@@ -1492,20 +1492,20 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEMP_MIX_SQL = f"""
-    WITH doms AS (
+    WITH doms AS MATERIALIZED (
         SELECT {TEMP_MIX_DOMAIN} AS domain, doc_id FROM documents
     ),
     counts AS (
         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_s
         FROM doms GROUP BY domain
     ),
-    wts AS (
+    wts AS MATERIALIZED (
         SELECT domain,
                CAST(FLOOR(sqrt(CAST(n_s AS DOUBLE)) * 1000000 + 0.5)
                     AS BIGINT) AS wt
         FROM counts
     ),
-    base AS (
+    base AS MATERIALIZED (
         SELECT domain,
                ({TEMP_MIX_N} * wt) // (SELECT SUM(wt) FROM wts) AS q0,
                ({TEMP_MIX_N} * wt) % (SELECT SUM(wt) FROM wts) AS rem

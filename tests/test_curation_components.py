@@ -403,3 +403,30 @@ def test_temperature_mixture_flattens_skewed_domains(spark):
     assert quota1 == mixture_allocation(
         {k: float(v) for k, v in sizes.items()}, n
     )
+
+
+def test_temperature_mixture_short_domain_yields_full_membership(spark):
+    """Flattening makes quota > count the EXPECTED regime for tiny
+    domains: a short domain contributes its full membership and the
+    output then carries fewer than n rows (documented contract, same
+    as mixture_sample's short-domain rule)."""
+    import pandas as pd
+
+    from spark_tensors_spark.pipeline.curation import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 397 else "tiny") for i in range(400)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source"]),
+        "doc_id long, source string",
+    )
+    # sqrt weights ~19.92 vs 1.73 → quotas ~184/16, but tiny has 3 rows
+    out = temperature_mixture_sample(df, 200, alpha=0.5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r)
+    assert len(per["tiny"]) == 3          # full membership, not quota
+    assert per["tiny"][0].quota > 3       # the quota really was larger
+    assert len(per["big"]) == per["big"][0].quota  # big fills its quota
+    assert len(out) < 200                 # documented short-domain gap
