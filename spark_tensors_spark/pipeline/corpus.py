@@ -69,6 +69,68 @@ def decontaminate(
     )
 
 
+def decontaminate_ratio(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    tau: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlap-RATIO decontamination: a corpus document is flagged when
+    more than ``tau`` of its DISTINCT word ``n``-grams appear in the
+    benchmark set — the graded refinement of :func:`decontaminate`'s
+    binary any-hit rule (the GPT-3-appendix-C family of contamination
+    filters measures overlap fractions; one shared n-gram in a long
+    document is usually noise, a 30% overlap is a leak).
+
+    Scale shape: per-doc distinct grams come from ``array_distinct``
+    IN THE SCAN projection (no dedupe shuffle of the gram stream); the
+    benchmark gram set broadcasts; ``n_hit`` is one map-side-combinable
+    count over the broadcast-join-FILTERED gram stream (only hits
+    survive the join, so the aggregated stream is leak-sized, not
+    corpus-sized); one join back on the id.  The ratio is a single
+    exact IEEE division of two BIGINTs, identical on every engine.
+
+    Returns ``corpus`` plus (n_grams, n_hit, overlap_ratio,
+    contaminated); documents with fewer than ``n`` tokens have
+    n_grams = 0 and ratio 0.0 (never flagged)."""
+    distinct_grams = F.array_distinct(word_ngrams_col(text_col, n))
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams_col(text_col, n)).alias("g")
+        )
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col),
+        F.size(distinct_grams).cast("long").alias("n_grams"),
+    )
+    hits = (
+        corpus.select(
+            F.col(id_col), F.explode(distinct_grams).alias("g")
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    stats = (
+        base.join(hits, id_col, "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
+        .withColumn(
+            "overlap_ratio",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "contaminated", F.col("overlap_ratio") > F.lit(float(tau))
+        )
+    )
+    return corpus.join(stats, id_col, "left")
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],

@@ -1054,6 +1054,41 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-RATIO decontamination accounting
+    (`corpus.decontaminate_ratio`): same benchmark fixture as
+    doc_decontaminate (doc_id % 97 == 0), but each corpus doc is graded
+    by the FRACTION of its distinct 3-grams found in the benchmark —
+    the GPT-3-family contamination filter where one shared n-gram is
+    noise and a 30% overlap is a leak.  Per-source output carries the
+    exact integer gram/hit sums plus flag counts at two thresholds
+    (ratio > 0.2 and > 0.5), so the oracle value-verifies the whole
+    graded pipeline: distinct-gram counting, broadcast hit counting,
+    the ratio division, and both threshold comparisons."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    graded = C.decontaminate_ratio(corp, bench, n=3, tau=0.2)
+    return (
+        graded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams_sum"),
+            F.sum("n_hit").alias("n_hit_sum"),
+            F.sum(
+                (F.col("overlap_ratio") > 0.2).cast("long")
+            ).alias("n_contam_20"),
+            F.sum(
+                (F.col("overlap_ratio") > 0.5).cast("long")
+            ).alias("n_contam_50"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 terms per source by summed TF-IDF (natural-log idf,
     ranked on the 6-dp-rounded score, ties broken by term)."""
@@ -1634,6 +1669,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_filter": doc_quality_filter,
     "doc_decontaminate": doc_decontaminate,
+    "doc_decontaminate_ratio": doc_decontaminate_ratio,
     "doc_pipeline_e2e": doc_pipeline_e2e,
     "doc_pad_sequences": doc_pad_sequences,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -2613,6 +2649,39 @@ ORDER BY cluster_id, dim
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 97 <> 0
         GROUP BY d.source ORDER BY d.source""",
+    "doc_decontaminate_ratio": _GRAMS_CTE
+    + """, bench AS MATERIALIZED (
+            SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id % 97 = 0
+        ),
+        base AS MATERIALIZED (
+            SELECT doc_id, source,
+                   CAST(len(list_distinct(gs)) AS BIGINT) AS n_grams
+            FROM grams WHERE doc_id % 97 <> 0
+        ),
+        hits AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM (SELECT doc_id, UNNEST(list_distinct(gs)) AS g
+                  FROM grams WHERE doc_id % 97 <> 0) c
+            JOIN bench USING (g)
+            GROUP BY c.doc_id
+        ),
+        per_doc AS (
+            SELECT b.source, b.n_grams,
+                   COALESCE(h.n_hit, 0) AS n_hit,
+                   CASE WHEN b.n_grams > 0
+                        THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                             / b.n_grams
+                        ELSE 0.0 END AS ratio
+            FROM base b LEFT JOIN hits h USING (doc_id)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS n_grams_sum,
+               CAST(SUM(n_hit) AS BIGINT) AS n_hit_sum,
+               CAST(SUM(CASE WHEN ratio > 0.2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contam_20,
+               CAST(SUM(CASE WHEN ratio > 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contam_50
+        FROM per_doc GROUP BY source ORDER BY source""",
     # the four stage oracles above, composed in pipeline order: dedup
     # (md5 window) → quality (rounded 6-dp gate) → decontaminate
     # (3-gram anti-join vs the %97 benchmark) → pack (512-token bins)

@@ -47,6 +47,32 @@ def test_decontaminate_flags_shared_trigrams(spark, docs):
     assert flags == {2: False, 3: True, 4: False, 5: False}
 
 
+def test_decontaminate_ratio_grades_overlap(spark, docs):
+    """decontaminate_ratio semantics on the hand fixture: doc 3 has 3
+    distinct trigrams of which exactly 1 ("c d e") is in the benchmark
+    → ratio 1/3, flagged at tau=0.2 but not at tau=0.5; doc 5's
+    repeated "m m m" collapses to ONE distinct gram (array_distinct),
+    n_grams=1; the too-short doc 4 has n_grams=0, ratio 0.0, never
+    flagged."""
+    bench = docs.filter(F.col("doc_id") == 1)
+    corp = docs.filter(F.col("doc_id") != 1)
+    lo = {
+        r.doc_id: r
+        for r in C.decontaminate_ratio(corp, bench, n=3, tau=0.2).collect()
+    }
+    assert (lo[3].n_grams, lo[3].n_hit) == (3, 1)
+    assert abs(lo[3].overlap_ratio - 1 / 3) < 1e-12
+    assert lo[3].contaminated is True
+    assert (lo[5].n_grams, lo[5].n_hit) == (1, 0)
+    assert (lo[4].n_grams, lo[4].n_hit) == (0, 0)
+    assert lo[4].overlap_ratio == 0.0 and lo[4].contaminated is False
+    hi = {
+        r.doc_id: r.contaminated
+        for r in C.decontaminate_ratio(corp, bench, n=3, tau=0.5).collect()
+    }
+    assert hi == {2: False, 3: False, 4: False, 5: False}
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark, docs):
     bench = docs.filter(F.col("doc_id") == 1)
     corp = docs.filter(F.col("doc_id") != 1)

@@ -101,6 +101,24 @@ def test_live_registry_window_covers_failed_and_stale():
     assert scores == sorted(scores)
 
 
+def _front_cohort(names, oracles, hist):
+    """All score-0 queries (failed / never gated / newly-oracled) —
+    the registry fronts EXACTLY this set, so per-round window tests
+    must assert membership in this slice, not in a slice sized by the
+    round's own set (a later round's ungated addition that sorts
+    alphabetically earlier would otherwise break older tests)."""
+    def score(q):
+        rnd, kind = hist.get(q, (0, "never"))
+        if kind == "ok":
+            return rnd
+        if kind == "weak":
+            return 0 if q in oracles else rnd
+        return 0
+
+    n_front = sum(1 for q in names if score(q) == 0)
+    return set(names[:n_front])
+
+
 def test_r10_new_oracles_lead_the_window():
     """The five round-10 oracles (two exact KGE steps, the exact ALS
     solve, and the two rows-only→oracled conversions) must front the
@@ -122,9 +140,8 @@ def test_r10_new_oracles_lead_the_window():
         q for q in new10
         if hist.get(q, (0, "never"))[1] != "ok"
     }
-    assert ungated <= set(names[: len(ungated)]), (
-        ungated - set(names[: len(ungated)])
-    )
+    front = _front_cohort(names, oracles, hist)
+    assert ungated <= front, ungated - front
 
 
 def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
@@ -153,9 +170,8 @@ def test_r11_new_oracles_lead_window_without_displacing_stale_trio():
         q for q in new11
         if hist.get(q, (0, "never"))[1] != "ok"
     }
-    assert ungated <= set(names[: len(ungated)]), (
-        ungated - set(names[: len(ungated)])
-    )
+    front = _front_cohort(names, oracles, hist)
+    assert ungated <= front, ungated - front
     stale_trio = {
         "q21_basket_lift", "q22_sales_opportunity", "tns_als_normal_eq",
     }
@@ -181,14 +197,14 @@ def test_r12_new_oracles_lead_window_without_displacing_r7_set():
         "doc_pad_sequences",
         "kge_transe_three_step_entity",
         "doc_temperature_mixture",
+        "doc_decontaminate_ratio",
     }
     ungated = {
         q for q in new12
         if hist.get(q, (0, "never"))[1] != "ok"
     }
-    assert ungated <= set(names[: len(ungated)]), (
-        ungated - set(names[: len(ungated)])
-    )
+    front = _front_cohort(names, oracles, hist)
+    assert ungated <= front, ungated - front
     r7_set = {
         "graph_link_prediction", "graph_sssp", "mm_media_catalog",
         "mm_wav_energy", "q20_dominant_supplier", "q23_portable_sql",
