@@ -85,12 +85,15 @@ def decontaminate_ratio(
     document is usually noise, a 30% overlap is a leak).
 
     Scale shape: per-doc distinct grams come from ``array_distinct``
-    IN THE SCAN projection (no dedupe shuffle of the gram stream); the
-    benchmark gram set broadcasts; ``n_hit`` is one map-side-combinable
-    count over the broadcast-join-FILTERED gram stream (only hits
-    survive the join, so the aggregated stream is leak-sized, not
-    corpus-sized); one join back on the id.  The ratio is a single
-    exact IEEE division of two BIGINTs, identical on every engine.
+    in ONE scan projection — ``explode_outer`` carries (n_grams, gram)
+    together so the tokenize→n-gram→distinct work runs exactly once
+    per corpus pass (it used to run twice: once for the size, once for
+    the hit stream); the benchmark gram set broadcasts onto that
+    stream as a map-side LEFT join (no shuffle), and (n_grams, n_hit)
+    fall out of one map-side-combinable hash aggregate keyed on the
+    doc id — the shuffle is doc-sized, not gram-sized, thanks to
+    partial aggregation.  The ratio is a single exact IEEE division of
+    two BIGINTs, identical on every engine.
 
     Returns ``corpus`` plus (n_grams, n_hit, overlap_ratio,
     contaminated); documents with fewer than ``n`` tokens have
@@ -101,22 +104,22 @@ def decontaminate_ratio(
             F.explode(word_ngrams_col(text_col, n)).alias("g")
         )
         .distinct()
+        .withColumn("_bench_hit", F.lit(1).cast("long"))
     )
-    base = corpus.select(
+    gram_stream = corpus.select(
         F.col(id_col),
         F.size(distinct_grams).cast("long").alias("n_grams"),
-    )
-    hits = (
-        corpus.select(
-            F.col(id_col), F.explode(distinct_grams).alias("g")
-        )
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        F.explode_outer(distinct_grams).alias("g"),
     )
     stats = (
-        base.join(hits, id_col, "left")
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
+        gram_stream.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("_bench_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
         .withColumn(
             "overlap_ratio",
             F.when(

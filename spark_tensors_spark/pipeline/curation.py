@@ -269,9 +269,11 @@ def temperature_mixture_sample(
     integer stage requires n·max(wt) < 2⁶³, i.e.
     n · weight_scale · max(count)^alpha < 9.2e18 (at the defaults:
     n·sqrt(max domain count) < 9.2e12 — a 1e12-doc domain caps n at
-    ~9e6); a raise_error guard trips on the wrapped-negative product
-    rather than letting non-ANSI Spark diverge from DuckDB's
-    out-of-range error.
+    ~9e6); a raise_error guard checks the PRECONDITION directly
+    (wt ≤ (2⁶³−1) div n, so n·wt can never wrap — not even twice —
+    and ΣW is summed in DECIMAL(38,0) and bounds-checked before the
+    cast back to BIGINT) rather than letting non-ANSI Spark diverge
+    from DuckDB's out-of-range error.
 
     Returns (strat_col, id_col, sample_rank, quota) — quota is carried
     in the output so the allocation itself sits under the value oracle,
@@ -288,25 +290,37 @@ def temperature_mixture_sample(
         .alias("_wt"),
     )
     w_all = Window.partitionBy()
-    base = (
-        wts.withColumn("_W", F.sum("_wt").over(w_all))
-        .withColumn("_nw", F.lit(n).cast("long") * F.col("_wt"))
-        # int64 guard: a wrapped n·wt product goes negative under
-        # non-ANSI Spark while DuckDB raises out-of-range — fail loudly
-        # and identically instead (bound documented in the docstring)
-        .withColumn(
-            "_nw",
-            F.when(
-                F.col("_nw") < 0,
-                F.raise_error(
-                    F.lit(
-                        "temperature_mixture_sample: n * weight "
-                        "overflows int64 — lower n or weight_scale "
-                        "(need n * scale * max(count)^alpha < 9.2e18)"
-                    )
-                ).cast("long"),
-            ).otherwise(F.col("_nw")),
+    # int64 guards check the PRECONDITIONS, not the products' signs
+    # (a product can wrap past 2^64 back to positive and a wrapped sum
+    # can land anywhere): wt must satisfy n·wt ≤ 2^63−1 exactly, and
+    # W = Σwt is summed in DECIMAL(38,0) — exact for any realistic
+    # domain count — and bounds-checked before casting back to BIGINT.
+    wt_limit = (2**63 - 1) // max(int(n), 1)
+    overflow = F.raise_error(
+        F.lit(
+            "temperature_mixture_sample: n * weight overflows int64 "
+            "— lower n or weight_scale "
+            "(need n * scale * max(count)^alpha < 9.2e18)"
         )
+    ).cast("long")
+    base = (
+        wts.withColumn(
+            "_wt",
+            F.when(F.col("_wt") > F.lit(wt_limit), overflow).otherwise(
+                F.col("_wt")
+            ),
+        )
+        .withColumn(
+            "_W_dec", F.sum(F.col("_wt").cast("decimal(38,0)")).over(w_all)
+        )
+        .withColumn(
+            "_W",
+            F.when(
+                F.col("_W_dec") > F.lit(2**63 - 1).cast("decimal(38,0)"),
+                overflow,
+            ).otherwise(F.col("_W_dec").cast("long")),
+        )
+        .withColumn("_nw", F.lit(n).cast("long") * F.col("_wt"))
         .select(
             strat_col,
             F.expr("_nw div _W").alias("_q0"),
