@@ -19,6 +19,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _noisy_queries(timings: dict) -> set:
+    """Queries that deserve a second (min-of-2) measurement: any whose
+    wall-time moved more than 1.5x between consecutive rounds in the
+    last 3 committed driver records (``BENCH_r*.json``), plus queries
+    with no history at all.  Derived mechanically — no hand list."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _rounds(pattern: str) -> list:
+        # Driver records wrap the compact line under "parsed" (slowest
+        # queries only, queries_truncated=True); builder-local records
+        # are the full per-query dict at top level. Accept both.
+        out = []
+        for path in sorted(glob.glob(os.path.join(here, pattern))):
+            try:
+                rec = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            qs = (rec.get("parsed") or rec).get("queries")
+            if isinstance(qs, dict) and qs:
+                out.append(qs)
+        return out[-3:]
+
+    noisy = set()
+    seen = set()
+    for family in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
+        recs = _rounds(family)
+        for qs in recs:
+            seen.update(qs)
+        for prev, cur in zip(recs, recs[1:]):
+            for name, t1 in cur.items():
+                t0 = prev.get(name)
+                if (
+                    isinstance(t0, (int, float))
+                    and isinstance(t1, (int, float))
+                    and t0 > 0
+                    and t1 > 0
+                    and max(t0 / t1, t1 / t0) > 1.5
+                    and max(t0, t1) >= 0.5  # ignore sub-½s jitter
+                ):
+                    noisy.add(name)
+    for name in timings:
+        if name not in seen:
+            noisy.add(name)  # no history: first run carries constants
+    return noisy
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from spark_tensors_spark.session import get_session
@@ -77,6 +125,10 @@ def main() -> None:
     # recorded in "errors" and the JSON line is still emitted (round-2
     # lesson: a single crash left the round with no bench numbers).
     errors: dict[str, str] = {}
+    try:
+        load_before = list(os.getloadavg())
+    except OSError:
+        load_before = None
     for name in sorted(queries):
         fn = queries[name]
         t0 = time.perf_counter()
@@ -87,6 +139,31 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Noise policy (round 13): two consecutive verdicts were spent
+    # re-litigating per-query movers (ivfpq r11; session_ttl /
+    # quantile_sketch r12) that all reverted on re-run — box noise, not
+    # plan changes.  Queries whose round-over-round delta exceeded 1.5×
+    # in any of the last 3 committed driver records (plus queries with
+    # no history, whose first reading would otherwise carry one-time
+    # constants) get a SECOND run and record the min — min-of-2 is the
+    # standard noise floor for wall-clock microbenches on a shared box.
+    noisy = _noisy_queries(timings)
+    for name in sorted(noisy):
+        if name not in timings:
+            continue
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 4)
+            )
+        except Exception:  # first run already recorded a timing
+            pass
+    try:
+        load_after = list(os.getloadavg())
+    except OSError:
+        load_after = None
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     full = {
@@ -96,6 +173,13 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "sf": float(sf) if sf else None,
+        "run_policy": {
+            "noisy_min_of_2": sorted(n for n in noisy if n in timings),
+            "noise_rule": "min-of-2 when any round-over-round delta "
+            ">1.5x in the last 3 BENCH_r records, or no history",
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
+        },
     }
     # scale-curve check (VERDICT r10 #6): compare against the most
     # recent full record at a SIBLING scale factor and flag queries
