@@ -179,7 +179,16 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and the recursive-CTE oracle can state it: exact
     md5 keepers minus LSH transitive-component drops).  Multi-batch
     incremental admission + replay idempotence are pinned by
-    tests/test_streaming_dedup.py."""
+    tests/test_streaming_dedup.py.
+
+    State-store note: this query's plan has NO Spark stateful operator
+    — dedup state is unbounded (every hash/band ever seen), so it
+    lives in EXTERNAL parquet state folded per foreachBatch
+    (streaming/dedup.py:7-12), not in the state store.  The RocksDB
+    provider is therefore structurally inapplicable here (a provider
+    routes applyInPandasWithState / watermarked-agg / dropDuplicates
+    state; this plan instantiates none); the 100 TB state story is the
+    replay-idempotent batch-id commit instead."""
     import os
     import shutil
 
@@ -658,12 +667,18 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the same flag/label SQL (sampled to user_id % 25 = 0,
     no value sum: counts and spans stay integer-exact).  Cross-batch
     session continuation + stream ≡ batch at every boundary are pinned
-    in tests/test_streaming.py."""
+    in tests/test_streaming.py.
+
+    Like ev_stream_session_ttl, the per-user state runs through the
+    ROCKSDB provider (`session.rocksdb_state`) — the deployable 100 TB
+    state store — so the gated row verifies the production
+    configuration (provider spy assertion in tests/test_streaming.py)."""
     import os
     import shutil
 
     from pyspark.sql import types as T
 
+    from spark_tensors_spark import session as _session
     from spark_tensors_spark.streaming.sessionize import sessionize_stream
 
     root = os.path.join(
@@ -702,16 +717,19 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_idempotent_batch,
         )
 
-        q = (
-            labeled.writeStream.outputMode("update")
-            .foreachBatch(
-                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+        with _session.rocksdb_state(spark):
+            q = (
+                labeled.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, bid: write_idempotent_batch(
+                        bdf, bid, out_dir
+                    )
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -840,7 +858,14 @@ def ev_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the direct batch join, which is what the oracle states.
     Exactly-once via batch-id partition overwrite + `_batch_id <
     current` history reads (replay pinned in
-    tests/test_streaming_joinview.py)."""
+    tests/test_streaming_joinview.py).
+
+    State-store note: the A/B side stores are EXTERNAL parquet state
+    folded per foreachBatch (the delta-join needs full-history sides —
+    a stream-stream join's watermark-bounded state can't express an
+    unbounded view), so the plan has no Spark stateful operator and
+    the RocksDB provider is structurally inapplicable; exactly-once
+    rests on the batch-id commits instead."""
     import os
     import shutil
 
@@ -1013,7 +1038,13 @@ def ev_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched keys + batch rows, never a history recompute.  The final
     history must equal the batch `history_table`, so this SHARES
     ev_scd2_user_state's oracle — the streaming query gates the
-    incremental fold itself."""
+    incremental fold itself.
+
+    State-store note: SCD2 history is a versioned TABLE (snapshot per
+    batch, `_v=N__b=B` dirs), i.e. EXTERNAL parquet state folded per
+    foreachBatch — the plan has no Spark stateful operator, so the
+    RocksDB provider is structurally inapplicable; exactly-once rests
+    on the versioned snapshot commits instead."""
     import os
     import shutil
 
@@ -1427,10 +1458,16 @@ def ev_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle therefore states the invariant outcome: kept stragglers
     drop, on-time rows admit, and a window emits iff it has an
     admitted row and its end ≤ final watermark (global max event ms −
-    delay)."""
+    delay).
+
+    The watermarked windowed aggregate's state runs through the
+    ROCKSDB provider (`session.rocksdb_state`) — the deployable 100 TB
+    state store — so the gated row verifies the production
+    configuration (provider spy assertion in tests/test_streaming.py)."""
     import os
     import shutil
 
+    from spark_tensors_spark import session as _session
     from spark_tensors_spark.streaming.sinks import write_idempotent_batch
 
     root = os.path.join(
@@ -1502,16 +1539,19 @@ def ev_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("hour_ts"), "n_admitted")
         )
         out_dir = os.path.join(root, "out")
-        q = (
-            admitted.writeStream.outputMode("append")
-            .foreachBatch(
-                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+        with _session.rocksdb_state(spark):
+            q = (
+                admitted.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, bid: write_idempotent_batch(
+                        bdf, bid, out_dir
+                    )
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         got = spark.read.parquet(out_dir).drop("_batch_id")
         totals = staged.groupBy(
             F.date_trunc("hour", "ts").alias("hour_ts")

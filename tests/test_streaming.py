@@ -735,16 +735,29 @@ def test_stateful_suite_runs_under_rocksdb_provider(spark, stream_source):
     )
 
 
-def test_session_ttl_query_routes_state_through_rocksdb(spark, monkeypatch):
-    """ev_stream_session_ttl is the DECLARED query that externally
-    verifies the RocksDB provider: pin that it actually enters
+@pytest.mark.parametrize(
+    "qname",
+    # every DECLARED query whose plan holds a Spark stateful operator
+    # (applyInPandasWithState / watermarked windowed agg) routes its
+    # state through the deployable RocksDB provider; the foreachBatch
+    # external-state queries (doc_stream_dedup, ev_stream_scd2,
+    # ev_stream_join_view, the sketch/MV folds) have NO state-store
+    # operator, so the provider is structurally inapplicable there —
+    # see their docstrings.
+    ["ev_stream_session_ttl", "ev_stream_sessionize",
+     "ev_stream_late_audit"],
+)
+def test_stateful_query_routes_state_through_rocksdb(
+    spark, monkeypatch, qname
+):
+    """Pin that each state-store-backed DECLARED query actually enters
     session.rocksdb_state (so the gated row runs the deployable state
     store, not the default), and that the provider conf is live while
     its stream executes."""
     import spark_tensors_spark.session as sess
-    from spark_tensors_spark.queries.streaming_queries import (
-        ev_stream_session_ttl,
-    )
+    from spark_tensors_spark.queries import streaming_queries
+
+    fn = getattr(streaming_queries, qname)
 
     seen = {}
     real = sess.rocksdb_state
@@ -758,6 +771,6 @@ def test_session_ttl_query_routes_state_through_rocksdb(spark, monkeypatch):
             yield s
 
     monkeypatch.setattr(sess, "rocksdb_state", spy)
-    out = ev_stream_session_ttl(spark, SF)
+    out = fn(spark, SF)
     assert out.count() > 0
     assert "RocksDBStateStoreProvider" in seen.get("provider_during_run", "")
