@@ -75,23 +75,54 @@ def test_cp_als_reconstructs_rank1(spark):
     assert max(model.fit_history) > 0.999
 
 
-def test_cp_als_fit_query_runs(spark):
-    df = tq.QUERIES["tns_cp_als_fit"](spark, SF)
+def test_cp_als_fit_query_descends(spark):
+    """The declared tns_cp_als_fit (exact since r13) states the ALS
+    convergence INVARIANT under the value oracle: the stage-1 residual
+    (after the exact normal-equation mode-A solve) can never exceed
+    the stage-0 residual (the objective at the A₀ init) — least-squares
+    optimality, engine-independent."""
+    rows = {
+        r.stage: r for r in tq.QUERIES["tns_cp_als_fit"](spark, SF).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[1].residual2 <= rows[0].residual2
+    assert rows[1].residual2 >= 0.0
+    assert rows[0].nnz == rows[1].nnz > 0
+
+
+def test_cp_als_fit_magnitudes_within_int64(spark):
+    """Overflow discipline for the exact trajectory (same doctrine as
+    tns_cp_als_rank3_exact): every BIGINT the query sums — tr_num,
+    tr_den = det, and the stage-0 terms — must sit inside int64 with
+    at least a DECADE of margin at the measured scale, so the sf1.0
+    extrapolation (~10× each gram, ~10× the row count ⇒ ≤1000× on the
+    worst product) stays sound.  Checked numerically, not just
+    analytically."""
+    rows = {
+        r.stage: r for r in tq.QUERIES["tns_cp_als_fit"](spark, SF).collect()
+    }
+    bound = 2**63 - 1
+    for r in rows.values():
+        assert abs(r.tr_num) < bound // 1000, r
+        assert 0 < r.tr_den < bound // 1000, r
+
+
+def test_cp_als_float_fit_runs(spark):
+    df = tq.cp_als_float_fit(spark, SF)
     rows = df.collect()
     assert len(rows) == 2
     assert all(-1.0 <= r["fit"] <= 1.0 for r in rows)
 
 
-def test_cp_als_fit_query_golden(spark):
-    """GOLDEN pin for the declared (rows-only) query: ALS is iterative
-    least squares, not SQL-expressible, so this exact fixed-seed
-    trajectory is the strongest check available (VERDICT r3 item 5).
-    The whole pipeline is deterministic — hash-seeded init, xxhash64-
+def test_cp_als_float_fit_golden(spark):
+    """GOLDEN pin for the float ALS trajectory (kept when the declared
+    slot moved to the exact objective in r13 — VERDICT r12 item 6):
+    the whole pipeline is deterministic — hash-seeded init, xxhash64-
     ordered sample, exact normal-equation solves — so the 6-dp fits
     are pinned EXACTLY, not approximately."""
     got = [
         (r.sweep, r.fit)
-        for r in tq.QUERIES["tns_cp_als_fit"](spark, SF).collect()
+        for r in tq.cp_als_float_fit(spark, SF).collect()
     ]
     assert got == [(1, 0.008597), (2, 0.011841)], got
 

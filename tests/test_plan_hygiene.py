@@ -52,6 +52,14 @@ BNLJ_ALLOWED = {
     # same shape at rank 3: 1-row G/adjugate broadcast onto the
     # mode-sized MTTKRP result
     "tns_cp_als_rank3_exact",
+    # exact objective trajectory: four 1-row scalar frames (nnz/ip0,
+    # norm0, tr1, G) cross-joined into the 2-row stage output; the
+    # only data-sized work is the two COO aggregates upstream
+    "tns_cp_als_fit",
+    # 1-row (T, V) model-total scalars cross-joined into the
+    # vocab-bounded cost/log-ratio tables (unigram EM fit / DSIR)
+    "doc_unigram_fit",
+    "doc_dsir_weights",
     # 1-row count scalar (n) cross-joined into the variance numerators
     "emb_pca_topvar",
     # J7 eval expansion: entity matrix broadcast by design (closure/
