@@ -134,6 +134,97 @@ def decontaminate_ratio(
     return corpus.join(stats, id_col, "left")
 
 
+def dsir_features_col(text: Column | str = "text") -> Column:
+    """The DSIR feature stream of a document: its whitespace unigrams
+    plus space-joined bigrams (Xie et al. 2023 use hashed uni+bigram
+    bag-of-words for both the target and raw models)."""
+    return F.concat(tokens_col(text), word_ngrams_col(text, 2))
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus document by the log likelihood ratio of a hashed
+    n-gram bag-of-words model of the TARGET domain over one of the RAW
+    corpus —
+
+        log w(doc) = Σ_feature [ln p̂_target(bucket) − ln p̂_raw(bucket)]
+
+    with uni+bigram features hashed into ``n_buckets`` buckets
+    (portable md5 hash, identical in DuckDB) and add-one smoothing on
+    both models.  High-weight documents look like the target domain;
+    resampling ∝ w is the DSIR selection step (the weights themselves
+    are the oracle-checked artifact; pair with
+    ``es_sample_key_col``-style weighted sampling to materialize the
+    resample).
+
+    Cross-engine doctrine: each bucket's two ln terms are snapped to
+    DECIMAL(18,12) separately (the lm_perplexity per-token rule), so
+    the per-doc weight is an EXACT decimal sum both engines replay;
+    the single final cast+round emits it as a double.
+
+    Scale shape: two bucket-count aggregates (B-bounded outputs, one
+    pass over each side's feature stream), the ≤B-row log-ratio table
+    broadcasts onto the corpus feature stream (map-side join, no
+    shuffle), and the per-doc sum is one map-side-combinable hash
+    aggregate — the corpus is scanned once per model and once for
+    scoring, nothing else is data-sized.
+
+    Returns (id_col, n_feat, log_w) for raw docs with ≥1 feature."""
+    from spark_tensors_spark.functions.sketches import portable_hash60_col
+
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(dsir_features_col(text_col)).alias("g"),
+        ).select(
+            id_col,
+            (portable_hash60_col(F.col("g")) % n_buckets).alias("b"),
+        )
+
+    raw_feats = feats(corpus)
+    q = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("q_c"))
+    p = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("p_c"))
+    tot = q.agg(F.sum("q_c").alias("q_tot")).crossJoin(
+        p.agg(F.sum("p_c").alias("p_tot"))
+    )
+    # every corpus-doc bucket appears in q by construction, so the
+    # ratio table is keyed on q's buckets; absent target buckets
+    # smooth to (0+1)
+    snap = "decimal(18,12)"
+    lr = (
+        q.join(p, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("p_c", F.lit(0)) + 1).cast("double")
+                    / (F.col("p_tot") + n_buckets).cast("double")
+                ).cast(snap)
+                - F.log(
+                    (F.col("q_c") + 1).cast("double")
+                    / (F.col("q_tot") + n_buckets).cast("double")
+                ).cast(snap)
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.round(F.sum("lr").cast("double"), 6).alias("log_w"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],

@@ -1089,6 +1089,31 @@ def doc_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (`corpus.dsir_weights`,
+    Xie et al. 2023): docs with doc_id % 7 == 0 stand in for the
+    target domain; every other document is scored by the hashed
+    uni+bigram log likelihood ratio of target over raw — the
+    importance weight DSIR resamples by.  Two B-bounded bucket-count
+    aggregates fit both models, the ≤1024-row log-ratio table
+    broadcasts onto the scoring scan, per-token ln terms
+    DECIMAL(18,12)-snapped (lm_perplexity doctrine) so the oracle
+    replays fit + score end-to-end.  Weight monotonicity in target
+    overlap is property-pinned in tests/test_dsir.py."""
+    from spark_tensors_spark.pipeline import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return (
+        C.dsir_weights(raw, target, n_buckets=1024)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_feat", "log_w")
+        .orderBy("doc_id")
+    )
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 terms per source by summed TF-IDF (natural-log idf,
     ranked on the 6-dp-rounded score, ties broken by term)."""
@@ -1254,6 +1279,25 @@ def doc_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("word"))
         .limit(25)
     )
+
+
+def doc_unigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer FIT
+    (`pipeline/unigram.unigram_fit_em` — the SentencePiece hard-EM
+    loop: seed vocab from frequent substrings, then two Viterbi-
+    re-estimation rounds).  Scores are integer-quantized
+    log-likelihoods (exact binary-digit-count log2, never a float op),
+    so segmentations, piece counts, the '<obj>' objective and '<tok>'/
+    '<vocab>' summaries are all exact BIGINTs both engines reproduce
+    bit-for-bit; the oracle replays both EM rounds with last-3-window
+    recursive-CTE Viterbi folds (strict-> smallest-k tie-break, same
+    rule as the Spark fold).  Parity with a pure-Python EM reference
+    is pinned in tests/test_unigram_fit.py."""
+    from spark_tensors_spark.pipeline.unigram import unigram_fit_em
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    return unigram_fit_em(docs, rounds=2, max_multi=96, min_seed=2)
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1720,8 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_unigram_encode_stats": doc_unigram_encode_stats,
+    "doc_unigram_fit": doc_unigram_fit,
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
@@ -1879,6 +1925,137 @@ def _probe_list_expr(n_planes: int) -> str:
         "                       i -> xor(bucket,\n"
         "                                CAST(1 << CAST(i AS INT) "
         "AS BIGINT)))))"
+    )
+
+
+def _unigram_fit_round_sql(n: int) -> str:
+    """One EM round of the unigram-fit oracle: integer-quantized costs
+    from vocab{n}, a last-3-window recursive-CTE Viterbi fold carrying
+    the winning PATH (dp state = (v, path) at i, i-1, i-2; strict->
+    smallest-k tie-break — the same rule as the Spark fold in
+    pipeline/unigram._viterbi_dp_expr), then Viterbi piece counts."""
+    return f"""
+cost{n} AS MATERIALIZED (
+    SELECT v.p,
+           CAST(length(printf('%b',
+               ((t.t_sum + t.v_n + 1) * 64) // (v.c + 1))) - 1
+                AS BIGINT) AS cost
+    FROM vocab{n} v,
+         (SELECT CAST(SUM(c) AS BIGINT) AS t_sum,
+                 CAST(COUNT(*) AS BIGINT) AS v_n FROM vocab{n}) t
+),
+dp{n} AS (
+    SELECT w, f, 0 AS i,
+           CAST(0 AS BIGINT) AS va, CAST([] AS VARCHAR[]) AS pa,
+           CAST(NULL AS BIGINT) AS vb, CAST(NULL AS VARCHAR[]) AS pb,
+           CAST(NULL AS BIGINT) AS vc, CAST(NULL AS VARCHAR[]) AS pc
+    FROM wf
+    UNION ALL
+    SELECT w, f, i,
+           CASE WHEN ok3 AND v3 >
+                     (CASE WHEN ok2 AND v2 > v1 THEN v2 ELSE v1 END)
+                THEN v3
+                WHEN ok2 AND v2 > v1 THEN v2
+                ELSE v1 END AS va,
+           CASE WHEN ok3 AND v3 >
+                     (CASE WHEN ok2 AND v2 > v1 THEN v2 ELSE v1 END)
+                THEN p3
+                WHEN ok2 AND v2 > v1 THEN p2
+                ELSE p1 END AS pa,
+           pva AS vb, ppa AS pb, pvb AS vc, ppb AS pc
+    FROM (
+        SELECT d.w, d.f, d.i + 1 AS i,
+               d.va - (64 * k1.cost + 1) AS v1,
+               list_append(d.pa, substr(d.w, d.i + 1, 1)) AS p1,
+               (d.i + 1 >= 2 AND k2.cost IS NOT NULL) AS ok2,
+               d.vb - (64 * k2.cost + 1) AS v2,
+               list_append(d.pb, substr(d.w, d.i, 2)) AS p2,
+               (d.i + 1 >= 3 AND k3.cost IS NOT NULL) AS ok3,
+               d.vc - (64 * k3.cost + 1) AS v3,
+               list_append(d.pc, substr(d.w, d.i - 1, 3)) AS p3,
+               d.va AS pva, d.pa AS ppa, d.vb AS pvb, d.pb AS ppb
+        FROM dp{n} d
+        LEFT JOIN cost{n} k1 ON k1.p = substr(d.w, d.i + 1, 1)
+        LEFT JOIN cost{n} k2
+               ON d.i + 1 >= 2 AND k2.p = substr(d.w, d.i, 2)
+        LEFT JOIN cost{n} k3
+               ON d.i + 1 >= 3 AND k3.p = substr(d.w, d.i - 1, 3)
+        WHERE d.i < length(d.w)
+    )
+),
+seg{n} AS MATERIALIZED (
+    SELECT w, f, va AS v, pa AS path FROM dp{n} WHERE i = length(w)
+),
+counts{n} AS MATERIALIZED (
+    SELECT u.p AS p, CAST(SUM(f) AS BIGINT) AS c
+    FROM seg{n}, unnest(path) AS u(p) GROUP BY u.p
+),
+out{n} AS (
+    SELECT CAST({n} AS BIGINT) AS round, p AS piece, c AS cnt
+    FROM counts{n}
+    UNION ALL
+    SELECT {n}, '<obj>', CAST(SUM(f * v) AS BIGINT) FROM seg{n}
+    UNION ALL
+    SELECT {n}, '<tok>', CAST(SUM(f * len(path)) AS BIGINT) FROM seg{n}
+    UNION ALL
+    SELECT {n}, '<vocab>',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab{n})
+)"""
+
+
+def _unigram_fit_oracle() -> str:
+    """Replay of pipeline/unigram.unigram_fit_em (rounds=2,
+    max_multi=96, min_seed=2): seed vocab from frequency-weighted
+    substring counts, then two hard-EM rounds, each a table-driven
+    Viterbi recursive CTE — every quantity exact BIGINT (the cost is a
+    binary-digit-count log2, no float anywhere)."""
+    return (
+        """WITH RECURSIVE
+wf AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (
+        SELECT lower(tk) AS w
+        FROM documents,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t <> '')) AS u(tk)
+    )
+    WHERE regexp_matches(w, '^[a-z]{1,12}$')
+    GROUP BY w
+),
+cand AS MATERIALIZED (
+    SELECT w, f, i.i AS i, k.k AS k,
+           substr(w, CAST(i.i - k.k + 1 AS INT), CAST(k.k AS INT)) AS p
+    FROM wf, range(1, 13) i(i), range(1, 4) k(k)
+    WHERE i.i <= length(w) AND k.k <= i.i
+),
+c0 AS MATERIALIZED (
+    SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM cand GROUP BY p
+),
+vocab1 AS MATERIALIZED (
+    SELECT p, c FROM c0 WHERE length(p) = 1
+    UNION ALL
+    SELECT p, c FROM (
+        SELECT p, c FROM c0 WHERE length(p) > 1 AND c >= 2
+        ORDER BY c DESC, p LIMIT 96
+    )
+),"""
+        + _unigram_fit_round_sql(1)
+        + """,
+vocab2 AS MATERIALIZED (
+    SELECT v.p, CAST(COALESCE(k.c, 0) AS BIGINT) AS c
+    FROM vocab1 v LEFT JOIN counts1 k USING (p)
+    WHERE length(v.p) = 1
+    UNION ALL
+    SELECT v.p, k.c FROM vocab1 v JOIN counts1 k USING (p)
+    WHERE length(v.p) > 1
+),"""
+        + _unigram_fit_round_sql(2)
+        + """
+SELECT round, piece, cnt FROM out1
+UNION ALL
+SELECT round, piece, cnt FROM out2
+ORDER BY round, piece
+"""
     )
 
 
@@ -2876,6 +3053,9 @@ ORDER BY cluster_id, dim
     # unigram-LM Viterbi decode: last-4-window recursive CTE replays
     # the Spark side's zero-seeded dp fold — all integer arithmetic
     "doc_unigram_encode_stats": _unigram_oracle(),
+    # unigram-LM hard-EM FIT: two table-driven Viterbi rounds, all
+    # integer arithmetic (binary-digit-count log2 costs)
+    "doc_unigram_fit": _unigram_fit_oracle(),
     # unigram add-one LM fit (train slice) + per-token ln scoring,
     # DECIMAL(18,12)-snapped contributions (bm25 doctrine)
     "doc_lm_perplexity": f"""
@@ -2911,6 +3091,57 @@ ORDER BY cluster_id, dim
                ROUND(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS log_ppl
         FROM scored GROUP BY doc_id
         ORDER BY log_ppl DESC, doc_id LIMIT 20
+    """,
+    # DSIR importance weights: hashed uni+bigram bag-of-words models,
+    # per-bucket ln terms DECIMAL(18,12)-snapped, exact decimal sums
+    "doc_dsir_weights": """
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, (doc_id % 7 = 0) AS is_t,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id, is_t,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                       % 1024 AS b
+            FROM toks,
+                 unnest(list_concat(tk,
+                     list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i + 1])
+                 )) AS u(g)
+        ),
+        q AS MATERIALIZED (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS q_c
+            FROM feats WHERE NOT is_t GROUP BY b
+        ),
+        p AS MATERIALIZED (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS p_c
+            FROM feats WHERE is_t GROUP BY b
+        ),
+        tot AS (
+            SELECT (SELECT CAST(SUM(q_c) AS BIGINT) FROM q) AS q_tot,
+                   (SELECT CAST(SUM(p_c) AS BIGINT) FROM p) AS p_tot
+        ),
+        lr AS MATERIALIZED (
+            SELECT q.b,
+                   CAST(ln((COALESCE(p.p_c, 0) + 1)
+                           / CAST(t.p_tot + 1024 AS DOUBLE))
+                        AS DECIMAL(18,12))
+                 - CAST(ln((q.q_c + 1)
+                           / CAST(t.q_tot + 1024 AS DOUBLE))
+                        AS DECIMAL(18,12)) AS lr
+            FROM q LEFT JOIN p USING (b), tot t
+        ),
+        w AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+                   ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS log_w
+            FROM feats JOIN lr USING (b)
+            WHERE NOT is_t GROUP BY doc_id
+        )
+        SELECT w.doc_id, d.source, w.n_feat, w.log_w
+        FROM w JOIN documents d USING (doc_id)
+        ORDER BY w.doc_id
     """,
     # PCA moment pass on int8 codes: count / per-dim sums / Gram upper
     # triangle — all exact BIGINTs
