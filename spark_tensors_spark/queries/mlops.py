@@ -326,6 +326,7 @@ def _two_step_query(
     step_fn,
     loss_fn,
     n_steps: int = 2,
+    init_e=None,
 ) -> DataFrame:
     """ONE driver for every kge_*_two_step_exact query (and the
     n_steps≥3 loop variants) — ``n_steps`` chained full-batch SGD steps
@@ -353,7 +354,7 @@ def _two_step_query(
         .distinct()
         .localCheckpoint()
     )
-    E = _pseudo_E(spark, n_ent, dim)
+    E = (init_e or _pseudo_E)(spark, n_ent, dim)
     P = init_p(spark, rel.count(), dim)
 
     def one_step(E, P, step_no: int):
@@ -1126,6 +1127,165 @@ def _two_step_tail(out_kind: str) -> str:
     return _chain_tail(out_kind, 2)
 
 
+# ---------------------------------------------------------------------------
+# ENTITY-SCALE two-step bilinear/holographic loops (r12 verdict item 8).
+#
+# The r12 rejection of full-KG bilinear loops assumed the ±6/±5 init of
+# the subset loops, where hub-degree gradient sums make step-2 scores
+# ~1e23.  With a TERNARY init (every parameter in {−1, 0, 1}) the same
+# loop is int64-exact end to end — worked magnitudes at sf0.1
+# (≈166k triples, hub in-degree ≈6.6k, d = 4, margin = 2, lr = 1):
+#
+#   step-1 entity grads   ≤ d·|e||w|·deg   ≈ 4·1·6.6e3  ≈ 2.6e4
+#   step-1 W grads        ≤ |e|·2|e|·|KG|  ≈ 2·1.7e5    ≈ 3.3e5
+#   step-2 bilinear score ≤ d²·e¹·w¹·e¹    ≈ 16·2.6e4·3.3e5·2.6e4 ≈ 3.6e15
+#   step-2 entity grads   ≤ d·e¹·w¹·deg    ≈ 4·2.6e4·3.3e5·6.6e3  ≈ 2.3e14
+#   step-2 W grads        ≤ e¹·2e¹·|KG|    ≈ 1.4e9·1.5e5          ≈ 2e14
+#
+# — every intermediate ≤ ~4e15 ≪ 2⁶³, with one decade of headroom
+# (the sf1.0 extrapolation peaks at ~3.6e18, still inside int64; the
+# loss SUM over triples exceeds int64 at both scales and goes through
+# DECIMAL(38,0)/HUGEINT — exactstep._loss_row).  The same bound holds
+# for HolE at d = 4 (d² correlation terms instead of the bilinear
+# form).  tests/test_mlops_queries.py pins the realized magnitudes
+# numerically.
+# ---------------------------------------------------------------------------
+
+ENTITY_BILINEAR_DIM = 4
+
+
+def _pseudo_E3(spark, n_rows: int, dim: int):
+    """Ternary entity init ((id·31 + d·17) mod 3) − 1 ∈ {−1,0,1}."""
+    return _pseudo_vec(spark, n_rows, dim, 31, 17, 3, 1)
+
+
+def _pseudo_R3(spark, n_rows: int, dim: int):
+    """Ternary relation-vector init ((id·29 + d·23) mod 3) − 1."""
+    return _pseudo_vec(spark, n_rows, dim, 29, 23, 3, 1)
+
+
+def _pseudo_W3(spark, n_rel: int, d: int):
+    """Ternary relation-MATRIX init ((id·19 + i·7 + j·3) mod 3) − 1."""
+    w_seq = F.sequence(F.lit(0), F.lit(d * d - 1))
+    return spark.range(n_rel).select(
+        "id",
+        F.transform(
+            w_seq,
+            lambda s: (
+                (F.col("id") * 19 + F.floor(s / d) * 7 + (s % d) * 3) % 3 - 1
+            ).cast("long"),
+        ).alias("vec"),
+    )
+
+
+def kge_rescal_two_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained full-batch RESCAL SGD steps over the FULL encoded
+    KG — the bilinear loop at ENTITY SCALE (no mod-subset: every
+    triple trains, every entity row cycles through gather → segment-sum
+    → join-merge, the reference's epoch loop `TransE.scala:114-134` /
+    `base.py:470-492` with the `holek.py:136-150` score).  The r12
+    analysis rejected this at the ±6/±5 init (step-2 scores ~1e23);
+    the TERNARY init keeps every intermediate int64-exact with a
+    decade of headroom (magnitude table above, realized values pinned
+    in tests), so DuckDB replays both iterations symbolically.  Like
+    every lr=1 loop this pins MECHANICS, not convergence.
+
+    Plan shape at 100 TB: identical to kge_transe_three_step_entity —
+    per step one gather join family, one map-side-combinable
+    segment-sum per parameter kind, one join-merge update,
+    localCheckpoint between iterations."""
+    from spark_tensors_spark.train.exactstep import (
+        _rescal_gather_score,
+        rescal_bilinear_sgd_step,
+        rescal_loss_summary,
+    )
+
+    return _two_step_query(
+        spark, sf_dir,
+        mod=1, res=0,  # full KG
+        dim=ENTITY_BILINEAR_DIM, margin=PAIR_MARGIN, p_kind="W",
+        init_p=_pseudo_W3, init_e=_pseudo_E3,
+        gather_fn=_rescal_gather_score,
+        step_fn=rescal_bilinear_sgd_step,
+        loss_fn=rescal_loss_summary,
+    )
+
+
+def kge_hole_two_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained full-batch HolE SGD steps over the FULL encoded KG
+    — the holographic loop at ENTITY SCALE (score r·ccorr(s,o) of
+    `hole.py:19-20`, violation-gated gradients `hole.py:22-42`), same
+    ternary-init int64 closure as kge_rescal_two_step_entity (d = 4:
+    d² correlation terms bound exactly like the bilinear form's).
+    ccorr/cconv stated by index algebra, parity-pinned against the
+    production FFT kernels."""
+    from spark_tensors_spark.train.exactstep import (
+        _hole_gather_score,
+        hole_ccorr_sgd_step,
+        hole_loss_summary,
+    )
+
+    return _two_step_query(
+        spark, sf_dir,
+        mod=1, res=0,  # full KG
+        dim=ENTITY_BILINEAR_DIM, margin=PAIR_MARGIN, p_kind="R",
+        init_p=_pseudo_R3, init_e=_pseudo_E3,
+        gather_fn=_hole_gather_score,
+        step_fn=hole_ccorr_sgd_step,
+        loss_fn=hole_loss_summary,
+    )
+
+
+def _rescal_two_step_entity_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = ENTITY_BILINEAR_DIM
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded
+),
+dims AS (SELECT unnest(range({d})) AS d),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 3) - 1 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'W', id, i.d * {d} + j.d,
+           CAST(((id*19 + i.d*7 + j.d*3) % 3) - 1 AS BIGINT)
+    FROM (SELECT id FROM relation_dict)
+    CROSS JOIN dims i CROSS JOIN dims j
+),{_rescal_step_fragment(1, "params0", d, PAIR_MARGIN)},
+{_rescal_step_fragment(2, "params1", d, PAIR_MARGIN)},
+{_two_step_tail("W")}"""
+
+
+def _hole_two_step_entity_oracle() -> str:
+    from spark_tensors_spark.queries.kg import TRIPLES_CTE
+
+    d = ENTITY_BILINEAR_DIM
+    return f"""{TRIPLES_CTE},
+n_ent AS MATERIALIZED (SELECT COUNT(*) AS n FROM entity_dict),
+t AS MATERIALIZED (
+    SELECT DISTINCT s_id, p_id, o_id,
+           (o_id + 1 + p_id) % (SELECT n FROM n_ent) AS n_id
+    FROM triples_encoded
+),
+dims AS (SELECT unnest(range({d})) AS d),
+params0 AS MATERIALIZED (
+    SELECT 'E' AS kind, id, d,
+           CAST(((id*31 + d*17) % 3) - 1 AS BIGINT) AS val
+    FROM (SELECT id FROM entity_dict) CROSS JOIN dims
+    UNION ALL
+    SELECT 'R', id, d, CAST(((id*29 + d*23) % 3) - 1 AS BIGINT)
+    FROM (SELECT id FROM relation_dict) CROSS JOIN dims
+),{_hole_step_fragment(1, "params0", d, PAIR_MARGIN)},
+{_hole_step_fragment(2, "params1", d, PAIR_MARGIN)},
+{_two_step_tail("R")}"""
+
+
 def _rescal_two_step_oracle() -> str:
     from spark_tensors_spark.queries.kg import TRIPLES_CTE
 
@@ -1351,6 +1511,8 @@ QUERIES = {
     "kge_transe_three_step_entity": kge_transe_three_step_entity,
     "kge_rescal_step_exact": kge_rescal_step_exact,
     "kge_rescal_two_step_exact": kge_rescal_two_step_exact,
+    "kge_rescal_two_step_entity": kge_rescal_two_step_entity,
+    "kge_hole_two_step_entity": kge_hole_two_step_entity,
     "kge_hole_step_exact": kge_hole_step_exact,
     "kge_hole_two_step_exact": kge_hole_two_step_exact,
     "kge_transe_train_metrics": kge_transe_train_metrics,
@@ -1364,6 +1526,8 @@ ORACLES: dict[str, str] = {
     "kge_transe_three_step_entity": _transe_three_step_entity_oracle(),
     "kge_rescal_step_exact": _rescal_step_oracle(),
     "kge_rescal_two_step_exact": _rescal_two_step_oracle(),
+    "kge_rescal_two_step_entity": _rescal_two_step_entity_oracle(),
+    "kge_hole_two_step_entity": _hole_two_step_entity_oracle(),
     "kge_hole_step_exact": _hole_step_oracle(),
     "kge_hole_two_step_exact": _hole_two_step_oracle(),
     "kge_transe_rank_join": _rank_join_oracle(

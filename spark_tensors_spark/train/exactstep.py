@@ -351,15 +351,23 @@ def _merge_update(
 
 def _loss_row(scored: DataFrame) -> DataFrame:
     """1-row (n_triples, n_violations, total_loss) off a scored gather
-    frame carrying ``raw_loss`` (exact BIGINT)."""
+    frame carrying ``raw_loss`` (exact BIGINT).  total_loss sums
+    through DECIMAL(38,0): per-triple raw losses are int64-bounded,
+    but the FULL-KG bilinear loops sum ~1e15 losses over ~1e5 triples
+    — past int64, where a long sum would wrap silently while DuckDB's
+    HUGEINT sum stays exact.  The decimal sum is exact on both engines
+    and the downstream double cast is a correctly-rounded conversion
+    of the same integer."""
     return scored.agg(
         F.count(F.lit(1)).alias("n_triples"),
         F.sum(F.when(F.col("raw_loss") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_violations"),
-        F.sum(F.greatest(F.lit(0).cast("long"), F.col("raw_loss")))
-        .cast("long")
-        .alias("total_loss"),
+        F.sum(
+            F.greatest(F.lit(0).cast("long"), F.col("raw_loss")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("total_loss"),
     )
 
 

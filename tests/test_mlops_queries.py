@@ -111,3 +111,38 @@ def test_three_step_entity_loop_chains(spark):
         "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"
     ).count()
     assert frac == 0
+
+
+@pytest.mark.parametrize(
+    "qname", ["kge_rescal_two_step_entity", "kge_hole_two_step_entity"]
+)
+def test_bilinear_entity_loops_chain_and_stay_int64(spark, qname):
+    """The ENTITY-SCALE bilinear/holographic two-step loops (r12
+    verdict item 8): the r12 rejection held only for the ±6/±5 init —
+    the ternary init keeps the whole chain int64-exact.  Pin (a) the
+    chain really ran (two distinct 'L' rows over a constant triple
+    count), (b) every final-step parameter slot is integral (the
+    BIGINT closure the DuckDB oracle replays), and (c) the REALIZED
+    magnitudes sit at least a decade inside int64 (the analytic bound
+    in queries/mlops.py, checked numerically — the same discipline as
+    tns_cp_als_rank3_exact's overflow docstring)."""
+    df = mlops.QUERIES[qname](spark, SF_SMOKE).localCheckpoint()
+    losses = df.filter("kind = 'L'").orderBy("step").collect()
+    assert len(losses) == 2
+    assert len({r["old_val"] for r in losses}) == 1   # same triple count
+    assert len({r["new_val"] for r in losses}) == 2   # both steps scored
+    frac = df.filter(
+        "kind <> 'L' AND new_val <> CAST(new_val AS BIGINT)"
+    ).count()
+    assert frac == 0
+    bound = (2**63 - 1) // 10  # a decade of headroom
+    mx = (
+        df.filter("kind <> 'L'")
+        .selectExpr(
+            "max(abs(old_val)) AS a",
+            "max(abs(grad)) AS b",
+            "max(abs(new_val)) AS c",
+        )
+        .first()
+    )
+    assert max(mx["a"], mx["b"], int(mx["c"])) < bound, mx
