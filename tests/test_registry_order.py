@@ -215,3 +215,40 @@ def test_r12_new_oracles_lead_window_without_displacing_r7_set():
         q for q in r7_set if hist.get(q, (99, "ok"))[0] <= 7
     }
     assert still_stale <= set(names[:50]), still_stale - set(names[:50])
+
+
+def test_r13_new_oracles_lead_window_with_r8_set_inside():
+    """Round-13 entries (the five new oracles: the exact CP-ALS
+    trajectory that retired the rows-only slot, the unigram EM fit,
+    DSIR, and both entity-scale bilinear loops) front the window until
+    gated, AND the 10 r8-stale queries the r12 verdict flagged must
+    still sit inside the 50-slot window behind them — after
+    CORRECTNESS_r13 lands, no query's last green record should predate
+    r9."""
+    import os
+
+    qs, oracles = entry._registry()
+    names = list(qs)
+    hist = entry._gate_history(os.path.dirname(entry.__file__))
+    new13 = {
+        "tns_cp_als_fit",
+        "doc_unigram_fit",
+        "doc_dsir_weights",
+        "kge_rescal_two_step_entity",
+        "kge_hole_two_step_entity",
+    }
+    ungated = {
+        q for q in new13 if hist.get(q, (0, "never"))[1] != "ok"
+    }
+    front = _front_cohort(names, oracles, hist)
+    assert ungated <= front, ungated - front
+    r8_set = {
+        "kg_void_stats", "mm_thumbnails", "q14_pivot", "q18_bloom_join",
+        "q19_lateral_topn", "q26_volume_shipping", "q27_fastss_name_pairs",
+        "q28_cust_distribution", "q29_waiting_supplier",
+        "tns_mttkrp_shuffle",
+    }
+    still_stale = {
+        q for q in r8_set if hist.get(q, (99, "ok"))[0] <= 8
+    }
+    assert still_stale <= set(names[:50]), still_stale - set(names[:50])
