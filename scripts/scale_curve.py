@@ -3,7 +3,9 @@ bench records (`BENCH_FULL_sf0.01.json` / `BENCH_FULL_sf0.1.json`,
 written by bench.py — run each ALONE; concurrent runs corrupt
 timings).
 
-Usage: python scripts/scale_curve.py [top_n]   # prints markdown
+Usage: python scripts/scale_curve.py [top_n] [lo_sf hi_sf]  # markdown
+  (lo_sf/hi_sf select which BENCH_FULL_sf{X}.json pair to compare;
+  default 0.01 vs 0.1 — pass e.g. `0.1 1.0` for the r13 scale decade)
 
 The interesting signal is the wall-time ratio across a 10× data step:
 ratio ≪ 10 = startup-constant-dominated (streaming, tiny fixtures),
@@ -21,9 +23,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    lo_sf = sys.argv[2] if len(sys.argv) > 3 else "0.01"
+    hi_sf = sys.argv[3] if len(sys.argv) > 3 else "0.1"
     try:
-        lo = json.load(open(os.path.join(ROOT, "BENCH_FULL_sf0.01.json")))
-        hi = json.load(open(os.path.join(ROOT, "BENCH_FULL_sf0.1.json")))
+        lo = json.load(open(os.path.join(ROOT, f"BENCH_FULL_sf{lo_sf}.json")))
+        hi = json.load(open(os.path.join(ROOT, f"BENCH_FULL_sf{hi_sf}.json")))
     except FileNotFoundError as e:
         print(f"missing per-scale record: {e}", file=sys.stderr)
         return 2
@@ -44,10 +48,11 @@ def main() -> int:
         x for x in all_rows if x[0] in flagged
     ] + [x for x in all_rows if x[0] not in flagged][:top_n]
     print(
-        f"Top-{top_n} slowest shared queries by sf0.1 wall time; flagged "
+        f"Top-{top_n} slowest shared queries by sf{hi_sf} wall time; flagged "
         "superlinear queries are ALWAYS included regardless of rank.\n"
     )
-    print(f"| query | sf0.01 s | sf0.1 s | ratio (data ×{data_ratio:.0f}) |")
+    print(f"| query | sf{lo_sf} s | sf{hi_sf} s "
+          f"| ratio (data ×{data_ratio:.0f}) |")
     print("|---|---|---|---|")
     for n, t_lo, t_hi, r in rows:
         note = " **superlinear**" if n in flagged else ""
