@@ -225,6 +225,48 @@ def dsir_weights(
     )
 
 
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner (lexical ⊕ semantic lists in
+    every RAG stack): score(d) = Σ_lists 1/(k + rank_l(d)), k=60.
+
+    Exactness: each 1/(k+rank) term is one IEEE division of two exact
+    integers snapped to DECIMAL(18,12) (the lm_perplexity per-term
+    rule), so the fused sum is an exact decimal both engines replay;
+    ranks must be 1-based exact integers (rank on integer keys, never
+    on rounded floats — a float-ranked list can flip on a ulp and RRF
+    amplifies rank flips).
+
+    Scale shape: candidate lists are top-N frames (bounded), so the
+    union + id-keyed hash aggregate is list-sized — never corpus-sized.
+
+    Returns (id_col, n_lists, best_rank, rrf_score)."""
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("_rk"),
+            (
+                F.lit(1.0)
+                / (F.lit(k) + F.col(rank_col)).cast("double")
+            ).cast("decimal(18,12)").alias("_c"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("_rk").alias("best_rank"),
+        F.round(F.sum("_c").cast("double"), 6).alias("rrf_score"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],

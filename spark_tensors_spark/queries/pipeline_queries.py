@@ -24,6 +24,7 @@ def doc_source_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup accounting per source: docs vs distinct content
     hashes (hash-groupBy dedup shape, always non-empty)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         docs.groupBy("source")
         .agg(
@@ -40,6 +41,7 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver's canonicalizer cannot sort array-typed columns; pinned by
     # tests/test_plan_hygiene.py) while still covering every member
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         dedup.exact_duplicate_groups(docs)
         .select(
@@ -136,7 +138,8 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import text as T
 
     docs = dedup._with_char_codes(
-        load_table(spark, sf_dir, "documents"), "text"
+        ensure_scan_parallelism(load_table(spark, sf_dir, "documents")),
+        "text",
     )
     fp = docs.select(
         "doc_id", T.rolling_hashes_col("codes").alias("h")
@@ -160,6 +163,7 @@ def emb_similarity_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.functions.kernels import similarity_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(
         (F.col("vec_id") - 1).alias("id_a"),
@@ -317,7 +321,8 @@ def doc_trigram_jaccard_adjacent(
     """n-gram Jaccard similarity for adjacent doc-id pairs — exercises
     the shingle + set-similarity kernel with a bounded pair list."""
     docs = dedup._with_char_codes(
-        load_table(spark, sf_dir, "documents"), "text"
+        ensure_scan_parallelism(load_table(spark, sf_dir, "documents")),
+        "text",
     ).select("doc_id", dedup.shingle_codes_col("text").alias("sh"))
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
@@ -342,11 +347,13 @@ def doc_trigram_jaccard_adjacent(
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return text.text_stats(docs).orderBy("doc_id")
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     queries = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -358,6 +365,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -368,6 +376,7 @@ def emb_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, one row per (label, dimension)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     return (
         emb.select(
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -391,7 +400,9 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle baseline, not the scale path).  Threshold 0.35 sits inside
     the synthetic embeddings' similarity range (max ≈ 0.49), so the
     oracle compares real pairs rather than empty-vs-empty."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "embeddings")
+    ).filter(
         F.col("vec_id") < 300
     )
     return (
@@ -450,6 +461,7 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import corpus
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         corpus.duplicated_spans(docs, n=8)
         .orderBy(
@@ -489,6 +501,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import curation
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return curation.mixture_sample(
         docs, MIXTURE_WEIGHTS, MIXTURE_N
     ).orderBy("source", "sample_rank")
@@ -529,6 +542,7 @@ def doc_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline.curation import shard_assignments
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return shard_assignments(docs).orderBy("shard", "shard_rank")
 
 
@@ -705,6 +719,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import scrub
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -777,6 +792,7 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_pairs(spark, sf_dir)
     cc = components.connected_components(pairs, "doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     scores = docs.select(
         "doc_id", text.quality_score_col("text").alias("quality")
     )
@@ -821,6 +837,7 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import curation
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     return (
         curation.stratified_split(docs, ["source"], (0.8, 0.1))
         .groupBy("source", "split")
@@ -837,7 +854,9 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (running-sum window); per-bin doc count + token sum."""
     from spark_tensors_spark.pipeline import curation, text
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn(
         "n_tokens", text.token_count_col("text")
     )
     packed = curation.pack_sequences(docs, budget_tokens=512)
@@ -858,7 +877,9 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%13 to keep the oracle's lateral expansion bounded."""
     from spark_tensors_spark.pipeline import curation
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).filter(
         F.col("doc_id") % 13 == 0
     )
     return curation.chunk_windows(docs, window=64, stride=48).orderBy(
@@ -875,6 +896,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     q = quantize.scalar_quantize_int8(emb)
     return q.select(
         "vec_id",
@@ -900,6 +922,7 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import quantize, similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_scan_parallelism(emb)
     codes = quantize.scalar_quantize_int8(emb).select("vec_id", "codes")
     return similarity.kmeans_lloyd_step(codes, 8, 64).orderBy(
         "cluster_id", "dim"
@@ -981,6 +1004,7 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.pipeline import bpe
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
     pairs = bpe.pair_counts(bpe.word_symbol_table(docs))
     return pairs.orderBy(
         F.col("cnt").desc(), F.col("a"), F.col("b")
@@ -995,7 +1019,9 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw).  WindowGroupLimit keeps the shuffle at O(k·strata) rows."""
     from spark_tensors_spark.pipeline import curation, text
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn(
         "n_tokens", text.token_count_col("text")
     )
     samp = curation.weighted_sample(
@@ -1111,6 +1137,60 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "n_feat", "log_w")
         .orderBy("doc_id")
+    )
+
+
+def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval RANK FUSION (`corpus.rrf_fuse`, Cormack et al.
+    2009 — the combiner every RAG stack runs over its lexical ⊕
+    semantic lists): two exact-integer rankers over the query terms
+    ('hash','join','scan') — a term-FREQUENCY list and a
+    coverage-then-brevity list (distinct terms matched, shorter doc
+    wins) — each top-100 with ranks assigned on the bounded candidate
+    frame (TakeOrderedAndProject, never a corpus-wide window), fused
+    by Σ 1/(60+rank) with per-term DECIMAL(18,12) snaps.  Integer
+    ranker keys mean no rank can flip on a float ulp, so the fusion is
+    value-exact end to end."""
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.pipeline import corpus as C
+    from spark_tensors_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    terms = ("hash", "join", "scan")
+    tq = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    w1 = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    r1 = (
+        tq.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w1))
+    )
+    ntok = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    w2 = Window.orderBy(
+        F.desc("cov"), F.asc("n_tok"), F.asc("doc_id")
+    )
+    r2 = (
+        tq.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("cov"))
+        .join(ntok, "doc_id")
+        .orderBy(F.desc("cov"), F.asc("n_tok"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w2))
+    )
+    fused = C.rrf_fuse(
+        [r1.select("doc_id", "rank"), r2.select("doc_id", "rank")]
+    )
+    return (
+        fused.select("doc_id", "n_lists", "best_rank", "rrf_score")
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(25)
     )
 
 
@@ -1562,7 +1642,9 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compared output."""
     from spark_tensors_spark.pipeline import curation
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).select(
         F.expr(TEMP_MIX_DOMAIN).alias("domain"), "doc_id"
     )
     return curation.temperature_mixture_sample(
@@ -1648,7 +1730,9 @@ def doc_pad_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.functions.columns import pad_sequences_col
     from spark_tensors_spark.kg.dictionary import assign_ids
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.posexplode(text.tokens_col("text")).alias("pos", "tok"),
@@ -1722,6 +1806,7 @@ QUERIES = {
     "doc_unigram_encode_stats": doc_unigram_encode_stats,
     "doc_unigram_fit": doc_unigram_fit,
     "doc_dsir_weights": doc_dsir_weights,
+    "doc_rrf_fusion": doc_rrf_fusion,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
@@ -3091,6 +3176,55 @@ ORDER BY cluster_id, dim
                ROUND(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS log_ppl
         FROM scored GROUP BY doc_id
         ORDER BY log_ppl DESC, doc_id LIMIT 20
+    """,
+    # reciprocal-rank fusion of two exact-integer rankers; per-term
+    # 1/(k+rank) DECIMAL(18,12)-snapped (double division both engines)
+    "doc_rrf_fusion": f"""
+        WITH tq AS MATERIALIZED (
+            SELECT doc_id, term
+            FROM (SELECT doc_id, UNNEST({_TOKENS}) AS term
+                  FROM documents)
+            WHERE term IN ('hash', 'join', 'scan')
+        ),
+        r1 AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rank
+            FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM tq GROUP BY doc_id)
+            QUALIFY rank <= 100
+        ),
+        r2 AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER
+                       (ORDER BY cov DESC, n_tok ASC, doc_id) AS rank
+            FROM (
+                SELECT q.doc_id,
+                       CAST(COUNT(DISTINCT q.term) AS BIGINT) AS cov,
+                       MIN(d.n_tok) AS n_tok
+                FROM tq q
+                JOIN (SELECT doc_id,
+                             CAST(len({_TOKENS}) AS BIGINT) AS n_tok
+                      FROM documents) d USING (doc_id)
+                GROUP BY q.doc_id
+            )
+            QUALIFY rank <= 100
+        ),
+        fused AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(MIN(rank) AS BIGINT) AS best_rank,
+                   ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / (60 + rank)
+                                       AS DECIMAL(18,12))) AS DOUBLE),
+                         6) AS rrf_score
+            FROM (SELECT doc_id, rank FROM r1
+                  UNION ALL
+                  SELECT doc_id, rank FROM r2)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_lists, best_rank, rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 25
     """,
     # DSIR importance weights: hashed uni+bigram bag-of-words models,
     # per-bucket ln terms DECIMAL(18,12)-snapped, exact decimal sums
