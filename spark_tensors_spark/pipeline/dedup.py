@@ -390,6 +390,8 @@ def embedding_near_dups_bucketed(
     vec_col: str = "embedding",
     planes=None,
     round_decimals: int | None = 6,
+    max_bucket: int | None = None,
+    sub_planes: int = 4,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     → exact cosine only within a bucket (candidate space Σ bucket², not
@@ -405,22 +407,65 @@ def embedding_near_dups_bucketed(
     ``dot / sqrt(dot_aa · dot_bb)`` on exact-integer inputs the doubles
     are bit-identical, and the round-trip through ROUND() is the only
     step that can diverge (dyadic-tie doctrine, ROUND_NOTES r5).
+
+    GIANT-BUCKET GUARD (the semantic_dedup pattern, added when the r13
+    sf1.0 decade measured this function superlinear — clustered
+    embeddings make a few buckets grow Θ(N) and the in-bucket join
+    Θ(N²)): pass ``max_bucket`` and any bucket larger than it is
+    sub-bucketed by ``sub_planes`` FURTHER hyperplanes of the same
+    family (the join key grows those extra sign bits), dropping the
+    worst per-key fan-in by ~2^sub_planes.  Guarded pairs ⊆ unguarded
+    pairs (property-tested); buckets at or under the cap are untouched,
+    so the guard is a no-op until the data actually skews.
     """
     from spark_tensors_spark.functions.columns import cosine_col
     from spark_tensors_spark.pipeline.similarity import lsh_buckets
 
-    b = lsh_buckets(
-        emb, n_planes=n_planes, seed=seed, id_col=id_col,
-        vec_col=vec_col, planes=planes,
-    )
+    if max_bucket is None:
+        b = lsh_buckets(
+            emb, n_planes=n_planes, seed=seed, id_col=id_col,
+            vec_col=vec_col, planes=planes,
+        ).withColumn("_sb", F.lit(0).cast("long"))
+    else:
+        # ONE projection pass at n_planes + sub_planes: the MAIN bucket
+        # is the low n_planes bits (plane p → bit p), the sub-bucket
+        # key the high sub_planes bits — engaged only past the cap
+        total = n_planes + sub_planes
+        if planes is not None and planes.shape[0] < total:
+            raise ValueError(
+                f"max_bucket guard needs {total} planes, got "
+                f"{planes.shape[0]}"
+            )
+        ext = lsh_buckets(
+            emb, n_planes=total, seed=seed, id_col=id_col,
+            vec_col=vec_col,
+            planes=None if planes is None else planes[:total],
+        ).select(
+            id_col,
+            (F.col("bucket") % (2**n_planes)).alias("bucket"),
+            F.expr(f"bucket div {2**n_planes}").alias("_sub"),
+        )
+        sizes = ext.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        b = ext.join(F.broadcast(sizes), "bucket").select(
+            id_col,
+            "bucket",
+            F.when(F.col("_bsz") > max_bucket, F.col("_sub"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_sb"),
+        )
     with_b = emb.join(b, id_col)
     left = with_b.select(
         F.col("bucket"),
+        F.col("_sb"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
     )
     right = with_b.select(
         F.col("bucket"),
+        F.col("_sb"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
@@ -428,7 +473,7 @@ def embedding_near_dups_bucketed(
     if round_decimals is not None:
         cos = F.round(cos, round_decimals)
     return (
-        left.join(right, "bucket")
+        left.join(right, ["bucket", "_sb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") > threshold)

@@ -1503,13 +1503,22 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNROUNDED cosine `dot/√(na²·nb²)` is bit-identical cross-engine
     (hash-gated by the driver since r6); the random-hyperplane float
     path keeps its digest pin in tests/test_trained_ann_goldens.py and
-    its subset-of-brute-force property in tests/test_pipeline_queries."""
+    its subset-of-brute-force property in tests/test_pipeline_queries.
+
+    Since r13 the declared form carries the GIANT-BUCKET GUARD
+    (max_bucket=128, 4 sub-planes of the same pseudo family): the
+    sf1.0 decade measured clustered embeddings pushing one bucket to
+    ~1.6k vectors (in-bucket join Θ(N²), 175 s) — the guard sub-buckets
+    only buckets past the cap, a no-op at every driver scale (max
+    bucket 105 at sf0.1), and the oracle replays the size-conditional
+    key exactly."""
     codes = _int8_codes(spark, sf_dir)
-    planes = similarity.pseudo_planes(8, 64)
+    planes = similarity.pseudo_planes(12, 64)
     return (
         dedup.embedding_near_dups_bucketed(
             codes, threshold=-1.0, planes=planes,
             id_col="vec_id", vec_col="codes", round_decimals=None,
+            max_bucket=128, sub_planes=4,
         )
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(50)
@@ -3471,13 +3480,30 @@ ORDER BY cluster_id, dim
     # exact-integer inputs → bit-identical doubles; the driver's
     # normalize rounds both sides identically)
     "emb_near_dup_bucketed": _ANN_CODES_CTE + f""",
-        b AS (
+        b12 AS (
             SELECT vec_id, codes,
-                   {_plane_bucket_expr(8)} AS bucket,
+                   {_plane_bucket_expr(12)} AS bucket12,
                    CAST(list_sum(list_transform(range(64), j ->
                        codes[CAST(j AS INT) + 1]
                        * codes[CAST(j AS INT) + 1])) AS BIGINT) AS n2
             FROM q
+        ),
+        bm AS (
+            SELECT vec_id, codes, n2,
+                   bucket12 % 256 AS bucket,
+                   bucket12 // 256 AS sub
+            FROM b12
+        ),
+        sz AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bsz
+            FROM bm GROUP BY bucket
+        ),
+        b AS (
+            -- giant-bucket guard: the sub-planes key engages only
+            -- past the 128 cap (a no-op at every driver scale)
+            SELECT bm.vec_id, bm.codes, bm.n2, bm.bucket,
+                   CASE WHEN sz.bsz > 128 THEN bm.sub ELSE 0 END AS sb
+            FROM bm JOIN sz USING (bucket)
         ),
         pairs AS (
             SELECT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -3486,7 +3512,8 @@ ORDER BY cluster_id, dim
                        * r.codes[CAST(j AS INT) + 1])) AS DOUBLE)
                    / SQRT(CAST(l.n2 * r.n2 AS DOUBLE)) AS cos
             FROM b l JOIN b r
-              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              ON l.bucket = r.bucket AND l.sb = r.sb
+             AND l.vec_id < r.vec_id
         )
         SELECT id_a, id_b, cos FROM pairs
         WHERE cos > CAST(-1.0 AS DOUBLE)

@@ -111,6 +111,45 @@ def test_bucketed_near_dups_subset_of_brute_force(spark):
     assert (5, 100) in bucketed and (7, 101) in bucketed
 
 
+def test_giant_bucket_guard_is_subset_and_noop_under_cap(spark):
+    """The max_bucket guard (r13): guarded pairs ⊆ unguarded pairs;
+    with a cap no bucket exceeds, the guard is a byte-for-byte no-op;
+    exact duplicates still land in the same sub-bucket (identical
+    vectors project identically on EVERY plane)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    center = rng.normal(size=16)
+    rows = [
+        (i, (center + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(40)
+    ]
+    rows.append((100, rows[3][1]))  # exact duplicate of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups_bucketed(
+            emb, threshold=0.5
+        ).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups_bucketed(
+            emb, threshold=0.5, max_bucket=4, sub_planes=3
+        ).collect()
+    }
+    assert guarded <= unguarded
+    assert (3, 100) in guarded  # exact dup survives any sub-bucketing
+    noop = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups_bucketed(
+            emb, threshold=0.5, max_bucket=10**9, sub_planes=3
+        ).collect()
+    }
+    assert noop == unguarded
+
+
 def test_declared_bucketed_near_dup_values_exact(spark):
     """The DECLARED emb_near_dup_bucketed query (top-50 in-bucket
     candidates, int8 codes + pseudo_planes(8, 64), unrounded cosine):
