@@ -889,3 +889,101 @@ def kmeans_lloyd_iters(
             cents = nxt
     finally:
         codes_df.unpersist()
+
+
+def matryoshka_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    k_coarse: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    query_codes_col: str = "qcodes",
+) -> DataFrame:
+    """Matryoshka / adaptive two-stage retrieval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning" §4.2): stage 1 scores every
+    candidate with only the PREFIX ``prefix_dim`` dimensions (MRL
+    embeddings front-load information, so a short prefix is a faithful
+    coarse ranker at a fraction of the dot-product cost); stage 2
+    re-ranks just the ``k_coarse`` survivors with the exact full-dim
+    cosine.
+
+    Exactness: on integer codes both the coarse prefix dot and the
+    full-dim dot are exact BIGINTs, ranks break ties on (score desc,
+    id), and the final cosine dot/√(n²·n²) is the bit-identical
+    unrounded-double doctrine — the whole cascade sits under the value
+    oracle.
+
+    Scale shape: the coarse pass is a broadcast of the bounded query
+    frame onto one candidate scan (prefix slice → the scan reads and
+    multiplies dim/prefix_dim× less per row); only |Q|·k_coarse rows
+    reach the full-dim stage, so the expensive scoring never touches
+    the corpus.  The per-query rank window shuffles |Q|·|C| coarse
+    rows here — at production scale swap the window for the
+    partition-local top-k + final window that :func:`cosine_topk`
+    uses (truncation-safe, the score matrix never shuffles).
+
+    Returns (query_id, rk, vec_id, coarse_dot, cos), rk = 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    from spark_tensors_spark.functions.columns import cosine_col
+
+    def _prefix_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, prefix_dim),
+                F.slice(b, 1, prefix_dim),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        )
+
+    qf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_codes_col).alias("_qc"),
+    )
+    coarse = (
+        codes_df.select(F.col(id_col).alias("vec_id"), F.col(codes_col))
+        .crossJoin(F.broadcast(qf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _prefix_dot(F.col(codes_col), F.col("_qc")).alias(
+                "coarse_dot"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_dot"), F.asc("vec_id")
+    )
+    survivors = coarse.withColumn(
+        "_r1", F.row_number().over(w1)
+    ).filter(F.col("_r1") <= k_coarse)
+    rer = (
+        survivors.join(
+            codes_df.select(
+                F.col(id_col).alias("vec_id"), F.col(codes_col)
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "coarse_dot",
+            cosine_col(codes_col, "_qc").alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "coarse_dot", "cos")
+    )

@@ -1525,6 +1525,26 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (`similarity.matryoshka_topk`,
+    Kusupati et al. 2022): coarse top-64 by the 16-dim PREFIX dot,
+    exact full-64-dim cosine re-rank to top-10 — the adaptive-retrieval
+    cascade MRL embeddings exist for (score with 1/4 of the dims, pay
+    full-dim cost only on survivors).  On int8 codes both stages'
+    dots are exact BIGINTs and the final unrounded cosine is
+    bit-identical cross-engine, so the whole cascade — coarse ranks,
+    survivor set, re-ranked order — sits under the value oracle.
+    Queries = vec_id % 500 == 0."""
+    codes = _int8_codes(spark, sf_dir)
+    queries = codes.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qcodes"),
+    )
+    return similarity.matryoshka_topk(
+        codes, queries, prefix_dim=16, k_coarse=64, k=10
+    ).orderBy("query_id", "rk")
+
+
 def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversification through the
     PRODUCTION plan (candidate×vector equi-join + one applyInPandas
@@ -1836,6 +1856,7 @@ QUERIES = {
     "emb_pca_moments": emb_pca_moments,
     "emb_ann_ivf_recall": emb_ann_ivf_recall,
     "emb_near_dup_bucketed": emb_near_dup_bucketed,
+    "emb_matryoshka_topk": emb_matryoshka_topk,
     "doc_simhash_candidates": doc_simhash_candidates,
     "emb_mmr_rerank": emb_mmr_rerank,
     # invariant-oracled (cov(white) = I; eigenbasis not SQL-expressible)
@@ -3479,6 +3500,55 @@ ORDER BY cluster_id, dim
     # shipped UNROUNDED (identical expression tree dot/sqrt(na2*nb2) on
     # exact-integer inputs → bit-identical doubles; the driver's
     # normalize rounds both sides identically)
+    # Matryoshka cascade: 16-dim prefix dot -> top-64 -> exact 64-dim
+    # cosine re-rank -> top-10; all integer dots, unrounded cosine
+    "emb_matryoshka_topk": _ANN_CODES_CTE + """,
+        qry AS (
+            SELECT vec_id AS query_id, codes AS qcodes
+            FROM q WHERE vec_id % 500 = 0
+        ),
+        coarse AS (
+            SELECT qry.query_id, q.vec_id,
+                   CAST(list_sum(list_transform(range(16), j ->
+                       q.codes[CAST(j AS INT) + 1]
+                       * qry.qcodes[CAST(j AS INT) + 1])) AS BIGINT)
+                       AS coarse_dot
+            FROM q CROSS JOIN qry
+            WHERE q.vec_id <> qry.query_id
+        ),
+        survivors AS (
+            SELECT query_id, vec_id, coarse_dot
+            FROM coarse
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY coarse_dot DESC, vec_id) <= 64
+        ),
+        rer AS (
+            SELECT s.query_id, s.vec_id, s.coarse_dot,
+                   CAST(list_sum(list_transform(range(64), j ->
+                       c.codes[CAST(j AS INT) + 1]
+                       * qq.qcodes[CAST(j AS INT) + 1])) AS DOUBLE)
+                   / SQRT(
+                       CAST(list_sum(list_transform(range(64), j ->
+                           c.codes[CAST(j AS INT) + 1]
+                           * c.codes[CAST(j AS INT) + 1])) AS DOUBLE)
+                     * CAST(list_sum(list_transform(range(64), j ->
+                           qq.qcodes[CAST(j AS INT) + 1]
+                           * qq.qcodes[CAST(j AS INT) + 1])) AS DOUBLE)
+                   ) AS cos
+            FROM survivors s
+            JOIN q c ON c.vec_id = s.vec_id
+            JOIN qry qq ON qq.query_id = s.query_id
+        )
+        SELECT query_id, rk, vec_id, coarse_dot, cos
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+            FROM rer
+        )
+        WHERE rk <= 10
+        ORDER BY query_id, rk
+    """,
     "emb_near_dup_bucketed": _ANN_CODES_CTE + f""",
         b12 AS (
             SELECT vec_id, codes,

@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     # vocab-bounded cost/log-ratio tables (unigram EM fit / DSIR)
     "doc_unigram_fit",
     "doc_dsir_weights",
+    # bounded query frame (vec_id % 500) broadcast onto the coarse
+    # prefix-dot scan — the Matryoshka cascade's cheap stage
+    "emb_matryoshka_topk",
     # 1-row count scalar (n) cross-joined into the variance numerators
     "emb_pca_topvar",
     # J7 eval expansion: entity matrix broadcast by design (closure/

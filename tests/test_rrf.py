@@ -40,3 +40,80 @@ def test_rrf_many_lists(spark):
     row = rrf_fuse(lists, k=60).first()
     assert row["n_lists"] == 4
     assert row["best_rank"] == 1
+
+
+def test_matryoshka_full_prefix_equals_brute_force(spark):
+    """Degenerate-cascade equivalence: with prefix_dim = dim and
+    k_coarse >= |corpus| the Matryoshka cascade admits everything
+    coarse and must return EXACTLY the brute-force cosine top-k."""
+    import numpy as np
+
+    from spark_tensors_spark.functions.columns import cosine_col
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from spark_tensors_spark.pipeline.similarity import matryoshka_topk
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [int(x) for x in rng.integers(-5, 6, 8)]) for i in range(40)
+    ]
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<long>")
+    queries = codes.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    got = {
+        (r.query_id, r.rk): r.vec_id
+        for r in matryoshka_topk(
+            codes, queries, prefix_dim=8, k_coarse=1000, k=5
+        ).collect()
+    }
+    brute = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine_col("codes", "qcodes").alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    want = {(r.query_id, r.rk): r.vec_id for r in brute.collect()}
+    assert got == want
+
+
+def test_matryoshka_reranked_are_coarse_survivors(spark):
+    """Every returned row must come from the coarse top-k_coarse of its
+    query (the cascade can only narrow, never resurrect)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from spark_tensors_spark.pipeline.similarity import matryoshka_topk
+
+    rng = np.random.default_rng(12)
+    rows = [
+        (i, [int(x) for x in rng.integers(-5, 6, 8)]) for i in range(60)
+    ]
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<long>")
+    queries = codes.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    out = matryoshka_topk(
+        codes, queries, prefix_dim=4, k_coarse=10, k=10
+    ).collect()
+    assert 0 < len(out) <= 10
+    # coarse stage replicated by hand on the prefix dots
+    qvec = np.array(rows[0][1][:4])
+    dots = {
+        i: int(np.dot(np.array(v[:4]), qvec)) for i, v in rows if i != 0
+    }
+    coarse10 = set(
+        sorted(dots, key=lambda i: (-dots[i], i))[:10]
+    )
+    assert {r.vec_id for r in out} <= coarse10
