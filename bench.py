@@ -28,12 +28,19 @@ def _noisy_queries(timings: dict) -> set:
 
     here = os.path.dirname(os.path.abspath(__file__))
 
+    def _round_no(path: str) -> int:
+        import re
+
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     def _rounds(pattern: str) -> list:
         # Driver records wrap the compact line under "parsed" (slowest
         # queries only, queries_truncated=True); builder-local records
         # are the full per-query dict at top level. Accept both.
+        # Sort by round NUMBER, not lexically — r7 > r13 lexically.
         out = []
-        for path in sorted(glob.glob(os.path.join(here, pattern))):
+        for path in sorted(glob.glob(os.path.join(here, pattern)), key=_round_no):
             try:
                 rec = json.load(open(path))
             except (OSError, ValueError):

@@ -22,9 +22,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    if len(sys.argv) not in (1, 2, 4):
+        print(
+            "usage: scale_curve.py [top_n] [lo_sf hi_sf]  "
+            "(scale args must be given together)",
+            file=sys.stderr,
+        )
+        return 2
     top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    lo_sf = sys.argv[2] if len(sys.argv) > 3 else "0.01"
-    hi_sf = sys.argv[3] if len(sys.argv) > 3 else "0.1"
+    lo_sf = sys.argv[2] if len(sys.argv) == 4 else "0.01"
+    hi_sf = sys.argv[3] if len(sys.argv) == 4 else "0.1"
     try:
         lo = json.load(open(os.path.join(ROOT, f"BENCH_FULL_sf{lo_sf}.json")))
         hi = json.load(open(os.path.join(ROOT, f"BENCH_FULL_sf{hi_sf}.json")))

@@ -936,7 +936,10 @@ def matryoshka_topk(
             F.zip_with(
                 F.slice(a, 1, prefix_dim),
                 F.slice(b, 1, prefix_dim),
-                lambda x, y: x * y,
+                # cast BEFORE multiplying: int*int products can wrap for
+                # general integer codes even though the int8-range
+                # declared query never does
+                lambda x, y: x.cast("long") * y.cast("long"),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x.cast("long"),

@@ -45,6 +45,12 @@ def _dense_sample(spark, sf_dir, budget: int):
     # sorts + three joins + their persists (~4× faster cold).  The new
     # ids are identical to the distributed row_number form: rank within
     # the sorted distinct id set.
+    if budget > 1_000_000:
+        raise ValueError(
+            f"sample budget {budget} exceeds the driver-side remap "
+            "threshold (1e6 rows); switch to the distributed "
+            "row_number-over-distinct-ids remap before raising it"
+        )
     rows = enc.orderBy(h).limit(budget).collect()
     arr = np.array(
         [[r["s_id"], r["p_id"], r["o_id"]] for r in rows], dtype=np.int64

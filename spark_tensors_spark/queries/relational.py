@@ -911,17 +911,27 @@ def q27_fastss_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (covers every substitution, insertion, and deletion), and only
     candidates pay the exact levenshtein verify.
 
-    Scale shape: an O(n·L) explode and an equi-join on the variant
-    string — shuffle-partitioned by variant, no quadratic term; the
-    verify runs on candidate pairs only (bucket sizes are bounded by
-    alphabet × name-template collisions, not by n).  Output is the 100
-    lexicographically-smallest verified pairs plus the total pair
-    count, so result size is bounded at any SF.
+    Scale shape (position-refined FastSS, r14): a bare join on the
+    variant string explodes on templated names (`Customer#00000NNNN`
+    makes delete-one-digit variants collide en masse — the r13 sf1.0
+    decade measured 17.2×).  The refinement is LOSSLESS: a pair at
+    Levenshtein ≤ 1 is either (a) a substitution pair — both names
+    yield the same variant by deleting the SAME position i (the
+    differing one), or (b) an indel/equal pair — one name IS a
+    delete-variant of the other, i.e. matches the other side's i=0
+    self-row.  So two narrow equi-joins cover every true pair: join A
+    on (v, i) with i ≥ 1 (bucket ≤ |alphabet| names — the inserts of
+    one char at position i into v), and join B of the n self-rows
+    against all variants on v (left bucket ≈ 1 name per string).  No
+    bucket grows with n, candidates ⊆ the single-join candidate set,
+    and the exact levenshtein verify makes the OUTPUT identical — the
+    oracle is unchanged.  Output is the 100 lexicographically-smallest
+    verified pairs plus the total pair count, bounded at any SF.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
-    # variant rows carry ONLY (key, variant): the candidate dedup
+    # variant rows carry ONLY (key, pos, variant): the candidate dedup
     # shuffles narrow int pairs, not two 36-char names per row (the
     # wide-distinct form measured 2-3x slower at sf0.1); names attach
     # after dedup via two broadcast joins against the customer dim
@@ -938,15 +948,31 @@ def q27_fastss_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("v"),
-    ).select("c_custkey", "v")
-    left = variants.select(F.col("c_custkey").alias("k1"), "v")
-    right = variants.select(F.col("c_custkey").alias("k2"), "v")
-    cand = (
-        left.join(right, "v")
+    ).select("c_custkey", "_i", "v")
+    # join A: substitution pairs share (variant, delete-position)
+    va = variants.filter(F.col("_i") >= 1)
+    cand_sub = (
+        va.select(F.col("c_custkey").alias("k1"), "_i", "v")
+        .join(
+            va.select(F.col("c_custkey").alias("k2"), "_i", "v"),
+            ["v", "_i"],
+        )
         .filter(F.col("k1") < F.col("k2"))
         .select("k1", "k2")
-        .distinct()
     )
+    # join B: indel/equal pairs — one side's full name (i=0 self-row)
+    # equals a variant of the other
+    cand_indel = (
+        variants.filter(F.col("_i") == 0)
+        .select(F.col("c_custkey").alias("ka"), "v")
+        .join(variants.select(F.col("c_custkey").alias("kb"), "v"), "v")
+        .filter(F.col("ka") != F.col("kb"))
+        .select(
+            F.least("ka", "kb").alias("k1"),
+            F.greatest("ka", "kb").alias("k2"),
+        )
+    )
+    cand = cand_sub.union(cand_indel).distinct()
     a = cust.select(
         F.col("c_custkey").alias("k1"), F.col("c_name").alias("name_a")
     )

@@ -152,7 +152,10 @@ def test_giant_bucket_guard_is_subset_and_noop_under_cap(spark):
 
 def test_declared_bucketed_near_dup_values_exact(spark):
     """The DECLARED emb_near_dup_bucketed query (top-50 in-bucket
-    candidates, int8 codes + pseudo_planes(8, 64), unrounded cosine):
+    candidates, int8 codes + pseudo_planes(12, 64) with the
+    max_bucket=128 giant-bucket guard; at driver scales the cap never
+    engages and the low 8 plane bits match the pre-guard config,
+    unrounded cosine):
     non-empty, sorted by cosine desc, and every reported cosine is
     BIT-IDENTICAL to the numpy value dot/sqrt(na2*nb2) on the codes —
     the driver hash-gates the same values against the DuckDB oracle."""
