@@ -666,7 +666,21 @@ def jaccard_similarity_join(
 
     Returns (doc_a, doc_b, n_common, n_union) — all integers.
     """
-    toks = docs.select(
+    toks = _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
+    return _jaccard_pairs_from_toks(
+        toks,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        max_token_bucket=max_token_bucket,
+    )
+
+
+def _jaccard_tokenize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, toks) with the distinct lowercase whitespace tokens;
+    empty-token docs dropped (Jaccard undefined)."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
             F.filter(
@@ -675,6 +689,17 @@ def jaccard_similarity_join(
         ).alias("toks"),
     ).filter(F.size("toks") > 0)
 
+
+def _jaccard_pairs_from_toks(
+    toks: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    max_token_bucket: int | None,
+) -> DataFrame:
+    """Prefix+length-filtered verified pair join on a pre-tokenized
+    (doc_id, toks) frame — the body of :func:`jaccard_similarity_join`,
+    split out so :func:`jaccard_topk` can run it on group
+    REPRESENTATIVES instead of raw docs."""
     exploded = toks.select("doc_id", F.explode("toks").alias("tok"))
     # Rarity order WITHOUT a dense global rank: the sort key is the
     # struct (count, tok) itself — a total deterministic order (ties by
@@ -775,3 +800,119 @@ def jaccard_similarity_join(
         )
     )
     return verified
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    k: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_bucket: int | None = 1024,
+) -> DataFrame:
+    """Bounded-output set-similarity join: each doc's ``k`` most
+    Jaccard-similar neighbors among pairs clearing
+    ``threshold_num/threshold_den`` — the per-doc-top-k variant of
+    :func:`jaccard_similarity_join` (VERDICT r13: on templated corpora
+    the all-pairs answer is itself ~quadratic; a top-k contract keeps
+    the OUTPUT linear in n while sharing the prefix + length-filter
+    candidate machinery, so the scan-side shape is unchanged).
+
+    Ranking is per-doc ``row_number`` over (jaccard DESC, neighbor id
+    ASC): jaccard is the single IEEE division n_common/n_union of two
+    exact integers — bit-identical across engines — and the id
+    tie-break makes the order total, so the top-k rows are
+    deterministic and oracle-hashable.
+
+    IDENTICAL-SET GROUPING (the sub-quadratic core): templated corpora
+    concentrate the high-τ pair mass in groups of docs with IDENTICAL
+    token sets (at sf1.0/τ=0.97 ALL 118k qualifying pairs were
+    identical-set pairs, max group 451 — Σg² dominates any naive
+    verify).  Docs are grouped by their sorted token array (exact key,
+    no hash collisions); the prefix+length-filtered verify runs on ONE
+    representative per group (J(x,y)=1 ⟺ equal sets, so cross-group
+    jaccard is a function of the groups alone); candidates per doc are
+    then only (a) the k+1 smallest-id members of its own group (J=1
+    beats every cross-group J<1, ties by id) and (b) the k smallest-id
+    members of each verified similar group.  Every true top-k row is
+    among these by the ranking order, so the result is EXACTLY the
+    brute-force answer while pairwise work drops from Σg² to m-rep
+    pairs + O(k·n) expansion.
+
+    Returns (doc_id, rk, nbr, n_common, n_union), rk = 1..k, ordered
+    within each doc by similarity.
+    """
+    from pyspark.sql.window import Window
+
+    t = _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
+    skey = t.select(
+        "doc_id", "toks", F.array_sort("toks").alias("skey")
+    )
+    wg = Window.partitionBy("skey")
+    wgo = wg.orderBy("doc_id")
+    mem = (
+        skey.withColumn("gid", F.min("doc_id").over(wg))
+        .withColumn("irk", F.row_number().over(wgo))
+        .withColumn("n_tok", F.size("toks"))
+    )
+    reps = mem.filter(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid").alias("doc_id"), "toks"
+    )
+    cross = _jaccard_pairs_from_toks(
+        reps,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        max_token_bucket=max_token_bucket,
+    )
+    members = mem.select("doc_id", "gid", "irk", "n_tok")
+    # (a) in-group: J = 1 exactly; k+1 heads cover "k smallest ids
+    # excluding self" for every member
+    heads_in = members.filter(F.col("irk") <= k + 1).select(
+        "gid", F.col("doc_id").alias("nbr")
+    )
+    cand_in = (
+        members.select("doc_id", "gid", "n_tok")
+        .join(heads_in, "gid")
+        .filter(F.col("doc_id") != F.col("nbr"))
+        .select(
+            "doc_id",
+            "nbr",
+            F.col("n_tok").alias("n_common"),
+            F.col("n_tok").alias("n_union"),
+        )
+    )
+    # (b) cross-group: group-level verified pairs expanded to the k
+    # smallest-id members on each side (only those can rank)
+    sym_g = cross.select(
+        F.col("doc_a").alias("gid"),
+        F.col("doc_b").alias("ogid"),
+        "n_common",
+        "n_union",
+    ).unionByName(
+        cross.select(
+            F.col("doc_b").alias("gid"),
+            F.col("doc_a").alias("ogid"),
+            "n_common",
+            "n_union",
+        )
+    )
+    heads_k = members.filter(F.col("irk") <= k).select(
+        F.col("gid").alias("ogid"), F.col("doc_id").alias("nbr")
+    )
+    cand_cross = (
+        members.select("doc_id", "gid")
+        .join(sym_g, "gid")
+        .join(heads_k, "ogid")
+        .select("doc_id", "nbr", "n_common", "n_union")
+    )
+    sym = cand_in.unionByName(cand_cross)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("n_common").cast("double") / F.col("n_union")),
+        F.asc("nbr"),
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "nbr", "n_common", "n_union")
+    )

@@ -812,7 +812,13 @@ def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10·|A∩B| ≥ 9·|A∪B|) — zero float surface, so the oracle matches
     bit-for-bit.  The no-false-negative complement to the MinHash-LSH
     family above.  Declared form disables the hot-token cap (the scale
-    knob) so semantics are exactly the brute-force oracle's."""
+    knob) so semantics are exactly the brute-force oracle's.
+
+    FIXTURE-BOUNDED (VERDICT r13): at τ=9/10 on this templated corpus
+    the TRUE answer is ~8% of n² — the output itself is quadratic, so
+    no algorithm makes this declaration linear at 100×.  The
+    scale-bounded contract is doc_jaccard_topk (per-doc top-k at
+    τ=97/100, identical-set-grouped verify)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 11 == 0
     )
@@ -829,6 +835,38 @@ def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def doc_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output set-similarity join (VERDICT r13 item 2): each
+    doc's 3 most Jaccard-similar neighbors among pairs with
+    token-Jaccard ≥ 97/100, on a doc_id%5 subset — same Vernica
+    prefix+length-filter candidate machinery as doc_jaccard_join, but
+    a per-doc top-k contract so the OUTPUT grows linearly in n where
+    the all-pairs answer on this templated corpus is ~quadratic, and a
+    threshold high enough (0.97) that the prefix filter prunes the
+    same-template 0.87-0.93 mass BEFORE verification — at 9/10 the
+    verified set itself is ~8% of n² and no top-k can un-pay it
+    (measured 48×/decade; 97/100 measures ~5×/decade).
+    Ranking is integer-exact up to one IEEE division (n_common/n_union)
+    with an id tie-break, so rows are deterministic and hashable.
+    Declared form disables the hot-token cap so semantics are exactly
+    the brute-force oracle's."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    docs = ensure_scan_parallelism(docs)
+    topk = dedup.jaccard_topk(
+        docs, k=3, threshold_num=97, threshold_den=100,
+        max_token_bucket=None,
+    )
+    return topk.select(
+        "doc_id",
+        F.col("rk").cast("long").alias("rk"),
+        "nbr",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_union").cast("long").alias("n_union"),
+    ).orderBy("doc_id", "rk")
 
 
 def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,6 +1877,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_ngram_topk": doc_ngram_topk,
     "doc_jaccard_join": doc_jaccard_join,
+    "doc_jaccard_topk": doc_jaccard_topk,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "emb_gram_int8": emb_gram_int8,
     "doc_pii_scrub": doc_pii_scrub,
@@ -2487,6 +2526,46 @@ ORACLES = {
         WHERE 10 * len(list_intersect(a.toks, b.toks))
               >= 9 * (a.n + b.n - len(list_intersect(a.toks, b.toks)))
         ORDER BY doc_a, doc_b
+    """,
+    "doc_jaccard_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS toks
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        t2 AS (
+            SELECT doc_id, toks, len(toks) AS n
+            FROM toks WHERE len(toks) > 0
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.toks, b.toks)) AS c,
+                   a.n + b.n - len(list_intersect(a.toks, b.toks)) AS u
+            FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.toks, b.toks))
+                  >= 97 * (a.n + b.n
+                           - len(list_intersect(a.toks, b.toks)))
+        ),
+        sym AS (
+            SELECT doc_a AS doc_id, doc_b AS nbr, c, u FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS nbr, c, u FROM pairs
+        ),
+        rk_t AS (
+            SELECT doc_id, nbr, c, u,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(c AS DOUBLE) / u DESC, nbr ASC
+                   ) AS rk
+            FROM sym
+        )
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr,
+               CAST(c AS BIGINT) AS n_common,
+               CAST(u AS BIGINT) AS n_union
+        FROM rk_t WHERE rk <= 3
+        ORDER BY doc_id, rk
     """,
     "doc_winnow_fingerprints": """
         WITH codes_t AS (

@@ -306,6 +306,58 @@ def test_jaccard_join_matches_bruteforce(spark):
     assert capped <= set(want)
 
 
+def test_jaccard_topk_matches_bruteforce(spark):
+    """Identical-set-grouped top-k ≡ brute-force per-doc top-k ranking
+    on a corpus that exercises BOTH candidate families: in-group (a
+    4-member identical group — larger than k, so the k+1-head cut
+    engages) and cross-group (near-dup pairs between distinct sets —
+    absent from the sf fixture at the declared τ, so this test is the
+    coverage for cand_cross)."""
+    from spark_tensors_spark.pipeline.dedup import jaccard_topk
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        # near-dup of the group (7/9 jaccard) — cross-group candidate
+        (4, "alpha beta gamma delta epsilon zeta eta iota"),
+        # second distinct group of two
+        (5, "one two three four five six seven eight nine ten"),
+        (6, "one two three four five six seven eight nine ten"),
+        # near-dup of that group (9/11)
+        (7, "one two three four five six seven eight nine eleven"),
+        (8, "totally unrelated vocabulary in this document"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    k, tn, td = 2, 3, 5
+    got = {
+        (r.doc_id, r.rk): (r.nbr, r.n_common, r.n_union)
+        for r in jaccard_topk(
+            docs, k=k, threshold_num=tn, threshold_den=td,
+            max_token_bucket=None,
+        ).collect()
+    }
+    toks = {i: set(t.lower().split()) for i, t in texts}
+    want = {}
+    for a in toks:
+        nbrs = []
+        for b in toks:
+            if b == a:
+                continue
+            c = len(toks[a] & toks[b])
+            u = len(toks[a] | toks[b])
+            if td * c >= tn * u:
+                nbrs.append((-(c / u), b, c, u))
+        for rk, (_, b, c, u) in enumerate(sorted(nbrs)[:k], start=1):
+            want[(a, rk)] = (b, c, u)
+    assert got == want
+    # in-group rows rank above cross-group (J=1 beats any J<1)
+    assert got[(0, 1)] == (1, 8, 8) and got[(0, 2)] == (2, 8, 8)
+    # doc 4's best neighbors are cross-group members of the big group
+    assert got[(4, 1)][0] == 0 and got[(4, 2)][0] == 1
+
+
 def test_hard_negative_topk_masks_labels(spark):
     """No same-label neighbor ever surfaces; ranks are contiguous; the
     mined negative really is the most similar other-label vector."""
