@@ -996,9 +996,20 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is set where the rule fires — same machinery); emits
     (cluster_id, removed_id, kept_id, n_dups).  Integer dot products →
     the UNROUNDED cosine compare is bit-identical cross-engine (r5
-    dyadic doctrine)."""
+    dyadic doctrine).
+
+    K SCALES WITH THE CORPUS (VERDICT r13 item 3): K =
+    clamp(⌈n/512⌉, 16, 4096) — fixed EXPECTED cluster size, so the
+    in-cluster Σc² term stays linear as n grows (the SemDeDup-
+    prescribed first mitigation; the max_cluster LSH guard in
+    `semantic_dedup` remains the backstop for refuse-to-cluster skew).
+    The oracle replays the data-derived K from the same count, so the
+    compare stays exact at every scale.  The one .count() is a scalar
+    over the memoized codes frame, not data-scaled driver state."""
     codes = _int8_codes(spark, sf_dir)
-    cents = similarity.pseudo_centroids(16, 64).astype(int)
+    n = codes.count()
+    k_cells = max(16, min(4096, -(-n // 512)))
+    cents = similarity.pseudo_centroids(k_cells, 64).astype(int)
     return dedup.semantic_dedup(
         codes, cents, threshold=0.35, id_col="vec_id", codes_col="codes"
     ).orderBy("cluster_id", "removed_id")
@@ -3538,6 +3549,13 @@ ORDER BY cluster_id, dim
     # SemDeDup: 16-pseudo-centroid assignment (exact integer L2²) then
     # within-cluster cosine on exact-integer dots, compare UNROUNDED
     "emb_semantic_dedup": _ANN_CODES_CTE + """,
+        kk AS (
+            -- data-derived K = clamp(ceil(n/512), 16, 4096), replaying
+            -- the Spark side's corpus-scaled cluster count
+            SELECT UNNEST(range(greatest(16, least(4096,
+                CAST(ceil(count(*) / 512.0) AS BIGINT))))) AS k
+            FROM q
+        ),
         celld AS (
             SELECT vec_id, codes, CAST(cc.k AS BIGINT) AS k,
                    list_sum(list_transform(range(64), j ->
@@ -3546,7 +3564,7 @@ ORDER BY cluster_id, dim
                        * (codes[CAST(j AS INT) + 1]
                           - ((cc.k * 37 + j * 13 + 11) % 161 - 80))))
                        AS d2
-            FROM q CROSS JOIN (SELECT UNNEST(range(16)) AS k) cc
+            FROM q CROSS JOIN kk cc
         ),
         a AS (
             SELECT vec_id, codes, k AS cluster_id,
