@@ -1044,6 +1044,49 @@ def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_clf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier fit (`pipeline/quality_clf.py`) —
+    the GPT-3/CCNet trained-filter curation stage: hashed-feature
+    (64 md5 buckets + bias) logistic regression, positives = lang='en'
+    docs, fit by TWO full-batch gradient steps on the doc_id%5≠0 train
+    split (docs with doc_id%5=0 are the held-out set the AUC golden
+    test scores).  Hard-sigmoid surrogate + power-of-two lr keep every
+    gradient and weight an exact dyadic double (the exactstep doctrine
+    generalized beyond KGE), so DuckDB replays the whole trajectory.
+
+    Output: 'W' rows (step, feat, summed grad, updated weight) for
+    both steps and 'L' rows (step, Σp, Σ(p−y)² Brier sum, n_docs)."""
+    from spark_tensors_spark.pipeline import quality_clf
+
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 5 != 0)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    feats = quality_clf.hashed_features(docs, n_features=64)
+    per_step, stats, _w = quality_clf.exact_fit_steps(
+        feats, labels, n_steps=2, lr_bits=10
+    )
+    w_rows = per_step.select(
+        F.lit("W").alias("kind"),
+        "step",
+        F.col("feat").alias("id"),
+        F.col("grad").alias("v1"),
+        F.col("w").alias("v2"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    l_rows = stats.select(
+        F.lit("L").alias("kind"),
+        "step",
+        F.lit(-1).cast("long").alias("id"),
+        F.col("sum_p").alias("v1"),
+        F.col("brier").alias("v2"),
+        F.col("n_docs").alias("n"),
+    )
+    return w_rows.unionByName(l_rows).orderBy("kind", "step", "id")
+
+
 def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round over the corpus: adjacent character-pair
     counts weighted by word frequency, top 20 (count desc, pair asc).
@@ -1870,6 +1913,7 @@ QUERIES = {
     "emb_kmeans_iters": emb_kmeans_iters,
     "emb_semantic_dedup": emb_semantic_dedup,
     "doc_quality_histogram": doc_quality_histogram,
+    "doc_quality_clf_fit": doc_quality_clf_fit,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_pack_sequences": doc_pack_sequences,
@@ -2953,6 +2997,72 @@ ORDER BY cluster_id, dim
                COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
         FROM c
         GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+    "doc_quality_clf_fit": """
+        WITH train AS (
+            SELECT doc_id, lower(text) AS lt,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lt, '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM train
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id, feat, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                             % 64 AS feat
+                  FROM tok)
+            GROUP BY doc_id, feat
+            UNION ALL
+            SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT)
+            FROM train
+        ),
+        lab AS MATERIALIZED (SELECT doc_id, y FROM train),
+        -- step 1: w0 = 0 so p = 1/2 for every doc
+        g1 AS MATERIALIZED (
+            SELECT feat, SUM((0.5 - y) * cnt) AS grad
+            FROM feats JOIN lab USING (doc_id) GROUP BY feat
+        ),
+        w1 AS MATERIALIZED (SELECT feat, -grad / 1024 AS w FROM g1),
+        z2 AS MATERIALIZED (
+            SELECT f.doc_id, SUM(f.cnt * w.w) AS z
+            FROM feats f JOIN w1 w USING (feat) GROUP BY f.doc_id
+        ),
+        p2 AS MATERIALIZED (
+            SELECT doc_id, least(greatest(z / 4 + 0.5, 0), 1) AS p
+            FROM z2
+        ),
+        g2 AS MATERIALIZED (
+            SELECT feat, SUM((p2.p - lab.y) * cnt) AS grad
+            FROM feats JOIN p2 USING (doc_id) JOIN lab USING (doc_id)
+            GROUP BY feat
+        ),
+        w2 AS MATERIALIZED (
+            SELECT w1.feat, w1.w - g2.grad / 1024 AS w
+            FROM w1 JOIN g2 ON w1.feat = g2.feat
+        )
+        SELECT 'W' AS kind, CAST(1 AS BIGINT) AS step, g1.feat AS id,
+               g1.grad AS v1, w1.w AS v2, CAST(0 AS BIGINT) AS n
+        FROM g1 JOIN w1 ON g1.feat = w1.feat
+        UNION ALL
+        SELECT 'W', CAST(2 AS BIGINT), g2.feat, g2.grad, w2.w,
+               CAST(0 AS BIGINT)
+        FROM g2 JOIN w2 ON g2.feat = w2.feat
+        UNION ALL
+        SELECT 'L', CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+               SUM(0.5), SUM((0.5 - y) * (0.5 - y)),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lab
+        UNION ALL
+        SELECT 'L', CAST(2 AS BIGINT), CAST(-1 AS BIGINT),
+               SUM(p), SUM((p - y) * (p - y)),
+               CAST(COUNT(*) AS BIGINT)
+        FROM p2 JOIN lab USING (doc_id)
+        ORDER BY kind, step, id
     """,
     "doc_quality_histogram": f"""
         WITH t AS (
