@@ -471,6 +471,34 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document repeated spans (`corpus.max_dup_spans`,
+    VERDICT r13 item 5 — Lee et al. 2022 exact-substring dedup on the
+    8-gram stream): maximal runs of consecutive flagged 8-gram
+    positions certify variable-length repeated spans.  Output: the 25
+    longest spans (ties → doc_id, start) + the total maximal-span
+    count; per-doc window only — no global sort of corpus data."""
+    from spark_tensors_spark.pipeline import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(docs)
+    spans = corpus.max_dup_spans(docs, n=8).localCheckpoint()
+    total = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_total")
+    )
+    return (
+        spans.select(
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+        .orderBy(F.col("n_tokens").desc(), "doc_id", "start_pos")
+        .limit(25)
+        .crossJoin(F.broadcast(total))
+    )
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (`similarity.hard_negative_topk`): for each
     anchor (vec_id % 50 == 0), the 3 most-cosine-similar vectors with a
@@ -1937,6 +1965,7 @@ QUERIES = {
     "emb_gram_int8": emb_gram_int8,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_dup_spans": doc_dup_spans,
+    "doc_max_dup_spans": doc_max_dup_spans,
     "doc_mixture_sample": doc_mixture_sample,
     "doc_temperature_mixture": doc_temperature_mixture,
     "doc_shard_export": doc_shard_export,
@@ -2482,6 +2511,45 @@ ORACLES = {
         FROM grams GROUP BY gram
         HAVING COUNT(DISTINCT doc_id) > 1
         ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 25
+    """,
+    "doc_max_dup_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tk FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7],
+                                   ' ') AS gram
+            FROM toks, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS u(i)
+            WHERE len(tk) >= 8
+        ),
+        dup AS MATERIALIZED (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        flagged AS MATERIALIZED (
+            SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS isle
+            FROM flagged
+        ),
+        spans AS MATERIALIZED (
+            SELECT doc_id, MIN(pos) AS start_pos,
+                   MAX(pos) - MIN(pos) + 8 AS n_tokens,
+                   COUNT(*) AS n_grams
+            FROM isl GROUP BY doc_id, isle
+        )
+        SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               t.n_spans_total
+        FROM spans CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_spans_total FROM spans
+        ) t
+        ORDER BY n_tokens DESC, doc_id, start_pos LIMIT 25
     """,
     "emb_hard_negatives": """
         WITH scored AS (

@@ -280,3 +280,53 @@ def test_zlib_compression_rollup_golden(spark):
     cols, out = normalize(df.columns, [tuple(r) for r in df.collect()])
     got = hashlib.md5(repr((cols, out)).encode()).hexdigest()
     assert (len(out), got) == (20, "b81109d991de1252ccdd08240e004afb")
+
+
+def test_max_dup_spans_property(spark):
+    """VERDICT r14 acceptance property: every maximal span consists
+    ONLY of flagged 8-grams (each window inside it appears in >=2
+    docs), and it is MAXIMAL (the window just before/after the run is
+    not flagged or out of range).  Crafted corpus: a 12-token shared
+    block (=> one 12-token span, 5 flagged windows) plus an 8-token
+    shared block, embedded in distinct filler."""
+    shared_a = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    shared_b = "t1 t2 t3 t4 t5 t6 t7 t8"
+    texts = [
+        (0, f"f0a f0b {shared_a} f0c f0d {shared_b} f0e"),
+        (1, f"g0a {shared_a} g0b g0c g0d"),
+        (2, f"h0a h0b h0c {shared_b} h0d h0e h0f"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    spans = C.max_dup_spans(docs, n=8).collect()
+    # flagged gram set, recomputed independently
+    toks = {i: t.split() for i, t in texts}
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, tk in toks.items():
+        for p in range(len(tk) - 7):
+            gram_docs[" ".join(tk[p : p + 8])].add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) > 1}
+
+    def flagged(i, pos1):  # 1-based start position
+        tk = toks[i]
+        p = pos1 - 1
+        if p < 0 or p + 8 > len(tk):
+            return False
+        return " ".join(tk[p : p + 8]) in dup
+
+    assert spans, "crafted dups must surface"
+    for r in spans:
+        # run structure: n_grams consecutive flagged windows
+        assert r.n_tokens == r.n_grams + 7
+        for p in range(r.start_pos, r.start_pos + r.n_grams):
+            assert flagged(r.doc_id, p), (r, p)
+        # maximality on both sides
+        assert not flagged(r.doc_id, r.start_pos - 1)
+        assert not flagged(r.doc_id, r.start_pos + r.n_grams)
+    # the 12-token shared block shows up as a 12-token span in docs 0,1
+    lens = {(r.doc_id, r.n_tokens) for r in spans}
+    assert (0, 12) in lens and (1, 12) in lens
+    assert (2, 8) in lens  # the 8-token block in doc 2
+    assert all(r.doc_id != 3 for r in spans)  # unique doc -> no spans
