@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     # 1-row total-pair-count scalar cross-joined onto the bounded
     # top-100 verified fuzzy pairs
     "q27_fastss_name_pairs",
+    # 1-row total-span-count scalar cross-joined onto the bounded
+    # top-25 maximal repeated spans
+    "doc_max_dup_spans",
     # |event_types|² pair enumeration (≤ 25 rows each side); everything
     # downstream of the pair frame is sketch-sized (≤ k rows per type)
     "ev_kmv_user_overlap",
