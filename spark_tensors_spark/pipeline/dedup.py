@@ -802,6 +802,109 @@ def _jaccard_pairs_from_toks(
     return verified
 
 
+def _identical_set_members(toks: DataFrame):
+    """Group docs by their EXACT token set (sorted array key — no hash,
+    no collisions).  Returns (mem, reps): mem = (doc_id, toks, skey,
+    gid, irk, n_tok) with gid = the group's smallest doc_id and irk =
+    the doc's id-rank within its group; reps = one (doc_id=gid, toks)
+    row per distinct set.  J(x,y)=1 ⟺ equal sets, so cross-group
+    jaccard is a function of the groups alone — the compression that
+    makes templated-corpus set joins sub-quadratic."""
+    from pyspark.sql.window import Window
+
+    skey = toks.select(
+        "doc_id", "toks", F.array_sort("toks").alias("skey")
+    )
+    wg = Window.partitionBy("skey")
+    wgo = wg.orderBy("doc_id")
+    mem = (
+        skey.withColumn("gid", F.min("doc_id").over(wg))
+        .withColumn("irk", F.row_number().over(wgo))
+        .withColumn("n_tok", F.size("toks"))
+    )
+    reps = mem.filter(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid").alias("doc_id"), "toks"
+    )
+    return mem, reps
+
+
+def jaccard_similarity_join_grouped(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_bucket: int | None = 1024,
+) -> DataFrame:
+    """:func:`jaccard_similarity_join` with the identical-set grouping
+    core of :func:`jaccard_topk`, SAME all-pairs output: in-group
+    pairs (identical sets, J=1 ≥ any τ ≤ 1) are emitted directly with
+    n_common = n_union = n_tok — no per-pair array intersect at all —
+    and cross-group pairs verify ONCE per (repA, repB) then expand to
+    |A|·|B| member pairs carrying the group-level (c, u).  On
+    templated corpora where duplicate groups grow with n this removes
+    the Σg² intersect term entirely; the remaining per-pair work is
+    pure output materialization, which any algorithm must pay.
+
+    Returns (doc_a, doc_b, n_common, n_union), doc_a < doc_b —
+    bit-identical to the ungrouped join (property-tested).
+    """
+    mem, reps = _identical_set_members(
+        _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
+    )
+    members = mem.select("doc_id", "gid", "n_tok")
+    # (a) in-group: every ordered pair within a group, J = 1 exactly
+    in_group = (
+        members.select(
+            "gid", F.col("doc_id").alias("doc_a"),
+            F.col("n_tok").alias("n_common"),
+        )
+        .join(
+            members.select("gid", F.col("doc_id").alias("doc_b")),
+            "gid",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.col("n_common").alias("n_union"),
+        )
+    )
+    # (b) cross-group: group-level verified pairs expanded to members
+    cross = _jaccard_pairs_from_toks(
+        reps,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        max_token_bucket=max_token_bucket,
+    )
+    cross_pairs = (
+        cross.select(
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
+            "n_common",
+            "n_union",
+        )
+        .join(
+            members.select(
+                F.col("gid").alias("ga"), F.col("doc_id").alias("ma")
+            ),
+            "ga",
+        )
+        .join(
+            members.select(
+                F.col("gid").alias("gb"), F.col("doc_id").alias("mb")
+            ),
+            "gb",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "n_common",
+            "n_union",
+        )
+    )
+    return in_group.unionByName(cross_pairs)
+
+
 def jaccard_topk(
     docs: DataFrame,
     k: int = 3,
@@ -845,19 +948,8 @@ def jaccard_topk(
     """
     from pyspark.sql.window import Window
 
-    t = _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
-    skey = t.select(
-        "doc_id", "toks", F.array_sort("toks").alias("skey")
-    )
-    wg = Window.partitionBy("skey")
-    wgo = wg.orderBy("doc_id")
-    mem = (
-        skey.withColumn("gid", F.min("doc_id").over(wg))
-        .withColumn("irk", F.row_number().over(wgo))
-        .withColumn("n_tok", F.size("toks"))
-    )
-    reps = mem.filter(F.col("doc_id") == F.col("gid")).select(
-        F.col("gid").alias("doc_id"), "toks"
+    mem, reps = _identical_set_members(
+        _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
     )
     cross = _jaccard_pairs_from_toks(
         reps,

@@ -846,13 +846,17 @@ def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TRUE answer is ~8% of n² — the output itself is quadratic, so
     no algorithm makes this declaration linear at 100×.  The
     scale-bounded contract is doc_jaccard_topk (per-doc top-k at
-    τ=97/100, identical-set-grouped verify)."""
+    τ=97/100).  Since r14 the declared form runs the identical-set-
+    GROUPED join (same output, property-tested ≡ the ungrouped form):
+    in-group pairs skip the per-pair intersect entirely and cross-group
+    pairs verify once per group pair, so the residual quadratic term is
+    pure output materialization."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 11 == 0
     )
     docs = ensure_scan_parallelism(docs)
     return (
-        dedup.jaccard_similarity_join(
+        dedup.jaccard_similarity_join_grouped(
             docs, threshold_num=9, threshold_den=10, max_token_bucket=None
         )
         .select(

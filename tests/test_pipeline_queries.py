@@ -304,6 +304,19 @@ def test_jaccard_join_matches_bruteforce(spark):
         ).collect()
     }
     assert capped <= set(want)
+    # the identical-set-grouped form is value-identical to brute force
+    # (in-group J=1 pairs + expanded cross-group pairs)
+    from spark_tensors_spark.pipeline.dedup import (
+        jaccard_similarity_join_grouped,
+    )
+
+    grouped = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union)
+        for r in jaccard_similarity_join_grouped(
+            docs, threshold_num=3, threshold_den=5, max_token_bucket=None
+        ).collect()
+    }
+    assert grouped == want
 
 
 def test_jaccard_topk_matches_bruteforce(spark):
