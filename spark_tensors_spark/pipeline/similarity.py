@@ -772,21 +772,49 @@ def kmeans_assign(
     task binary exactly the way a production Lloyd iteration ships its
     (tiny) centroids to every executor.
     """
-    dist_structs = []
-    for k in range(len(centroids)):
-        arr = F.array(*[F.lit(int(v)) for v in centroids[k]])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(codes_col), arr, lambda x, c: (x - c) * (x - c)
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        dist_structs.append(
-            F.struct(d2.alias("d2"), F.lit(k).cast("long").alias("k"))
-        )
-    best = F.least(*dist_structs)
-    return codes_df.withColumn(out_col, best["k"])
+    n_cents = len(centroids)
+    if n_cents <= 64:
+        # unrolled literal form: fastest at small K (measured ~2×
+        # the transform form), plan size K·d literals — fine here
+        dist_structs = []
+        for k in range(n_cents):
+            arr = F.array(*[F.lit(int(v)) for v in centroids[k]])
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col(codes_col), arr, lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            dist_structs.append(
+                F.struct(d2.alias("d2"), F.lit(k).cast("long").alias("k"))
+            )
+        best = F.least(*dist_structs)
+        return codes_df.withColumn(out_col, best["k"])
+    # large-K form (corpus-scaled K, e.g. semantic dedup's
+    # clamp(⌈n/512⌉, 16, 4096)): ONE 2-D centroid literal + a
+    # symbolic transform over k — expression size O(1) instead of
+    # O(K·d) (the unrolled form at K=4096 is ~262k plan nodes, which
+    # stalls analysis long before execution).  array_min over
+    # (d2, k) structs is the same lexicographic smaller-id tie rule;
+    # values are identical (equality pinned in tests).
+    cent_lit = F.lit([[int(v) for v in row] for row in centroids])
+    structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cents - 1)),
+        lambda k: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(codes_col),
+                    F.element_at(cent_lit, (k + 1).cast("int")),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("d2"),
+            k.cast("long").alias("k"),
+        ),
+    )
+    return codes_df.withColumn(out_col, F.array_min(structs)["k"])
 
 
 def kmeans_lloyd_step(

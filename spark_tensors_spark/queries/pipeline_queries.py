@@ -187,6 +187,9 @@ def emb_similarity_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+_CODES_CACHE: dict = {}
+
+
 def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, codes array<int>) — the cross-engine-exact int8
     quantization of the embedding column (the SAME projection the green
@@ -194,12 +197,30 @@ def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     on these integer vectors with fixed integer geometry
     (`similarity.pseudo_*`), which makes every bucket id, cell
     assignment, and (ADC) distance an exact integer on both engines —
-    the r4 kg_distmult doctrine applied to ANN."""
+    the r4 kg_distmult doctrine applied to ANN.
+
+    MEMOIZED + eagerly checkpointed (r14): consumers reference `codes`
+    many times (K distance expressions in kmeans_assign, explode +
+    assignment in the Lloyd step), and a collapsed projection re-runs
+    the quantize transform per reference — emb_kmeans_step measured
+    15.9 s at sf1.0 of which ~14 s was re-quantization; materializing
+    the tiny (n × d int) frame once cuts it to ~2 s.  Keyed on
+    applicationId like every derived-table memo (ROUND_NOTES r1 #2)."""
     from spark_tensors_spark.pipeline.quantize import scalar_quantize_int8
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load_table(spark, sf_dir, "embeddings")
     emb = ensure_scan_parallelism(emb)
-    return scalar_quantize_int8(emb).select("vec_id", "codes")
+    out = (
+        scalar_quantize_int8(emb)
+        .select("vec_id", "codes")
+        .localCheckpoint()
+    )
+    _CODES_CACHE[key] = out
+    return out
 
 
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,11 +1010,7 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only float is the final BIGINT/BIGINT mean division — the
     iterative-clustering primitive under a full value oracle via the
     r5 integer pseudo-geometry doctrine."""
-    from spark_tensors_spark.pipeline import quantize, similarity
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = ensure_scan_parallelism(emb)
-    codes = quantize.scalar_quantize_int8(emb).select("vec_id", "codes")
+    codes = _int8_codes(spark, sf_dir)
     return similarity.kmeans_lloyd_step(codes, 8, 64).orderBy(
         "cluster_id", "dim"
     )
