@@ -86,24 +86,35 @@ def logistic_loss_col(y: Column | str, score: Column | str) -> Column:
 
 
 def normalize_col(v: Column | str) -> Column:
-    """Unit-L2 row normalization (`param.py:108-112` ``normalize``)."""
+    """Unit-L2 row normalization (`param.py:108-112` ``normalize``).
+
+    The norm binds through ``array_repeat`` + ``zip_with`` so it is
+    evaluated ONCE per row — referencing it inside a per-element
+    ``transform`` lambda re-runs the aggregate for every element
+    (O(d²), the scalar_quantize_int8 r14 finding)."""
     v = _to_double(v)
     n = F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    return F.transform(v, lambda x: x / n)
+    return F.zip_with(
+        v, F.array_repeat(n, F.size(v)), lambda x, nn: x / nn
+    )
 
 
 def normless1_col(v: Column | str) -> Column:
     """Project rows with ‖x‖² > 1 onto the unit ball, leave others
-    untouched (`param.py:115-121` ``normless1``)."""
+    untouched (`param.py:115-121` ``normless1``); the squared norm
+    binds once via ``array_repeat`` (see :func:`normalize_col`)."""
     v = _to_double(v)
     sq = F.aggregate(
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    return F.when(sq > 1.0, F.transform(v, lambda x: x / F.sqrt(sq))).otherwise(v)
+    scaled = F.zip_with(
+        v, F.array_repeat(F.sqrt(sq), F.size(v)), lambda x, nn: x / nn
+    )
+    return F.when(sq > 1.0, scaled).otherwise(v)
 
 
 def hash_embedding_col(
