@@ -224,6 +224,9 @@ def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = transe_l1_sgd_step(
         tri, E, R, dim=STEP_DIM, n_entities=n_ent,
         margin=STEP_MARGIN, lr=STEP_LR, scored=scored,
+        # declared output is only the R slots + 1/37 entity sample:
+        # pre-filter the (kind, id)-keyed segment-sum/merge to it
+        slot_filter=lambda kind, id: (kind == "R") | (id % 37 == 0),
     )
     out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
     loss = _loss_as_row(
@@ -337,7 +340,7 @@ def _two_step_query(
     """ONE driver for every kge_*_two_step_exact query (and the
     n_steps≥3 loop variants) — ``n_steps`` chained full-batch SGD steps
     at lr=1 (the integer closure): each step's updated parameter TABLE
-    is rebuilt by `exactstep.rebuild_embedding_table` (a hash aggregate
+    is produced directly in array form (`exactstep._merge_update_tables`
     — never a driver matrix) and fed back as the next step's
     parameters, exactly the update→gather cycle the reference iterates
     (`TransE.scala:114-134`; `base.py:470-492`).  Output: final-step
@@ -348,9 +351,17 @@ def _two_step_query(
     Plan shape at 100 TB: n iterations of [gather joins on id →
     map-side-combinable segment-sums → join-merge update], with a
     localCheckpoint truncating lineage between them — the
-    `train/joinmerge.py` iteration topology."""
+    `train/joinmerge.py` iteration topology.  Since r14 the
+    INTERMEDIATE updates stay in array-TABLE form
+    (``exactstep._merge_update_tables``: element arithmetic identical
+    to the per-slot output folded through ``rebuild_embedding_table``,
+    equality test-pinned) so the chain never pays the dim× posexplode
+    → collect_list re-assembly between steps, and the FINAL step
+    pre-filters its segment-sum/merge to the declared
+    (p_kind | id%37) slot slice — both keyed on exactly (kind, id), so
+    pre-filtering equals filtering the output rows (guide §2.3:
+    shuffle fewer bytes / don't compute what you throw away)."""
     from spark_tensors_spark.queries.kg import _encoded
-    from spark_tensors_spark.train.exactstep import rebuild_embedding_table
 
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
@@ -363,11 +374,20 @@ def _two_step_query(
     E = (init_e or _pseudo_E)(spark, n_ent, dim)
     P = init_p(spark, rel.count(), dim)
 
-    def one_step(E, P, step_no: int):
+    def one_step(E, P, step_no: int, last: bool):
         scored = gather_fn(tri, E, P, dim, n_ent, margin).localCheckpoint()
         upd = step_fn(
             tri, E, P, dim=dim, n_entities=n_ent,
             margin=margin, lr=1.0, scored=scored,
+            # final step: only the declared slot slice is computed
+            # (segment-sum + merge pre-filtered on the (kind, id) key);
+            # intermediate steps: full updated parameter TABLES
+            as_tables=not last,
+            slot_filter=(
+                (lambda kind, id: (kind == p_kind) | (id % 37 == 0))
+                if last
+                else None
+            ),
         )
         loss = _loss_as_row(
             loss_fn(
@@ -380,13 +400,14 @@ def _two_step_query(
     losses = []
     step_out = None
     for k in range(1, n_steps + 1):
-        step_out, loss = one_step(E, P, k)
+        step_out, loss = one_step(E, P, k, k == n_steps)
         losses.append(loss)
         if k < n_steps:
             # iteration barrier: lineage reset between chained steps
-            step_out = step_out.localCheckpoint()
-            E = rebuild_embedding_table(step_out, "E")
-            P = rebuild_embedding_table(step_out, p_kind)
+            # (array-form tables: (n_ent+n_rel) rows, not ×dim slots)
+            tables = step_out.localCheckpoint()
+            E = tables.filter(F.col("kind") == "E").select("id", "vec")
+            P = tables.filter(F.col("kind") == p_kind).select("id", "vec")
     out = step_out.filter(
         (F.col("kind") == p_kind) | (F.col("id") % 37 == 0)
     ).withColumn("step", F.lit(n_steps).cast("long"))
@@ -658,6 +679,7 @@ def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = rescal_bilinear_sgd_step(
         tri, E, W, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
         lr=STEP_LR, scored=scored,
+        slot_filter=lambda kind, id: (kind == "W") | (id % 37 == 0),
     )
     out = upd.filter((F.col("kind") == "W") | (F.col("id") % 37 == 0))
     loss = _loss_as_row(
@@ -800,6 +822,7 @@ def kge_hole_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = hole_ccorr_sgd_step(
         tri, E, R, dim=d, n_entities=n_ent, margin=PAIR_MARGIN,
         lr=STEP_LR, scored=scored,
+        slot_filter=lambda kind, id: (kind == "R") | (id % 37 == 0),
     )
     out = upd.filter((F.col("kind") == "R") | (F.col("id") % 37 == 0))
     loss = _loss_as_row(

@@ -105,6 +105,8 @@ def transe_l1_sgd_step(
     margin: int = 4,
     lr: float = 0.25,
     scored: DataFrame | None = None,
+    as_tables: bool = False,
+    slot_filter=None,
 ) -> DataFrame:
     """One full-batch L1-TransE SGD step over integer embeddings.
 
@@ -129,12 +131,22 @@ def transe_l1_sgd_step(
     ``_gather_and_score`` frame — pass the SAME one to the loss
     summary so the gather pipeline is planned once, not once per
     consumer.
+
+    ``as_tables``: return the updated parameters directly as array
+    TABLES (kind, id, vec) — arithmetic identical to the per-slot
+    output folded through ``rebuild_embedding_table``, but without the
+    dim× posexplode → collect_list round-trip (used between chained
+    steps; requires integer-closed lr).  ``slot_filter``: optional
+    ``(kind_col, id_col) -> Column`` predicate applied to the gradient
+    contributions AND the parameter table before the merge — valid
+    because both the segment-sum and the update are keyed on exactly
+    (kind, id), so pre-filtering equals post-filtering the output rows
+    (used when the caller only declares a (kind, id)-filtered slice).
     """
     if scored is None:
         scored = _gather_and_score(
             triples, entity_emb, relation_emb, n_entities, margin
         )
-    zero = F.lit(0).cast("long")
 
     # margin filter: gradients flow only through violations (P4 shape)
     viol = scored.filter(F.col("raw_loss") > 0)
@@ -169,55 +181,23 @@ def transe_l1_sgd_step(
         ).alias("c")
     ).select("c.kind", "c.id", "c.g")
 
+    if slot_filter is not None:
+        contrib = contrib.filter(slot_filter(F.col("kind"), F.col("id")))
+
     # segment-sum without exploding dims (A6 shape, trainer.py doctrine)
-    grads = (
-        contrib.groupBy("kind", "id")
-        .agg(
-            *[
-                F.sum(F.get("g", i)).cast("long").alias(f"_g{i}")
-                for i in range(dim)
-            ]
-        )
-        .select(
-            "kind",
-            "id",
-            F.array(*[F.col(f"_g{i}") for i in range(dim)]).alias("g"),
-        )
-    )
+    grads = _segment_sum_wide(contrib, dim)
 
     params = entity_emb.select(
         F.lit("E").alias("kind"), "id", "vec"
     ).unionByName(
         relation_emb.select(F.lit("R").alias("kind"), "id", "vec")
     )
+    if slot_filter is not None:
+        params = params.filter(slot_filter(F.col("kind"), F.col("id")))
 
-    merged = params.join(grads, ["kind", "id"], "left")
-    out = merged.select(
-        "kind",
-        "id",
-        F.posexplode(
-            F.zip_with(
-                "vec",
-                F.coalesce(
-                    "g", F.array_repeat(zero, dim)
-                ),
-                lambda v, gr: F.struct(
-                    v.alias("old_val"), gr.alias("grad")
-                ),
-            )
-        ).alias("d", "s"),
-    ).select(
-        "kind",
-        "id",
-        F.col("d").cast("long").alias("d"),
-        F.col("s.old_val").alias("old_val"),
-        F.col("s.grad").alias("grad"),
-        (
-            F.col("s.old_val")
-            - F.lit(lr).cast("double") * F.col("s.grad")
-        ).alias("new_val"),
-    )
-    return out
+    if as_tables:
+        return _merge_update_tables(params, grads, dim, lr)
+    return _merge_update(params, grads, dim, lr)
 
 
 def _dseq(dim: int):
@@ -349,6 +329,32 @@ def _merge_update(
     )
 
 
+def _merge_update_tables(
+    params: DataFrame, grads: DataFrame, width: int, lr: float
+) -> DataFrame:
+    """LEFT-JOIN merge + dyadic SGD update kept in ARRAY form — one row
+    per parameter VECTOR (kind, id, vec), element arithmetic identical
+    to ``_merge_update`` followed by ``rebuild_embedding_table``
+    ((old − lr·grad) through DOUBLE, then the integer-closure cast back
+    to BIGINT), but without materializing width× per-slot rows or the
+    collect_list/array_sort re-assembly shuffle.  Chaining operator for
+    the exact training loops (valid only at integer-closed lr, same
+    contract as rebuild_embedding_table)."""
+    zero = F.lit(0).cast("long")
+    merged = params.join(grads, ["kind", "id"], "left")
+    return merged.select(
+        "kind",
+        "id",
+        F.zip_with(
+            "vec",
+            F.coalesce("g", F.array_repeat(zero, width)),
+            lambda v, gr: (
+                v - F.lit(lr).cast("double") * gr
+            ).cast("long"),
+        ).alias("vec"),
+    )
+
+
 def _loss_row(scored: DataFrame) -> DataFrame:
     """1-row (n_triples, n_violations, total_loss) off a scored gather
     frame carrying ``raw_loss`` (exact BIGINT).  total_loss sums
@@ -426,6 +432,8 @@ def rescal_bilinear_sgd_step(
     margin: int = 2,
     lr: float = 0.25,
     scored: DataFrame | None = None,
+    as_tables: bool = False,
+    slot_filter=None,
 ) -> DataFrame:
     """One full-batch pairwise margin-ranking RESCAL SGD step over
     integer parameters — the reference's actual RESCAL objective
@@ -488,10 +496,20 @@ def rescal_bilinear_sgd_step(
 
     e_params = entity_emb.select(F.lit("E").alias("kind"), "id", "vec")
     w_params = rel_w.select(F.lit("W").alias("kind"), "id", "vec")
-    out_e = _merge_update(
+    if slot_filter is not None:
+        e_contrib = e_contrib.filter(
+            slot_filter(F.col("kind"), F.col("id"))
+        )
+        w_contrib = w_contrib.filter(
+            slot_filter(F.col("kind"), F.col("id"))
+        )
+        e_params = e_params.filter(slot_filter(F.col("kind"), F.col("id")))
+        w_params = w_params.filter(slot_filter(F.col("kind"), F.col("id")))
+    merge = _merge_update_tables if as_tables else _merge_update
+    out_e = merge(
         e_params, _segment_sum_wide(e_contrib, dim), dim, lr
     )
-    out_w = _merge_update(
+    out_w = merge(
         w_params, _segment_sum_wide(w_contrib, dim * dim), dim * dim, lr
     )
     return out_e.unionByName(out_w)
@@ -567,6 +585,8 @@ def hole_ccorr_sgd_step(
     margin: int = 2,
     lr: float = 0.25,
     scored: DataFrame | None = None,
+    as_tables: bool = False,
+    slot_filter=None,
 ) -> DataFrame:
     """One full-batch pairwise margin-ranking HolE SGD step over
     integer embeddings — score r·ccorr(s,o) (`hole.py:19-20`),
@@ -622,7 +642,11 @@ def hole_ccorr_sgd_step(
     ).unionByName(
         relation_emb.select(F.lit("R").alias("kind"), "id", "vec")
     )
-    return _merge_update(params, _segment_sum_wide(contrib, dim), dim, lr)
+    if slot_filter is not None:
+        contrib = contrib.filter(slot_filter(F.col("kind"), F.col("id")))
+        params = params.filter(slot_filter(F.col("kind"), F.col("id")))
+    merge = _merge_update_tables if as_tables else _merge_update
+    return merge(params, _segment_sum_wide(contrib, dim), dim, lr)
 
 
 def hole_loss_summary(

@@ -438,3 +438,69 @@ def test_two_chained_steps_rescal_hole_match_python_loop(
     for row in s2.collect():
         want = (E2 if row.kind == "E" else P2)[row.id][row.d]
         assert row.new_val == want, (model, row, want)
+
+
+@pytest.mark.parametrize("model", ["transe", "rescal", "hole"])
+def test_as_tables_chain_equals_rebuild_chain(spark, fixtures, model):
+    """r14 chain fusion: stepping with ``as_tables=True`` (array-form
+    merge, no posexplode → collect_list round-trip) feeds the NEXT step
+    parameters bit-identical to the rebuild_embedding_table path, and
+    ``slot_filter`` on the final step returns exactly the post-filtered
+    rows of the unfiltered step — the two r14 plan changes preserve the
+    declared two-step outputs verbatim."""
+    from spark_tensors_spark.train.exactstep import rebuild_embedding_table
+
+    triples, tri, E, R = fixtures
+    if model == "transe":
+        P_spark, pkind, margin = R, "R", MARGIN
+
+        def step(E_, P_, **kw):
+            return transe_l1_sgd_step(
+                tri, E_, P_, dim=DIM, n_entities=N_ENT,
+                margin=MARGIN, lr=1.0, **kw,
+            )
+    elif model == "rescal":
+        P_spark, pkind, margin = _spark_w(spark), "W", R_MARGIN
+
+        def step(E_, P_, **kw):
+            return rescal_bilinear_sgd_step(
+                tri, E_, P_, dim=DIM, n_entities=N_ENT,
+                margin=R_MARGIN, lr=1.0, **kw,
+            )
+    else:
+        P_spark, pkind, margin = R, "R", R_MARGIN
+
+        def step(E_, P_, **kw):
+            return hole_ccorr_sgd_step(
+                tri, E_, P_, dim=DIM, n_entities=N_ENT,
+                margin=R_MARGIN, lr=1.0, **kw,
+            )
+
+    # reference chain: per-slot output folded back via rebuild
+    s1_slots = step(E, P_spark).localCheckpoint()
+    ref2 = step(
+        rebuild_embedding_table(s1_slots, "E"),
+        rebuild_embedding_table(s1_slots, pkind),
+    )
+    ref_rows = {
+        (r.kind, r.id, r.d): (r.old_val, r.grad, r.new_val)
+        for r in ref2.collect()
+    }
+
+    # fused chain: array tables between steps + slot_filter on step 2
+    s1_tab = step(E, P_spark, as_tables=True).localCheckpoint()
+    E1 = s1_tab.filter(F.col("kind") == "E").select("id", "vec")
+    P1 = s1_tab.filter(F.col("kind") == pkind).select("id", "vec")
+    pred = lambda kind, id: (kind == pkind) | (id % 3 == 0)  # noqa: E731
+    got2 = step(E1, P1, slot_filter=pred)
+    got_rows = {
+        (r.kind, r.id, r.d): (r.old_val, r.grad, r.new_val)
+        for r in got2.collect()
+    }
+
+    want_rows = {
+        k: v
+        for k, v in ref_rows.items()
+        if k[0] == pkind or k[1] % 3 == 0
+    }
+    assert got_rows == want_rows
