@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_tensors_spark.io.readers import load_table
+from spark_tensors_spark.session import stream_state_partitions
 from spark_tensors_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -217,13 +218,14 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    q = streaming_dedup(
-        stream,
-        state_dir=os.path.join(root, "state"),
-        out_dir=os.path.join(root, "out"),
-        checkpoint_dir=os.path.join(root, "ckpt"),
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = streaming_dedup(
+            stream,
+            state_dir=os.path.join(root, "state"),
+            out_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
     admitted = spark.read.parquet(os.path.join(root, "out"))
     out = (
         admitted.groupBy("source")
@@ -354,12 +356,13 @@ def ev_stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        q = streaming_hourly_hll(
-            stream,
-            state_dir=os.path.join(root, "state"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_hourly_hll(
+                stream,
+                state_dir=os.path.join(root, "state"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -452,14 +455,15 @@ def ev_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ":", F.col("user_id"), F.to_date("ts").cast("string")
             ).alias("user_day"),
         )
-        q = streaming_kmv(
-            stream,
-            state_dir=os.path.join(root, "state"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-            value_col="user_day",
-            group_cols=["event_type"],
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_kmv(
+                stream,
+                state_dir=os.path.join(root, "state"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                value_col="user_day",
+                group_cols=["event_type"],
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -534,12 +538,13 @@ def ev_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        q = streaming_cms(
-            stream,
-            state_dir=os.path.join(root, "state"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_cms(
+                stream,
+                state_dir=os.path.join(root, "state"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -605,13 +610,14 @@ def emb_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     codes = scalar_quantize_int8(stream).select("vec_id", "codes")
-    q = streaming_ivf_assign(
-        codes,
-        state_dir=os.path.join(root, "state"),
-        checkpoint_dir=os.path.join(root, "ckpt"),
-        centroids=pseudo_centroids(16, 64),
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = streaming_ivf_assign(
+            codes,
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            centroids=pseudo_centroids(16, 64),
+        )
+        q.awaitTermination()
     out = (
         spark.read.parquet(os.path.join(root, "state"))
         .groupBy("cell")
@@ -717,7 +723,7 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_idempotent_batch,
         )
 
-        with _session.rocksdb_state(spark):
+        with _session.rocksdb_state(spark), stream_state_partitions(spark):
             q = (
                 labeled.writeStream.outputMode("update")
                 .foreachBatch(
@@ -802,18 +808,19 @@ def ev_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(18,6)").alias("v6"),
             "value",
         )
-        q = streaming_agg_view(
-            rows,
-            view_path=os.path.join(root, "view"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-            key_cols=["day", "event_type"],
-            aggs={
-                "n": ("count", "value"),
-                "v_sum6": ("sum", "v6"),
-                "v_max": ("max", "value"),
-            },
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_agg_view(
+                rows,
+                view_path=os.path.join(root, "view"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                key_cols=["day", "event_type"],
+                aggs={
+                    "n": ("count", "value"),
+                    "v_sum6": ("sum", "v6"),
+                    "v_max": ("max", "value"),
+                },
+            )
+            q.awaitTermination()
         view = read_view(spark, os.path.join(root, "view"))
         out = (
             view.select(
@@ -908,19 +915,20 @@ def ev_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_day = stream.withColumn(
             "day", F.date_trunc("day", F.col("ts"))
         )
-        q = streaming_delta_join_view(
-            with_day,
-            split_a=lambda b: b.filter(
-                F.col("event_type") == "click"
-            ).select("user_id", "day", F.col("event_id").alias("a_id")),
-            split_b=lambda b: b.filter(
-                F.col("event_type") == "purchase"
-            ).select("user_id", "day", F.col("event_id").alias("b_id")),
-            on=["user_id", "day"],
-            root=os.path.join(root, "jv"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_delta_join_view(
+                with_day,
+                split_a=lambda b: b.filter(
+                    F.col("event_type") == "click"
+                ).select("user_id", "day", F.col("event_id").alias("a_id")),
+                split_b=lambda b: b.filter(
+                    F.col("event_type") == "purchase"
+                ).select("user_id", "day", F.col("event_id").alias("b_id")),
+                on=["user_id", "day"],
+                root=os.path.join(root, "jv"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+            q.awaitTermination()
         view = read_join_view(
             spark, os.path.join(root, "jv", "view")
         )
@@ -996,14 +1004,15 @@ def ev_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("hist_bin"),
         )
-        q = streaming_agg_view(
-            rows,
-            view_path=os.path.join(root, "view"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-            key_cols=["day_start", "hist_bin"],
-            aggs={"cnt": ("count", "hist_bin")},
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_agg_view(
+                rows,
+                view_path=os.path.join(root, "view"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                key_cols=["day_start", "hist_bin"],
+                aggs={"cnt": ("count", "hist_bin")},
+            )
+            q.awaitTermination()
         view = read_view(spark, os.path.join(root, "view"))
         out = (
             quantiles_from_histogram(
@@ -1106,16 +1115,17 @@ def ev_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "*.parquet")
             .parquet(src)
         )
-        q = streaming_scd2(
-            stream,
-            table_path=os.path.join(root, "hist"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-            key_cols=["user_id"],
-            attr_cols=["event_type"],
-            ts_col="ts",
-            tiebreak_col="event_id",
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_scd2(
+                stream,
+                table_path=os.path.join(root, "hist"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                key_cols=["user_id"],
+                attr_cols=["event_type"],
+                ts_col="ts",
+                tiebreak_col="event_id",
+            )
+            q.awaitTermination()
         hist = read_history(spark, os.path.join(root, "hist"))
         out = (
             hist.select(
@@ -1216,16 +1226,19 @@ def ev_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_idempotent_batch,
         )
 
-        q = (
-            enriched.writeStream.outputMode("append")
-            .foreachBatch(
-                lambda bdf, bid: write_idempotent_batch(bdf, bid, out_dir)
+        with stream_state_partitions(spark):
+            q = (
+                enriched.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, bid: write_idempotent_batch(
+                        bdf, bid, out_dir
+                    )
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -1351,7 +1364,7 @@ def ev_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch overwrites exactly its own _batch_id partition
     from spark_tensors_spark.streaming.sinks import write_idempotent_batch
 
-    with rocksdb_state(spark):
+    with rocksdb_state(spark), stream_state_partitions(spark):
         q = (
             closed.writeStream.outputMode("append")
             .foreachBatch(
@@ -1539,7 +1552,7 @@ def ev_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("hour_ts"), "n_admitted")
         )
         out_dir = os.path.join(root, "out")
-        with _session.rocksdb_state(spark):
+        with _session.rocksdb_state(spark), stream_state_partitions(spark):
             q = (
                 admitted.writeStream.outputMode("append")
                 .foreachBatch(
@@ -1664,15 +1677,16 @@ def ev_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             (F.col("event_type") == "error").alias("is_delete"),
         )
-        q = streaming_merge_into_parquet(
-            updates,
-            table_path=os.path.join(root, "table"),
-            checkpoint_dir=os.path.join(root, "ckpt"),
-            key_cols=["user_id"],
-            order_col="ts",
-            delete_col="is_delete",
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = streaming_merge_into_parquet(
+                updates,
+                table_path=os.path.join(root, "table"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                key_cols=["user_id"],
+                order_col="ts",
+                delete_col="is_delete",
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -74,6 +74,47 @@ def rocksdb_state(spark: SparkSession):
                 spark.conf.set(k, v)
 
 
+DEFAULT_STREAM_SHUFFLE = 8
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Run the enclosed STREAMING query with a state-sized shuffle
+    partition count, restoring the session conf on exit.
+
+    Why (guide §2.2/§2.4 applied to micro-batches): a streaming
+    micro-batch plan does NOT get AQE partition coalescing — every
+    stateful operator materializes exactly
+    ``spark.sql.shuffle.partitions`` tasks AND state-store instances
+    (each paying open + commit + checkpoint-file overhead) per
+    micro-batch, regardless of data volume.  The right partition count
+    therefore tracks the STATE size (distinct keys / state bytes), not
+    the batch default tuned for table-scale shuffles.  The bench's
+    streams carry KB–MB state where ``DEFAULT_STREAM_SHUFFLE``
+    partitions already exceed the parallelism the data can use;
+    production deployments with 100 TB key cardinality raise
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` (the count is pinned into the
+    checkpoint at first start, so it is a per-pipeline deploy knob,
+    not a hot-tune).  Results are partition-count invariant: grouped
+    state, watermarked aggregations and stream-stream joins are exact
+    under any hash partitioning."""
+    if n is None:
+        n = int(
+            os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE",
+                           DEFAULT_STREAM_SHUFFLE)
+        )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield spark
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def get_session(
     app_name: str = "spark-tensors-spark",
     master: str | None = None,
