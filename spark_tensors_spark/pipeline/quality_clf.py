@@ -116,6 +116,15 @@ def exact_fit_steps(
       weights — (feat, w): the final weight table, for scoring.
     """
     lr = 2.0**-lr_bits
+    # the feature table is traversed by EVERY step's activation and
+    # gradient aggregation and again by every returned frame (the
+    # per-step/stat outputs are lazy) — without a barrier each of those
+    # actions re-runs the corpus tokenize+explode+groupBy (guide §5:
+    # cache what is reused and expensive to recompute).  One eager
+    # materialization here collapses O(n_steps·consumers) corpus
+    # passes into one; the table is (doc_id, feat, cnt) — tiny next to
+    # the corpus it derives from.
+    feats = feats.localCheckpoint()
     lab = labels.select("doc_id", F.col("y").cast("long").alias("y"))
     w = None
     step_frames = []

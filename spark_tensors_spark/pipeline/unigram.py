@@ -283,9 +283,14 @@ def em_round(
             ).alias("m")
         )
     )
+    # ONE Viterbi pass per round: counts AND summary both consume seg,
+    # and later rounds' vocab lineage re-references this round's counts
+    # — without a barrier the E-step aggregate re-runs once per
+    # consumer per action (guide §5: cache what is reused).  seg is
+    # word-frame-bounded (distinct words, not corpus rows).
     seg = word_map.select(
         "w", "f", F.expr(_viterbi_dp_expr()).alias("r")
-    )
+    ).localCheckpoint()
     counts = (
         seg.select("f", F.explode(F.col("r.path")).alias("p"))
         .groupBy("p")
@@ -319,8 +324,13 @@ def unigram_fit_em(
     arithmetic end-to-end, so the whole FIT sits under the value
     oracle; parity with a pure-Python reference implementation is
     pinned in tests/test_unigram_fit.py."""
-    wf = fit_words(docs, text_col)
-    vocab = seed_vocab(wf, max_multi=max_multi, min_seed=min_seed)
+    # the ONLY corpus-sized pass; every consumer below (seed vocab,
+    # each round's candidate join) re-reads this small (w, f) frame —
+    # materialize once instead of re-tokenizing the corpus per action
+    wf = fit_words(docs, text_col).localCheckpoint()
+    vocab = seed_vocab(
+        wf, max_multi=max_multi, min_seed=min_seed
+    ).localCheckpoint()
     outs = []
     for t in range(1, rounds + 1):
         counts, summary = em_round(wf, vocab)
@@ -372,7 +382,9 @@ def unigram_fit_em(
             .join(counts, "p")
             .select("p", F.col("c").cast("long").alias("c"))
         )
-        vocab = chars.unionByName(multi)
+        # vocab stays ≤ chars+max_multi rows; the barrier keeps round
+        # t+1's plan from re-deriving every earlier round's M-step
+        vocab = chars.unionByName(multi).localCheckpoint()
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

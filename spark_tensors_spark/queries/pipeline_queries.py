@@ -1360,7 +1360,13 @@ def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs = ensure_scan_parallelism(docs)
-    merges = bpe.fit_bpe(docs, n_merges=8)
+    # r14: batched-K rounds (merges_per_round=8) — ONE pair-count
+    # aggregate collects the top-8 candidates per round and accepts the
+    # provably-sequential-identical prefix (fit_bpe docstring /
+    # tests/test_bpe.py parity), amortizing the per-merge job pair
+    # without changing a single accepted merge (guide §1.2: fix the
+    # distributed algorithm's pass count first)
+    merges = bpe.fit_bpe(docs, n_merges=8, merges_per_round=8)
     words = (
         docs.select(
             F.explode(
@@ -1369,6 +1375,9 @@ def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # both sides of the stats join below read this corpus aggregate
+        # — materialize once (guide §5)
+        .localCheckpoint()
     )
     enc = bpe.encode_words(words, merges)
     return (
@@ -1757,13 +1766,22 @@ def doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_scan_parallelism(docs)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = docs.filter(F.col("doc_id") % 97 != 0)
-    # stage 1 — exact dedup: keep the smallest doc_id per content hash
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        corp.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    # stage 1 — exact dedup: keep the smallest doc_id per content hash.
+    # r14 (guide §8/§2.3/§2.5): the min-id DECISION runs on metadata
+    # only — a map-side-combinable (md5, min(doc_id)) aggregate — and
+    # survivors re-attach by a doc_id semi-join, so the full document
+    # payload is never hash-exchanged by content hash (the previous
+    # row_number window shuffled every text byte AND serialized giant
+    # dup-groups onto single keys; doc_id is unique, so the join key
+    # cannot skew, and AQE turns the join into a broadcast when the
+    # keeper-id set is small enough).  Identical output: doc_id is
+    # unique, so "rank 1 by doc_id within hash" ≡ "doc_id ∈ {min ids}".
+    keeps = (
+        corp.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    deduped = corp.join(keeps, "doc_id", "left_semi")
     # stage 2 — quality gate (adds n_tokens, reused by packing)
     gated = curation.quality_filter(deduped).filter(F.col("keep"))
     # stage 3 — decontaminate against the benchmark 3-grams

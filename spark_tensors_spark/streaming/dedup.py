@@ -119,6 +119,9 @@ def dedup_one_batch(
         fresh = batch_unique.join(
             seen_hashes.select("content_hash"), "content_hash", "left_anti"
         )
+    # three consumers (signature build, admitted re-join, the hash
+    # state write) would each re-run the source scan + window + antijoin
+    fresh = fresh.persist()
 
     sigs = D.minhash_signatures(fresh, text_col=text_col).persist()
     bands = _band_keys(sigs)
@@ -164,6 +167,7 @@ def dedup_one_batch(
         _band_keys(sigs).select("band", "sig"), batch_id, band_path
     )
     sigs.unpersist()
+    fresh.unpersist()
 
 
 def streaming_dedup(
