@@ -239,7 +239,12 @@ def common_neighbor_scores(
     bounds the blow-up at cap²·nodes while keeping the informative
     wedges.
     """
-    e = undirect_edges(edges, src, dst)
+    # materialized once like triangle_counts/kcore_peel: both wedge
+    # sides AND the closing anti-join scan e, and without a barrier
+    # each reference re-runs the full upstream edge derivation (the
+    # co-purchase build is 2 scans + a self-join + 2 distincts —
+    # graph_link_prediction's plan carried 40 parquet scans, 0 reused)
+    e = undirect_edges(edges, src, dst).localCheckpoint()
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -318,7 +323,11 @@ def adamic_adar_scores(
     ln/÷ must agree (one correctly-rounded libm call on an integer
     input — the established weighted-sample discipline).
     """
-    e = undirect_edges(edges, src, dst)
+    # same one-materialization rule as common_neighbor_scores: the two
+    # wedge sides, the degree aggregate, and the anti-join all re-run
+    # the upstream edge build otherwise (graph_adamic_adar's plan
+    # carried 72 parquet scans / 136 exchanges, 0 reused)
+    e = undirect_edges(edges, src, dst).localCheckpoint()
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
