@@ -66,7 +66,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
     # orient a→b iff (deg(a), a) < (deg(b), b): the lower-degree endpoint
-    # owns the edge, so out-degree is bounded by O(sqrt(m))
+    # owns the edge, so out-degree is bounded by O(sqrt(m)).
+    # Materialized once: both wedge sides reference it, and without a
+    # barrier each side re-runs the degree aggregate + 2 joins.
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
@@ -84,6 +86,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.a", "e.b")
+        .localCheckpoint()
     )
 
     # wedges a→b, a→c (b < c so each unordered wedge appears once); the
@@ -97,10 +100,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         ["b", "c"],
     )
 
-    per_corner = (
-        triangles.select(F.col("a").alias("node"))
-        .unionByName(triangles.select(F.col("b").alias("node")))
-        .unionByName(triangles.select(F.col("c").alias("node")))
+    # one pass over the triangle join, not three: a 3-way union of the
+    # same frame re-runs the whole wedge-join subtree per branch
+    per_corner = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -639,6 +642,12 @@ def hits_scores(
         .repartition("s")
         .localCheckpoint()
     )
+    # NOT barriered (r14 measured): the textual duplication of `nodes`
+    # and the hub/auth lineage across the 2-iteration unroll is fully
+    # deduplicated by AQE exchange reuse at runtime — adding
+    # localCheckpoint barriers left executor time unchanged (76.7 s →
+    # 75.9 s) while serializing the plan into more jobs (wall 10.7 s →
+    # 11.7 s), so the lazy form stays.
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))

@@ -137,13 +137,17 @@ def two_star_components(
             .agg(F.min("p").alias("mn"))
             .select("c", F.least("mn", F.col("c")).alias("m"))
         )
+        # both the small-star join and (twice) the m2 aggregate read
+        # these frames; without barriers each reference re-runs the
+        # large-star join+distinct — ~3 computations per round
         large = (
             sym.join(mtab, "c")
             .filter(F.col("p") > F.col("c"))
             .select(F.col("p").alias("c"), F.col("m").alias("p"))
             .distinct()
+            .localCheckpoint()
         )
-        m2 = large.groupBy("c").agg(F.min("p").alias("m"))
+        m2 = large.groupBy("c").agg(F.min("p").alias("m")).localCheckpoint()
         small = (
             large.join(m2, "c")
             .filter(F.col("p") != F.col("m"))
@@ -248,12 +252,15 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("nc").alias("min_nbr"))
         )
+        # materialized: both sides of the pointer-jump self-join read
+        # this frame, and without a barrier each side re-runs the
+        # neighbor join+min aggregation (the round's big shuffle)
         stepped = labels.join(incoming, "node", "left").select(
             "node",
             F.least(
                 F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
             ).alias("comp"),
-        )
+        ).localCheckpoint()
         # pointer-jump: comp := comp(comp). Labels are always node ids,
         # so the self-join resolves; chain lengths halve per round,
         # giving O(log diameter) convergence on path graphs.

@@ -189,8 +189,21 @@ def dsir_weights(
         )
 
     raw_feats = feats(corpus)
-    q = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("q_c"))
-    p = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("p_c"))
+    # the two fitted models are ≤n_buckets rows but are each consumed
+    # twice (the totals and the ratio join); without a barrier each
+    # consumer re-runs the full tokenize+explode feature stream behind
+    # them, turning 2 corpus passes into 4
+    q = (
+        raw_feats.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("q_c"))
+        .localCheckpoint()
+    )
+    p = (
+        feats(target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("p_c"))
+        .localCheckpoint()
+    )
     tot = q.agg(F.sum("q_c").alias("q_tot")).crossJoin(
         p.agg(F.sum("p_c").alias("p_tot"))
     )

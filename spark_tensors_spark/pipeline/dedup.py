@@ -840,10 +840,15 @@ def _identical_set_members(toks: DataFrame):
     )
     wg = Window.partitionBy("skey")
     wgo = wg.orderBy("doc_id")
+    # materialized once: the grouped join consumes this frame from five
+    # places (both sides of the in-group self-join, both member
+    # expansions, and reps feeding the prefix-filter join); without a
+    # barrier each consumer re-runs tokenize + the skey window shuffle
     mem = (
         skey.withColumn("gid", F.min("doc_id").over(wg))
         .withColumn("irk", F.row_number().over(wgo))
         .withColumn("n_tok", F.size("toks"))
+        .localCheckpoint()
     )
     reps = mem.filter(F.col("doc_id") == F.col("gid")).select(
         F.col("gid").alias("doc_id"), "toks"

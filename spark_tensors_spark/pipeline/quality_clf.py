@@ -139,7 +139,10 @@ def exact_fit_steps(
                 .agg(F.sum(F.col("cnt") * F.col("w")).alias("z"))
             )
         p = z.select("doc_id", _hard_sigmoid(F.col("z")).alias("p"))
-        pj = p.join(lab, "doc_id")
+        # n_docs rows, consumed by the gradient aggregation AND the
+        # per-step stats frame — barrier so the activation join/agg
+        # over feats runs once per step, not once per consumer
+        pj = p.join(lab, "doc_id").localCheckpoint()
         grad = (
             feats.join(pj, "doc_id")
             .groupBy("feat")
@@ -148,6 +151,9 @@ def exact_fit_steps(
                     (F.col("p") - F.col("y")) * F.col("cnt")
                 ).alias("grad")
             )
+            # n_features rows, consumed by the weight update AND the
+            # per-step output frame
+            .localCheckpoint()
         )
         if w is None:
             new_w = grad.select(

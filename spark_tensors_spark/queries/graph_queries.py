@@ -513,6 +513,10 @@ def q21_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        # four consumers (the eager basket count, the item counts, both
+        # sides of the pair self-join); without a barrier each re-runs
+        # the lineitem⋈orders join + distinct
+        .localCheckpoint()
     )
     n_orders = op.select("ok").distinct().count()
     item = op.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("n_item"))

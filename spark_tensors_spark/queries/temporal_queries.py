@@ -1535,7 +1535,10 @@ def ev_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_tensors_spark.functions.sketches import KMV_K, KMV_SPACE, kmv_signature
 
     src = _kmv_user_days(spark, sf_dir)
-    sig = kmv_signature(src, F.col("user_day"), ["event_type"])
+    # sketch-sized (≤ k rows per type) but consumed three times (type
+    # domain + both tag sides); without a barrier each consumer re-runs
+    # the salted distinct+top-k signature build over the events scan
+    sig = kmv_signature(src, F.col("user_day"), ["event_type"]).localCheckpoint()
 
     types = sig.select("event_type").distinct()
     # unordered type pairs a < b: a broadcast nested-loop over the
@@ -1569,8 +1572,10 @@ def ev_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in_a") * F.col("in_b")).alias("inter_cnt"),
     )
 
-    # exact side, for verification next to the estimates
-    ud = src.distinct()
+    # exact side, for verification next to the estimates; materialized
+    # once — the per-type counts and both sides of the intersection
+    # self-join otherwise each re-run the distinct over the events scan
+    ud = src.distinct().localCheckpoint()
     per_type = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     inter_exact = (
         ud.select(F.col("event_type").alias("type_a"), "user_day")
