@@ -187,6 +187,58 @@ STEP_MARGIN = 4
 STEP_LR = 0.25  # power of two ⇒ dyadic-exact update
 
 
+# One scoring-kernel "op" ≈ one interpreted HOF lambda evaluation
+# (the element-wise unit of the exact-step kernels).  Per-row op
+# estimates per model — transe is linear in dim (zip_with sums, abs
+# aggregates, sign transforms), rescal/hole are quadratic (matvec /
+# circular-correlation index algebra):
+KERNEL_OPS = {
+    "transe": lambda dim: 8 * dim,
+    "rescal": lambda dim: 4 * dim * dim,
+    "hole": lambda dim: 5 * dim * dim,
+}
+# ~2M interpreted lambda evals ≈ 0.3-0.5 s of kernel work per task —
+# large enough to amortize task overhead (measured: a fixed 32-way
+# spread on the cheap-kernel transe/rescal subset queries was 1.1-1.2×
+# WORSE, while the same spread on the dim²-kernel full-KG hole loop
+# was 0.6-0.7× the serialized time).
+KERNEL_OPS_PER_TASK = 2_000_000
+
+
+def _kernel_parts(spark: SparkSession, n_rows: int, ops_per_row: int) -> int:
+    """Partition count for a CPU-dense kernel region, sized by KERNEL
+    WORK (rows × per-row op estimate) instead of bytes: the exact-step
+    scoring kernels cost O(dim²) per ROW on rows of only tens of
+    bytes, so AQE's byte-based coalescing collapses these stages to
+    1-2 tasks and serializes the kernels (profiled at sf0.1: 1-task
+    stages of 1.4-2.5 s; spreading cut the full-KG scored-gather
+    barrier 3.4 s → ~1 s).  Guide §2.5: partition by compute when
+    bytes misrepresent cost — the io.readers.ensure_scan_parallelism
+    doctrine made work-adaptive.  Clamped to defaultParallelism, so it
+    scales with BOTH data and cluster, never a constant."""
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-(n_rows * ops_per_row) // KERNEL_OPS_PER_TASK),
+        ),
+    )
+
+
+def _spread(df: DataFrame, n_rows: int, ops_per_row: int) -> DataFrame:
+    """Round-robin repartition a kernel-region input to
+    ``_kernel_parts`` partitions (``n_rows`` × ``ops_per_row`` is the
+    caller's kernel-work estimate for the frame).  A user-numbered
+    repartition is exempt from AQE coalescing, which is exactly the
+    point.  Results are partition-invariant (row-local arithmetic +
+    keyed aggregations downstream).  Skipped when the estimate is too
+    small to beat the 1-2 tasks AQE already produces."""
+    parts = _kernel_parts(df.sparkSession, n_rows, ops_per_row)
+    if parts <= 2:
+        return df
+    return df.repartition(parts)
+
+
 def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE full-batch TransE SGD step under a VALUE oracle — the
     training loop itself (gather → margin filter → segment-sum → SGD
@@ -211,10 +263,12 @@ def kge_transe_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
-    tri = (
+    tri = _spread(
         enc.filter(F.col("s_id") % 7 == 3)
         .select("s_id", "p_id", "o_id")
-        .distinct()
+        .distinct(),
+        n_ent // 7,
+        KERNEL_OPS["transe"](STEP_DIM),
     )
     E = _pseudo_E(spark, n_ent, STEP_DIM)
     R = _pseudo_R(spark, n_rel, STEP_DIM)
@@ -334,6 +388,7 @@ def _two_step_query(
     gather_fn,
     step_fn,
     loss_fn,
+    model: str,
     n_steps: int = 2,
     init_e=None,
 ) -> DataFrame:
@@ -365,12 +420,13 @@ def _two_step_query(
 
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
-    tri = (
+    tri = _spread(
         enc.filter(F.col("s_id") % mod == res)
         .select("s_id", "p_id", "o_id")
-        .distinct()
-        .localCheckpoint()
-    )
+        .distinct(),
+        n_ent // mod,
+        KERNEL_OPS[model](dim),
+    ).localCheckpoint()
     E = (init_e or _pseudo_E)(spark, n_ent, dim)
     P = init_p(spark, rel.count(), dim)
 
@@ -444,6 +500,7 @@ def kge_transe_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         step_fn=transe_l1_sgd_step,
         loss_fn=transe_l1_loss_summary,
+        model="transe",
     )
 
 
@@ -569,6 +626,7 @@ def kge_transe_three_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         step_fn=transe_l1_sgd_step,
         loss_fn=transe_l1_loss_summary,
+        model="transe",
         n_steps=ENTITY_LOOP_STEPS,
     )
 
@@ -664,10 +722,12 @@ def kge_rescal_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
-    tri = (
+    tri = _spread(
         enc.filter(F.col("s_id") % 7 == 5)
         .select("s_id", "p_id", "o_id")
-        .distinct()
+        .distinct(),
+        n_ent // 7,
+        KERNEL_OPS["rescal"](RESCAL_DIM),
     )
     d = RESCAL_DIM
     E = _pseudo_E(spark, n_ent, d)
@@ -808,10 +868,12 @@ def kge_hole_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raw, ent, rel, enc = _encoded(spark, sf_dir)
     n_ent = ent.count()
     n_rel = rel.count()
-    tri = (
+    tri = _spread(
         enc.filter(F.col("s_id") % 7 == 1)
         .select("s_id", "p_id", "o_id")
-        .distinct()
+        .distinct(),
+        n_ent // 7,
+        KERNEL_OPS["hole"](HOLE_DIM),
     )
     d = HOLE_DIM
     E = _pseudo_E(spark, n_ent, d)
@@ -967,6 +1029,7 @@ def kge_rescal_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         gather_fn=_rescal_gather_score,
         step_fn=rescal_bilinear_sgd_step,
         loss_fn=rescal_loss_summary,
+        model="rescal",
     )
 
 
@@ -996,6 +1059,7 @@ def kge_hole_two_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         gather_fn=_hole_gather_score,
         step_fn=hole_ccorr_sgd_step,
         loss_fn=hole_loss_summary,
+        model="hole",
     )
 
 
@@ -1237,6 +1301,7 @@ def kge_rescal_two_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gather_fn=_rescal_gather_score,
         step_fn=rescal_bilinear_sgd_step,
         loss_fn=rescal_loss_summary,
+        model="rescal",
     )
 
 
@@ -1262,6 +1327,7 @@ def kge_hole_two_step_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gather_fn=_hole_gather_score,
         step_fn=hole_ccorr_sgd_step,
         loss_fn=hole_loss_summary,
+        model="hole",
     )
 
 

@@ -195,9 +195,10 @@ def transe_l1_sgd_step(
     if slot_filter is not None:
         params = params.filter(slot_filter(F.col("kind"), F.col("id")))
 
+    hint = n_entities // 37 if slot_filter is not None else n_entities
     if as_tables:
-        return _merge_update_tables(params, grads, dim, lr)
-    return _merge_update(params, grads, dim, lr)
+        return _merge_update_tables(params, grads, dim, lr, hint)
+    return _merge_update(params, grads, dim, lr, hint)
 
 
 def _dseq(dim: int):
@@ -297,13 +298,59 @@ def _segment_sum_wide(contrib: DataFrame, width: int) -> DataFrame:
     )
 
 
+# Same work unit and threshold as queries.mlops._kernel_parts: one
+# "op" ≈ one interpreted lambda evaluation; the merge kernel is one
+# zip_with over `width` elements per row.
+_MERGE_OPS_PER_TASK = 2_000_000
+
+
+def _params_spread(
+    params: DataFrame, n_rows_hint: int | None, width: int
+) -> DataFrame:
+    """Hash-repartition the parameter table on its join key before the
+    merge join, sized by KERNEL WORK (rows × update width).  The
+    gradient side is a Generate-fed aggregate whose pre-runtime size
+    estimate is unknown, so the initial plan is always an SMJ that
+    exchanges the params side under ENSURE_REQUIREMENTS — and AQE then
+    coalesces that exchange by BYTES (a few MB ⇒ 1-2 tasks),
+    serializing the update kernel even when the runtime plan flips to
+    a broadcast join.  A user-numbered repartition on the same key
+    satisfies the join's distribution requirement (so it replaces, not
+    adds to, the exchange) and is exempt from AQE coalescing (guide
+    §2.5: partition by compute when bytes misrepresent cost).  Clamped
+    to defaultParallelism — scales with both data and cluster; skipped
+    when the update work is too small to beat the 1-2 tasks AQE
+    already produces (measured: an unconditional 32-way pin cost
+    1.1-1.2× on the subset-KG two-step queries, whose merge is cheap,
+    while the sf0.1 merges all fall below this threshold)."""
+    if n_rows_hint is None:
+        return params
+    spark = params.sparkSession
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-(n_rows_hint * width) // _MERGE_OPS_PER_TASK),
+        ),
+    )
+    if parts <= 2:
+        return params
+    return params.repartition(parts, "kind", "id")
+
+
 def _merge_update(
-    params: DataFrame, grads: DataFrame, width: int, lr: float
+    params: DataFrame,
+    grads: DataFrame,
+    width: int,
+    lr: float,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """LEFT-JOIN merge + dyadic SGD update → one row per parameter slot
     (kind, id, d, old_val, grad, new_val)."""
     zero = F.lit(0).cast("long")
-    merged = params.join(grads, ["kind", "id"], "left")
+    merged = _params_spread(params, n_rows_hint, width).join(
+        grads, ["kind", "id"], "left"
+    )
     return merged.select(
         "kind",
         "id",
@@ -330,7 +377,11 @@ def _merge_update(
 
 
 def _merge_update_tables(
-    params: DataFrame, grads: DataFrame, width: int, lr: float
+    params: DataFrame,
+    grads: DataFrame,
+    width: int,
+    lr: float,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """LEFT-JOIN merge + dyadic SGD update kept in ARRAY form — one row
     per parameter VECTOR (kind, id, vec), element arithmetic identical
@@ -341,7 +392,9 @@ def _merge_update_tables(
     the exact training loops (valid only at integer-closed lr, same
     contract as rebuild_embedding_table)."""
     zero = F.lit(0).cast("long")
-    merged = params.join(grads, ["kind", "id"], "left")
+    merged = _params_spread(params, n_rows_hint, width).join(
+        grads, ["kind", "id"], "left"
+    )
     return merged.select(
         "kind",
         "id",
@@ -506,11 +559,13 @@ def rescal_bilinear_sgd_step(
         e_params = e_params.filter(slot_filter(F.col("kind"), F.col("id")))
         w_params = w_params.filter(slot_filter(F.col("kind"), F.col("id")))
     merge = _merge_update_tables if as_tables else _merge_update
+    e_hint = n_entities // 37 if slot_filter is not None else n_entities
     out_e = merge(
-        e_params, _segment_sum_wide(e_contrib, dim), dim, lr
+        e_params, _segment_sum_wide(e_contrib, dim), dim, lr, e_hint
     )
     out_w = merge(
-        w_params, _segment_sum_wide(w_contrib, dim * dim), dim * dim, lr
+        w_params, _segment_sum_wide(w_contrib, dim * dim), dim * dim, lr,
+        None,  # relation-matrix table is n_rel rows — tiny
     )
     return out_e.unionByName(out_w)
 
@@ -646,7 +701,8 @@ def hole_ccorr_sgd_step(
         contrib = contrib.filter(slot_filter(F.col("kind"), F.col("id")))
         params = params.filter(slot_filter(F.col("kind"), F.col("id")))
     merge = _merge_update_tables if as_tables else _merge_update
-    return merge(params, _segment_sum_wide(contrib, dim), dim, lr)
+    hint = n_entities // 37 if slot_filter is not None else n_entities
+    return merge(params, _segment_sum_wide(contrib, dim), dim, lr, hint)
 
 
 def hole_loss_summary(
