@@ -1,15 +1,32 @@
 """Exact-arithmetic distributed KGE training steps (TransE, RESCAL,
 HolE).
 
-One FULL-BATCH SGD step per model, expressed entirely as DataFrame
-operations — gather (join), margin filter, per-parameter segment-sum,
-SGD update — with NO Python evaluator in the plan.  Reference
-semantics mirrored: the gather → margin loss → backward → update loop
-of `TransE.scala:98-134` (L2Similarity there; L1 here), the bilinear
-RESCAL score sᵀWₚo of `kge/hole.py:145-147` / keras `holek.py:136-150`,
-the holographic score r·ccorr(s,o) of `hole.py:19-20`, and the
-violation-gated gradient flow of `hole.py:22-42` (the reference's
-margin-ranking objective, margin configs at `kge/hole.py:459`).
+One FULL-BATCH SGD step per model, expressed as DataFrame operations —
+gather (join), margin filter, per-parameter segment-sum, SGD update.
+Reference semantics mirrored: the gather → margin loss → backward →
+update loop of `TransE.scala:98-134` (L2Similarity there; L1 here),
+the bilinear RESCAL score sᵀWₚo of `kge/hole.py:145-147` / keras
+`holek.py:136-150`, the holographic score r·ccorr(s,o) of
+`hole.py:19-20`, and the violation-gated gradient flow of
+`hole.py:22-42` (the reference's margin-ranking objective, margin
+configs at `kge/hole.py:459`).
+
+Scoring kernels (r14 optimization): the per-row O(dim²) score /
+backward vectors are computed by an Arrow-vectorized numpy kernel
+(``mapInPandas`` over the gathered rows — whole int64 batches through
+BLAS-free numpy C loops; guide §4.2), because Spark's higher-order
+array functions (``aggregate``/``transform``/``zip_with``) do not
+participate in whole-stage codegen — every lambda evaluation is
+interpreted, and the kge bench family spent its time there (measured;
+the expression-tree unroll alternative was measured WORSE, see
+OPTIMIZATION_r14.md).  numpy int64 arithmetic has Java-long wrap
+semantics, and every value in these kernels is magnitude-bounded far
+below 2⁶³ (ternary / ±6 inits), so the results are bit-identical to
+the SQL higher-order form — which is retained as
+``SPARK_GRAFT_EXACTSTEP_KERNEL=sql`` and equality-pinned against the
+arrow path in tests/test_exactstep.py.  Everything around the kernel —
+margin filter, gradient explode, segment-sum, join-merge update — stays
+pure JVM codegen.
 
 Why integers: on integer embeddings the L1 distance (TransE), the
 bilinear form (RESCAL), the circular-correlation score (HolE), the
@@ -34,8 +51,18 @@ float trainer, with no collect anywhere.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# "arrow" (default): numpy batch kernels via mapInPandas — the fast
+# path.  "sql": the original higher-order-function column expressions —
+# interpreted (no codegen for HOF lambdas) but JVM-only; kept for
+# equivalence pinning and as an escape hatch.
+_KERNEL_MODE = os.environ.get("SPARK_GRAFT_EXACTSTEP_KERNEL", "arrow")
 
 
 def _isign(col):
@@ -48,6 +75,53 @@ def _isign(col):
     )
 
 
+def _gather_joined(
+    triples: DataFrame,
+    entity_emb: DataFrame,
+    rel_tab: DataFrame,
+    n_entities: int,
+    rel_col: str,
+) -> DataFrame:
+    """Shared gather: deterministic corruption + three entity joins +
+    one relation join → one row per triple carrying the four parameter
+    vectors (sv, <rel_col>, ov, nv)."""
+    t = _with_negative(triples, n_entities)
+    e = entity_emb.select("id", "vec")
+    r = rel_tab.select("id", "vec")
+    return (
+        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
+        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias(rel_col)), "p_id")
+        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
+        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
+    )
+
+
+_IDS = ["s_id", "p_id", "o_id", "n_id"]
+
+
+def _stack(pdf: pd.DataFrame, col: str) -> np.ndarray:
+    """(n, d) int64 matrix from a pandas column of int arrays."""
+    return np.stack(pdf[col].to_numpy()).astype(np.int64, copy=False)
+
+
+def _np_ccorr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise ccorr(a,b)ₖ = Σᵢ aᵢ·b₍ᵢ₊ₖ₎ mod d on (n, d) int64."""
+    d = a.shape[1]
+    return np.stack(
+        [(a * np.roll(b, -k, axis=1)).sum(axis=1) for k in range(d)],
+        axis=1,
+    )
+
+
+def _np_cconv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cconv(a,b)ₖ = Σᵢ aᵢ·b₍ₖ₋ᵢ₎ mod d on (n, d) int64."""
+    d = a.shape[1]
+    idx = (np.arange(d)[:, None] - np.arange(d)[None, :]) % d  # [k, i]
+    return np.stack(
+        [(a * b[:, idx[k]]).sum(axis=1) for k in range(d)], axis=1
+    )
+
+
 def _gather_and_score(
     triples: DataFrame,
     entity_emb: DataFrame,
@@ -55,26 +129,39 @@ def _gather_and_score(
     n_entities: int,
     margin: int,
 ) -> DataFrame:
-    """Shared gather + scoring pipeline: deterministic corruption,
-    three entity joins + one relation join, per-dim differences and
-    the raw margin loss — the single source both the SGD step and the
-    loss summary derive from (they must never drift apart)."""
-    t = triples.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        ((F.col("o_id") + 1 + F.col("p_id")) % F.lit(n_entities)).alias(
-            "n_id"
-        ),
-    )
-    e = entity_emb.select(F.col("id"), F.col("vec"))
-    r = relation_emb.select(F.col("id"), F.col("vec"))
-    g = (
-        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
-        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("pv")), "p_id")
-        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
-        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
-    )
+    """Shared TransE gather + scoring — the single source both the SGD
+    step and the loss summary derive from (they must never drift
+    apart).  Output: (s_id, p_id, o_id, n_id, sp, sn, raw_loss) where
+    sp/sn are the sign vectors of s+p−o⁺ / s+p−o⁻ (the only function
+    of the differences the backward pass needs) and raw_loss the raw
+    margin loss, exact BIGINT."""
+    g = _gather_joined(triples, entity_emb, relation_emb, n_entities, "pv")
+    if _KERNEL_MODE == "arrow":
+        def batch(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                s = _stack(pdf, "sv")
+                sp_ = s + _stack(pdf, "pv")
+                dp = sp_ - _stack(pdf, "ov")
+                dn = sp_ - _stack(pdf, "nv")
+                yield pd.DataFrame(
+                    {
+                        **{c: pdf[c].to_numpy() for c in _IDS},
+                        "sp": list(np.sign(dp)),
+                        "sn": list(np.sign(dn)),
+                        "raw_loss": margin
+                        + np.abs(dp).sum(axis=1)
+                        - np.abs(dn).sum(axis=1),
+                    }
+                )
+
+        return g.select(*_IDS, "sv", "pv", "ov", "nv").mapInPandas(
+            batch,
+            "s_id long, p_id long, o_id long, n_id long, "
+            "sp array<long>, sn array<long>, raw_loss long",
+        )
+
     dp = F.zip_with(
         F.zip_with("sv", "pv", lambda a, b: a + b), "ov", lambda a, b: a - b
     )
@@ -85,13 +172,11 @@ def _gather_and_score(
     l1 = lambda arr: F.aggregate(  # noqa: E731 — local plumbing
         F.transform(arr, lambda x: F.abs(x)), zero, lambda acc, x: acc + x
     )
+    sgn = lambda arr: F.transform(arr, _isign)  # noqa: E731
     return g.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        "n_id",
-        dp.alias("dp"),
-        dn.alias("dn"),
+        *_IDS,
+        sgn(dp).alias("sp"),
+        sgn(dn).alias("sn"),
         (F.lit(margin) + l1(dp) - l1(dn)).alias("raw_loss"),
     )
 
@@ -150,8 +235,7 @@ def transe_l1_sgd_step(
 
     # margin filter: gradients flow only through violations (P4 shape)
     viol = scored.filter(F.col("raw_loss") > 0)
-    sgn = lambda arr: F.transform(arr, _isign)  # noqa: E731
-    gh = F.zip_with(sgn(F.col("dp")), sgn(F.col("dn")), lambda a, b: a - b)
+    gh = F.zip_with("sp", "sn", lambda a, b: a - b)
     contrib = viol.select(
         F.explode(
             F.array(
@@ -163,14 +247,12 @@ def transe_l1_sgd_step(
                 F.struct(
                     F.lit("E").alias("kind"),
                     F.col("o_id").alias("id"),
-                    F.transform(
-                        sgn(F.col("dp")), lambda x: -x
-                    ).alias("g"),
+                    F.transform("sp", lambda x: -x).alias("g"),
                 ),
                 F.struct(
                     F.lit("E").alias("kind"),
                     F.col("n_id").alias("id"),
-                    sgn(F.col("dn")).alias("g"),
+                    F.col("sn").alias("g"),
                 ),
                 F.struct(
                     F.lit("R").alias("kind"),
@@ -439,35 +521,74 @@ def _rescal_gather_score(
     margin: int,
 ) -> DataFrame:
     """Shared RESCAL gather + scoring pipeline: three entity joins +
-    one relation-matrix join, the bilinear scores sᵀWₚo⁺ / sᵀWₚo⁻ and
-    the raw pairwise margin loss (`kge/hole.py:145-147` objective),
-    plus the intermediate products the backward pass reuses
-    (up = Wₚo⁺, un = Wₚo⁻, vv = Wₚᵀs)."""
-    t = _with_negative(triples, n_entities)
-    e = entity_emb.select("id", "vec")
-    g = (
-        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
-        .join(
-            rel_w.select(F.col("id").alias("p_id"), F.col("vec").alias("wv")),
-            "p_id",
+    one relation-matrix join, then the bilinear kernel
+    (`kge/hole.py:145-147` objective) — raw pairwise margin loss plus
+    every vector the backward pass consumes: up = Wₚo⁺, un = Wₚo⁻,
+    vv = Wₚᵀs and the flattened outer-product relation gradient
+    gw[i·d+j] = sᵢ·(o⁻ⱼ − o⁺ⱼ)."""
+    g = _gather_joined(triples, entity_emb, rel_w, n_entities, "wv")
+    if _KERNEL_MODE == "arrow":
+        def batch(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                s = _stack(pdf, "sv")
+                o = _stack(pdf, "ov")
+                nv = _stack(pdf, "nv")
+                w3 = _stack(pdf, "wv").reshape(len(pdf), dim, dim)
+                up = np.einsum("nij,nj->ni", w3, o)
+                un = np.einsum("nij,nj->ni", w3, nv)
+                vv = np.einsum("nij,ni->nj", w3, s)
+                gw = (s[:, :, None] * (nv - o)[:, None, :]).reshape(
+                    len(pdf), dim * dim
+                )
+                yield pd.DataFrame(
+                    {
+                        **{c: pdf[c].to_numpy() for c in _IDS},
+                        "up": list(up),
+                        "un": list(un),
+                        "vv": list(vv),
+                        "gw": list(gw),
+                        "raw_loss": margin
+                        - (s * up).sum(axis=1)
+                        + (s * un).sum(axis=1),
+                    }
+                )
+
+        return g.select(*_IDS, "sv", "wv", "ov", "nv").mapInPandas(
+            batch,
+            "s_id long, p_id long, o_id long, n_id long, "
+            "up array<long>, un array<long>, vv array<long>, "
+            "gw array<long>, raw_loss long",
         )
-        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
-        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
+
+    gw = F.flatten(
+        F.transform(
+            _dseq(dim),
+            lambda i: F.transform(
+                _dseq(dim),
+                lambda j: F.element_at(F.col("sv"), (i + 1).cast("int"))
+                * (
+                    F.element_at(F.col("nv"), (j + 1).cast("int"))
+                    - F.element_at(F.col("ov"), (j + 1).cast("int"))
+                ),
+            ),
+        )
     )
     g = g.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        "n_id",
+        *_IDS,
         "sv",
-        "ov",
-        "nv",
         _matvec(F.col("wv"), F.col("ov"), dim).alias("up"),
         _matvec(F.col("wv"), F.col("nv"), dim).alias("un"),
         _matvec(F.col("wv"), F.col("sv"), dim, transpose=True).alias("vv"),
+        gw.alias("gw"),
     )
     return g.select(
-        "*",
+        *_IDS,
+        "up",
+        "un",
+        "vv",
+        "gw",
         (
             F.lit(margin)
             - _dot(F.col("sv"), F.col("up"))
@@ -530,21 +651,10 @@ def rescal_bilinear_sgd_step(
         ).alias("c")
     ).select("c.kind", "c.id", "c.g")
 
-    gw = F.flatten(
-        F.transform(
-            _dseq(dim),
-            lambda i: F.transform(
-                _dseq(dim),
-                lambda j: F.element_at(F.col("sv"), (i + 1).cast("int"))
-                * (
-                    F.element_at(F.col("nv"), (j + 1).cast("int"))
-                    - F.element_at(F.col("ov"), (j + 1).cast("int"))
-                ),
-            ),
-        )
-    )
     w_contrib = viol.select(
-        F.lit("W").alias("kind"), F.col("p_id").alias("id"), gw.alias("g")
+        F.lit("W").alias("kind"),
+        F.col("p_id").alias("id"),
+        F.col("gw").alias("g"),
     )
 
     e_params = entity_emb.select(F.lit("E").alias("kind"), "id", "vec")
@@ -597,32 +707,60 @@ def _hole_gather_score(
     margin: int,
 ) -> DataFrame:
     """Shared HolE gather + scoring: score = r·ccorr(s,o)
-    (`hole.py:19-20`), pairwise margin loss, plus the correlation
-    vectors the backward pass reuses (cp = ccorr(s,o⁺),
-    cn = ccorr(s,o⁻))."""
-    t = _with_negative(triples, n_entities)
-    e = entity_emb.select("id", "vec")
-    r = relation_emb.select("id", "vec")
-    g = (
-        t.join(e.select(F.col("id").alias("s_id"), F.col("vec").alias("sv")), "s_id")
-        .join(r.select(F.col("id").alias("p_id"), F.col("vec").alias("rv")), "p_id")
-        .join(e.select(F.col("id").alias("o_id"), F.col("vec").alias("ov")), "o_id")
-        .join(e.select(F.col("id").alias("n_id"), F.col("vec").alias("nv")), "n_id")
-    )
+    (`hole.py:19-20`), pairwise margin loss, plus every correlation
+    vector the backward pass consumes — cp = ccorr(s,o⁺),
+    cn = ccorr(s,o⁻), gs = ccorr(r,o⁻) − ccorr(r,o⁺) (the subject
+    gradient) and cv = cconv(s,r) (±the object gradients)."""
+    g = _gather_joined(triples, entity_emb, relation_emb, n_entities, "rv")
+    if _KERNEL_MODE == "arrow":
+        def batch(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                s = _stack(pdf, "sv")
+                r = _stack(pdf, "rv")
+                o = _stack(pdf, "ov")
+                nv = _stack(pdf, "nv")
+                cp = _np_ccorr(s, o)
+                cn = _np_ccorr(s, nv)
+                yield pd.DataFrame(
+                    {
+                        **{c: pdf[c].to_numpy() for c in _IDS},
+                        "cp": list(cp),
+                        "cn": list(cn),
+                        "gs": list(_np_ccorr(r, nv) - _np_ccorr(r, o)),
+                        "cv": list(_np_cconv(s, r)),
+                        "raw_loss": margin
+                        - (r * cp).sum(axis=1)
+                        + (r * cn).sum(axis=1),
+                    }
+                )
+
+        return g.select(*_IDS, "sv", "rv", "ov", "nv").mapInPandas(
+            batch,
+            "s_id long, p_id long, o_id long, n_id long, "
+            "cp array<long>, cn array<long>, gs array<long>, "
+            "cv array<long>, raw_loss long",
+        )
+
     g = g.select(
-        "s_id",
-        "p_id",
-        "o_id",
-        "n_id",
-        "sv",
+        *_IDS,
         "rv",
-        "ov",
-        "nv",
         _ccorr_cols(F.col("sv"), F.col("ov"), dim).alias("cp"),
         _ccorr_cols(F.col("sv"), F.col("nv"), dim).alias("cn"),
+        F.zip_with(
+            _ccorr_cols(F.col("rv"), F.col("nv"), dim),
+            _ccorr_cols(F.col("rv"), F.col("ov"), dim),
+            lambda a, b: a - b,
+        ).alias("gs"),
+        _cconv_cols(F.col("sv"), F.col("rv"), dim).alias("cv"),
     )
     return g.select(
-        "*",
+        *_IDS,
+        "cp",
+        "cn",
+        "gs",
+        "cv",
         (
             F.lit(margin)
             - _dot(F.col("rv"), F.col("cp"))
@@ -659,29 +797,23 @@ def hole_ccorr_sgd_step(
             triples, entity_emb, relation_emb, dim, n_entities, margin
         )
     viol = scored.filter(F.col("raw_loss") > 0)
-    gs = F.zip_with(
-        _ccorr_cols(F.col("rv"), F.col("nv"), dim),
-        _ccorr_cols(F.col("rv"), F.col("ov"), dim),
-        lambda a, b: a - b,
-    )
-    conv = _cconv_cols(F.col("sv"), F.col("rv"), dim)
     contrib = viol.select(
         F.explode(
             F.array(
                 F.struct(
                     F.lit("E").alias("kind"),
                     F.col("s_id").alias("id"),
-                    gs.alias("g"),
+                    F.col("gs").alias("g"),
                 ),
                 F.struct(
                     F.lit("E").alias("kind"),
                     F.col("o_id").alias("id"),
-                    F.transform(conv, lambda x: -x).alias("g"),
+                    F.transform("cv", lambda x: -x).alias("g"),
                 ),
                 F.struct(
                     F.lit("E").alias("kind"),
                     F.col("n_id").alias("id"),
-                    conv.alias("g"),
+                    F.col("cv").alias("g"),
                 ),
                 F.struct(
                     F.lit("R").alias("kind"),
