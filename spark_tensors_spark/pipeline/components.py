@@ -74,12 +74,15 @@ def _union_find_components(pairs: list[tuple]) -> dict:
 
 
 def _cc_partitions(edges: DataFrame, n_edges: int) -> int:
-    """~50k edges/partition, capped at the cluster default — a tiny
+    """~12.5k edges/partition, capped at the cluster default — a tiny
     graph on defaultParallelism partitions pays ~32 near-empty tasks
     per stage per round in pure scheduling overhead; at scale the cap
-    keeps full parallelism."""
+    keeps full parallelism.  r14: sized down from 50k by in-process
+    A/B (min-of-3, graph_wcc 8.66→7.38 s at 12.5k, WORSE again at 4k —
+    the per-edge round work is a distinct+join, heavier than bytes
+    suggest, the guide §2.5 bytes-misrepresent-compute case)."""
     parallelism = edges.sparkSession.sparkContext.defaultParallelism
-    return max(2, min(parallelism, n_edges // 50_000 + 1))
+    return max(2, min(parallelism, n_edges // 12_500 + 1))
 
 
 def two_star_components(
@@ -138,16 +141,23 @@ def two_star_components(
             .select("c", F.least("mn", F.col("c")).alias("m"))
         )
         # both the small-star join and (twice) the m2 aggregate read
-        # these frames; without barriers each reference re-runs the
-        # large-star join+distinct — ~3 computations per round
+        # these frames; without a barrier each reference re-runs the
+        # large-star join+distinct — ~3 computations per round.  LAZY
+        # persist (not localCheckpoint): the round's single eager
+        # action (E's checkpoint below) populates the cache on first
+        # use and the other readers hit it — same dedup, but without
+        # paying 2 extra eager jobs per round, which dominated the
+        # per-round wall at bench scale (each round's data is KB-MB;
+        # the job round-trip is the cost).  E's own localCheckpoint
+        # still truncates lineage every round.
         large = (
             sym.join(mtab, "c")
             .filter(F.col("p") > F.col("c"))
             .select(F.col("p").alias("c"), F.col("m").alias("p"))
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
-        m2 = large.groupBy("c").agg(F.min("p").alias("m")).localCheckpoint()
+        m2 = large.groupBy("c").agg(F.min("p").alias("m")).persist()
         small = (
             large.join(m2, "c")
             .filter(F.col("p") != F.col("m"))
@@ -159,6 +169,8 @@ def two_star_components(
         new_sig = tuple(
             E.agg(F.count(F.lit(1)), _sigsum).first()
         )
+        large.unpersist()
+        m2.unpersist()
         if new_sig == sig:
             break
         sig = new_sig
@@ -252,15 +264,18 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("nc").alias("min_nbr"))
         )
-        # materialized: both sides of the pointer-jump self-join read
-        # this frame, and without a barrier each side re-runs the
-        # neighbor join+min aggregation (the round's big shuffle)
+        # both sides of the pointer-jump self-join read this frame, and
+        # without a barrier each side re-runs the neighbor join+min
+        # aggregation (the round's big shuffle).  Lazy persist, not an
+        # eager localCheckpoint: new_labels' checkpoint below is the
+        # round's one eager action and populates the cache on first
+        # use — same dedup, one fewer job round-trip per round.
         stepped = labels.join(incoming, "node", "left").select(
             "node",
             F.least(
                 F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
             ).alias("comp"),
-        ).localCheckpoint()
+        ).persist()
         # pointer-jump: comp := comp(comp). Labels are always node ids,
         # so the self-join resolves; chain lengths halve per round,
         # giving O(log diameter) convergence on path graphs.
@@ -284,6 +299,7 @@ def connected_components(
         )
         labels = new_labels
         new_sum = labels.agg(F.sum("comp")).first()[0]
+        stepped.unpersist()
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
