@@ -159,7 +159,7 @@ class KGETrainer:
             self.n_entities,
         )
 
-    def _epoch_gradients(self, rows: DataFrame):
+    def _epoch_gradients(self, rows: DataFrame, fuse_partition: bool = False):
         model = self.model
         margin = self.margin
         pairwise = self.objective == "pairwise"
@@ -173,6 +173,15 @@ class KGETrainer:
 
         def batch_grads(batches):
             E, P = bc.value  # noqa: N806
+            # fuse_partition: accumulate across the partition's Arrow
+            # batches and emit ONE partial frame per task, so each
+            # (param, id) key has exactly one partial per PARTITION.
+            # On the smoke-scale frames (≤1 batch per partition) this
+            # is the identity; it exists so the driver-merge fast path
+            # in fit() sees a provable ≤2-partials-per-key bound.
+            part_acc: dict = {}
+            part_loss = [0.0, 0]
+
             for pdf in batches:
                 s = pdf["s_id"].to_numpy()
                 p = pdf["p_id"].to_numpy()
@@ -193,6 +202,25 @@ class KGETrainer:
                     loss, grads = M.hole_pointwise(
                         E, P, s, p, o, pdf["label"].to_numpy()
                     )
+                if fuse_partition:
+                    for name, ids, g in grads:
+                        uniq, inv = np.unique(ids, return_inverse=True)
+                        acc = np.zeros((len(uniq),) + g.shape[1:])
+                        np.add.at(acc, inv, g)
+                        cnt = np.bincount(inv, minlength=len(uniq))
+                        per_id = part_acc.setdefault(name, {})
+                        for i, gi, ci in zip(
+                            uniq.tolist(), acc, cnt.tolist()
+                        ):
+                            old = per_id.get(i)
+                            per_id[i] = (
+                                (gi, ci)
+                                if old is None
+                                else (old[0] + gi, old[1] + ci)
+                            )
+                    part_loss[0] += float(loss.sum())
+                    part_loss[1] += len(pdf)
+                    continue
                 out_param, out_id, out_g, out_c = [], [], [], []
                 for name, ids, g in grads:
                     uniq, inv = np.unique(ids, return_inverse=True)
@@ -218,10 +246,60 @@ class KGETrainer:
                         "cnt": out_c,
                     }
                 )
+            if fuse_partition and (part_acc or part_loss[1]):
+                out_param, out_id, out_g, out_c = [], [], [], []
+                for name in sorted(part_acc):
+                    per_id = part_acc[name]
+                    for i in sorted(per_id):
+                        gi, ci = per_id[i]
+                        out_param.append(name)
+                        out_id.append(i)
+                        out_g.append(gi.reshape(-1).tolist())
+                        out_c.append(ci)
+                out_param.append("_loss")
+                out_id.append(0)
+                out_g.append([part_loss[0]])
+                out_c.append(part_loss[1])
+                yield pd.DataFrame(
+                    {
+                        "param": out_param,
+                        "id": out_id,
+                        "g": out_g,
+                        "cnt": out_c,
+                    }
+                )
 
         schema = "param string, id long, g array<double>, cnt long"
         contrib = rows.mapInPandas(batch_grads, schema)
         return contrib, bc
+
+    @staticmethod
+    def _merge_partials(parts: "pd.DataFrame") -> "pd.DataFrame":
+        """`segment_sum_arrays` semantics computed on the driver —
+        (param, id)-keyed component sums plus total multiplicity — over
+        the collected fused partials (at most one per task per key).
+        ``np.add.at`` folds duplicate keys in collected-partition order,
+        which is deterministic; with ≤2 partials per key the sum is
+        order-free outright."""
+        out_param, out_id, out_g, out_c = [], [], [], []
+        for name, gp in parts.groupby("param", sort=True):
+            ids = gp["id"].to_numpy()
+            g = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in gp["g"]]
+            )
+            c = gp["cnt"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            gsum = np.zeros((len(uniq), g.shape[1]))
+            np.add.at(gsum, inv, g)
+            csum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(csum, inv, c)
+            out_param.extend([name] * len(uniq))
+            out_id.extend(uniq.tolist())
+            out_g.extend(list(gsum))
+            out_c.extend(csum.tolist())
+        return pd.DataFrame(
+            {"param": out_param, "id": out_id, "g": out_g, "c": out_c}
+        )
 
     def _grad_widths(self) -> dict[str, int]:
         pw = self.dim * self.dim if self.model == "rescal" else self.dim
@@ -229,13 +307,41 @@ class KGETrainer:
         return {"E": self.dim, pname: pw, "_loss": 1}
 
     def fit(self, triples: DataFrame, epochs: int = 5) -> "KGETrainer":
+        import os
+
         triples = triples.select("s_id", "p_id", "o_id").cache()
         triples.count()
+        # Driver-merge fast path (guide §5 — these smokes are dominated
+        # by per-epoch plan/shuffle constants, not data): when the
+        # cached triple frame has ≤2 partitions, each epoch's gradient
+        # partials are fused to ONE frame per task, collected directly,
+        # and merged on the driver — skipping the wide per-epoch
+        # groupBy plan + shuffle + extra AQE jobs.  Exactness: with
+        # fused partials each (param, id) key holds ≤2 values on the
+        # pairwise path (IEEE addition of two floats is commutative, so
+        # the merge is bit-identical to the Spark aggregate) and ≤4 on
+        # the pointwise pos∪neg union (re-association at double
+        # precision; the 6-dp golden pins in tests/test_mlops_queries
+        # and the trainer parity suite gate it).  Larger frames (e.g.
+        # the FB15k golden at 4 partitions × many Arrow batches) keep
+        # the Spark aggregate path untouched.
+        # SPARK_GRAFT_TRAINER_AGG=spark restores the aggregate path.
+        driver_merge = (
+            os.environ.get("SPARK_GRAFT_TRAINER_AGG", "driver") != "spark"
+            and triples.rdd.getNumPartitions() <= 2
+        )
         for epoch in range(epochs):
             rows = self._training_rows(triples, epoch)
-            contrib, bc = self._epoch_gradients(rows)
+            contrib, bc = self._epoch_gradients(
+                rows, fuse_partition=driver_merge
+            )
             widths = self._grad_widths()
-            pdf = segment_sum_arrays(contrib, max(widths.values())).toPandas()
+            if driver_merge:
+                pdf = self._merge_partials(contrib.toPandas())
+            else:
+                pdf = segment_sum_arrays(
+                    contrib, max(widths.values())
+                ).toPandas()
             bc.destroy()  # epoch's snapshot is stale once collected
 
             lmask = pdf["param"] == "_loss"

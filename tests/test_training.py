@@ -323,3 +323,69 @@ def test_checkpoint_roundtrip_rescal(spark, kg_triples, tmp_path):
     t.save(path)
     back = KGETrainer.load(spark, path)
     np.testing.assert_allclose(back.W, t.W)
+
+
+@pytest.mark.parametrize(
+    "model,objective",
+    [("transe", "pairwise"), ("hole", "pointwise"), ("rescal", "pointwise")],
+)
+def test_driver_merge_matches_spark_agg(
+    spark, kg_triples, model, objective, monkeypatch
+):
+    """fit()'s driver-merge fast path (≤2-partition frames collect the
+    fused per-task gradient partials and merge on the driver) against
+    the Spark segment-sum aggregate it replaces.  Pairwise on ≤2
+    partitions is provably bit-exact (≤2 partials per key → float
+    addition commutes); the pointwise pos∪neg union re-associates the
+    partial sums, pinned here to 1e-12."""
+    dim = 6 if model == "rescal" else 8
+    tri = kg_triples.coalesce(2)
+
+    def _fit(agg):
+        monkeypatch.setenv("SPARK_GRAFT_TRAINER_AGG", agg)
+        return KGETrainer(
+            spark, n_entities=40, n_relations=2, dim=dim, model=model,
+            optimizer=AdaGrad(lr=0.2), seed=31, neg_per_pos=2,
+        ).fit(tri, epochs=3)
+
+    a, b = _fit("driver"), _fit("spark")
+    if objective == "pairwise":
+        np.testing.assert_array_equal(a.E, b.E)
+        assert a.loss_history == b.loss_history
+    else:
+        np.testing.assert_allclose(a.E, b.E, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(
+            a.loss_history, b.loss_history, rtol=1e-12
+        )
+    p_a = a.W if model == "rescal" else a.R
+    p_b = b.W if model == "rescal" else b.R
+    np.testing.assert_allclose(p_a, p_b, rtol=1e-12, atol=0)
+
+
+def test_driver_merge_gate_requires_two_partitions(spark, kg_triples):
+    """Frames wider than 2 partitions must keep the Spark aggregate
+    path (the ≤2-partials exactness argument does not apply there)."""
+    t = KGETrainer(
+        spark, n_entities=40, n_relations=2, dim=4, model="transe",
+        optimizer=AdaGrad(lr=0.2), seed=3, neg_per_pos=1,
+    )
+    wide = kg_triples.repartition(8)
+    calls = []
+    orig = KGETrainer._merge_partials
+
+    def spy(parts):
+        calls.append(len(parts))
+        return orig(parts)
+
+    KGETrainer._merge_partials = staticmethod(spy)
+    try:
+        t.fit(wide, epochs=1)
+        assert calls == []  # wide frame → spark agg, no driver merge
+        t2 = KGETrainer(
+            spark, n_entities=40, n_relations=2, dim=4, model="transe",
+            optimizer=AdaGrad(lr=0.2), seed=3, neg_per_pos=1,
+        )
+        t2.fit(kg_triples.coalesce(2), epochs=1)
+        assert calls  # narrow frame → driver merge engaged
+    finally:
+        KGETrainer._merge_partials = staticmethod(orig)
