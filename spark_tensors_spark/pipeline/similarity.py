@@ -35,6 +35,31 @@ from spark_tensors_spark.functions.init import _hash_uniform
 MAX_DRIVER_QUERY_ROWS = 100_000
 
 
+def _group_spread(df: DataFrame, key: str) -> DataFrame:
+    """AQE-exempt hash repartition on the group key, placed immediately
+    before a grouped-Python stage (``groupBy(key).applyInPandas``).
+
+    The per-group kernels here are CPU-dense Python over rows of tens
+    of bytes, so AQE's byte-based partition coalescing collapses the
+    groupBy exchange to 1-2 tasks and serializes every group (profiled
+    at sf0.1: single-task 0.5-1.2 s Python stages with 31 cores idle —
+    the queries/mlops._kernel_parts failure mode; guide §2.5, bytes
+    misrepresent compute).  A user-numbered hash repartition is exempt
+    from AQE coalescing and already satisfies the groupBy's required
+    ClusteredDistribution, so no second exchange appears; sized by
+    defaultParallelism it scales with the cluster, never a constant.
+    Per-group results are partitioning-invariant, so output values are
+    unchanged.  ``SPARK_GRAFT_GROUP_SPREAD=0`` restores the bare
+    groupBy (the A/B escape hatch, read per call)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GROUP_SPREAD", "1") == "0":
+        return df
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key
+    )
+
+
 # --------------------------------------------------------------- pseudo
 # Deterministic INTEGER geometry for oracle-exact ANN (the r4
 # kg_distmult doctrine): planes/centroids/codebooks whose entries are
@@ -666,7 +691,7 @@ def lsh_bucketed_topk(
         )
 
     scored = (
-        cands.unionByName(qrys)
+        _group_spread(cands.unionByName(qrys), "bucket")
         .groupBy("bucket")
         .applyInPandas(
             bucket_topk, "query_id long, nn_id long, sim double"
@@ -752,7 +777,7 @@ def mmr_rerank(
             }
         )
 
-    return cand.groupBy("query_id").applyInPandas(
+    return _group_spread(cand, "query_id").groupBy("query_id").applyInPandas(
         pick, "query_id long, nn_id long, mmr_rank long"
     )
 
