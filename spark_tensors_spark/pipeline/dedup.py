@@ -759,11 +759,25 @@ def _jaccard_pairs_from_toks(
     threshold_num: int,
     threshold_den: int,
     max_token_bucket: int | None,
+    distinct_sets: bool = False,
 ) -> DataFrame:
     """Prefix+length-filtered verified pair join on a pre-tokenized
     (doc_id, toks) frame — the body of :func:`jaccard_similarity_join`,
     split out so :func:`jaccard_topk` can run it on group
-    REPRESENTATIVES instead of raw docs."""
+    REPRESENTATIVES instead of raw docs.
+
+    ``distinct_sets=True`` (the grouped callers: every input row is a
+    UNIQUE token set) turns on the exact distinctness bound: distinct
+    sets force u ≥ c+1, so den·c ≥ num·u implies
+    c ≥ C = ceil(num/(den−num)) — hence min(|A|,|B|) ≥ C and
+    |A|+|B| ≥ 2C+1 are NECESSARY for any qualifying pair and filtering
+    on them drops no true pair.  At high thresholds this collapses the
+    candidate set outright: at τ=97/100, C=33, and any corpus whose
+    docs carry <33 distinct tokens has NO qualifying non-identical
+    pair — the r14 sf1.0 measurement (~1.3M length-filtered candidate
+    rep pairs, 0 qualifying) paid ~14×/decade of pure verification
+    waste this filter removes (guide §2.3: don't shuffle/verify what
+    you throw away)."""
     exploded = toks.select("doc_id", F.explode("toks").alias("tok"))
     # Rarity order WITHOUT a dense global rank: the sort key is the
     # struct (count, tok) itself — a total deterministic order (ties by
@@ -833,7 +847,21 @@ def _jaccard_pairs_from_toks(
             >= F.lit(threshold_num)
             * F.greatest(F.col("l.n_tok"), F.col("r.n_tok"))
         )
-        .select(
+    )
+    if distinct_sets:
+        # exact distinctness bound (docstring): u ≥ c+1 ⟹ c ≥ C, so
+        # min size ≥ C and size sum ≥ 2C+1 are necessary conditions;
+        # τ ≥ 1 admits no qualifying distinct pair at all
+        if threshold_num >= threshold_den:
+            cand = cand.filter(F.lit(False))
+        else:
+            c_min = -(-threshold_num // (threshold_den - threshold_num))
+            cand = cand.filter(
+                (F.least(F.col("l.n_tok"), F.col("r.n_tok")) >= c_min)
+                & (F.col("l.n_tok") + F.col("r.n_tok") >= 2 * c_min + 1)
+            )
+    cand = (
+        cand.select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
         )
@@ -939,11 +967,13 @@ def jaccard_similarity_join_grouped(
         )
     )
     # (b) cross-group: group-level verified pairs expanded to members
+    # (reps are distinct sets by construction → distinctness bound on)
     cross = _jaccard_pairs_from_toks(
         reps,
         threshold_num=threshold_num,
         threshold_den=threshold_den,
         max_token_bucket=max_token_bucket,
+        distinct_sets=True,
     )
     cross_pairs = (
         cross.select(
@@ -1020,11 +1050,13 @@ def jaccard_topk(
     mem, reps = _identical_set_members(
         _jaccard_tokenize(docs, text_col=text_col, id_col=id_col)
     )
+    # reps are distinct sets by construction → distinctness bound on
     cross = _jaccard_pairs_from_toks(
         reps,
         threshold_num=threshold_num,
         threshold_den=threshold_den,
         max_token_bucket=max_token_bucket,
+        distinct_sets=True,
     )
     members = mem.select("doc_id", "gid", "irk", "n_tok")
     # (a) in-group: J = 1 exactly; k+1 heads cover "k smallest ids

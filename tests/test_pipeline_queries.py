@@ -450,3 +450,55 @@ def test_pipeline_e2e_stage_accounting(spark):
     assert sum(r["tok_sum"] for r in out) == (
         clean.agg(F.sum("n_tokens")).first()[0]
     )
+
+
+def test_jaccard_distinctness_bound_boundary(spark):
+    """The exact distinctness bound in _jaccard_pairs_from_toks
+    (distinct sets force c ≥ C = ceil(num/(den−num)), so
+    min(|A|,|B|) ≥ C and |A|+|B| ≥ 2C+1): at τ=97/100, C=33.  A
+    33-token set inside a 34-token set has J = 33/34 ≥ 0.97 and sits
+    EXACTLY on both bound equalities — it must survive; the same shape
+    one token smaller (J = 32/33 < 0.97) must not qualify.  Also pins
+    the grouped join/topk against brute force at this τ."""
+    from spark_tensors_spark.pipeline.dedup import (
+        jaccard_similarity_join_grouped,
+        jaccard_topk,
+    )
+
+    w = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        (0, " ".join(w[:33])),            # A: 33 tokens
+        (1, " ".join(w[:34])),            # B ⊃ A: 34 tokens, J=33/34
+        (2, " ".join(w[:33])),            # dup of A (identical set)
+        (3, " ".join(w[:32])),            # C': 32 ⊂ 33 → J=32/33 < .97
+        (4, " ".join(w[5:39])),           # overlapping but far
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union)
+        for r in jaccard_similarity_join_grouped(
+            docs, threshold_num=97, threshold_den=100,
+            max_token_bucket=None,
+        ).collect()
+    }
+    toks = {i: set(t.lower().split()) for i, t in texts}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                c = len(toks[a] & toks[b])
+                u = len(toks[a] | toks[b])
+                if 100 * c >= 97 * u:
+                    want[(a, b)] = (c, u)
+    assert (0, 1) in want  # the boundary cross-group pair exists
+    assert got == want
+    # topk sees the same boundary pair
+    tk = {
+        (r.doc_id, r.rk): r.nbr
+        for r in jaccard_topk(
+            docs, k=2, threshold_num=97, threshold_den=100,
+            max_token_bucket=None,
+        ).collect()
+    }
+    assert tk[(1, 1)] == 0 and tk[(1, 2)] == 2
+    assert tk[(0, 1)] == 2 and tk[(0, 2)] == 1  # J=1 dup beats 33/34
