@@ -119,8 +119,11 @@ def two_star_components(
     )
     n_edges = e0.count()
     n_parts = _cc_partitions(edges, n_edges)
-    E = e0.repartition(n_parts, "c").localCheckpoint()
-    e0.unpersist()
+    # lazy checkpoint: the signature aggregate below is the round's one
+    # eager action and materializes the checkpoint as a side effect —
+    # one job per round instead of two (eager checkpoint + agg), the
+    # same KB-sized-rounds arithmetic as the r14 lazy-persist change
+    E = e0.repartition(n_parts, "c").localCheckpoint(eager=False)
     # Σ(c+p) as DECIMAL(38,0): at the 1e12-edge scale this module
     # targets, an int64 sum can overflow (silent wrap would void the
     # monotone-signature termination proof; ANSI mode would throw) —
@@ -131,6 +134,7 @@ def two_star_components(
     sig = tuple(
         E.agg(F.count(F.lit(1)), _sigsum).first()
     )
+    e0.unpersist()  # E's checkpoint (materialized by the agg) owns the data now
     for _ in range(max_rounds):
         sym = E.unionByName(
             E.select(F.col("p").alias("c"), F.col("c").alias("p"))
@@ -165,7 +169,7 @@ def two_star_components(
             .unionByName(m2.select("c", F.col("m").alias("p")))
             .distinct()
         )
-        E = small.localCheckpoint()
+        E = small.localCheckpoint(eager=False)  # materialized by the agg
         new_sig = tuple(
             E.agg(F.count(F.lit(1)), _sigsum).first()
         )
@@ -241,11 +245,13 @@ def connected_components(
         .persist()
     )
 
+    # lazy checkpoint: the Σcomp aggregate below materializes it — one
+    # job per round instead of two (see two_star_components)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # per-node comp is monotone non-increasing, so Σcomp strictly
     # decreases until convergence — one agg on the checkpointed frame
@@ -295,7 +301,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("jump", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the Σcomp agg
         )
         labels = new_labels
         new_sum = labels.agg(F.sum("comp")).first()[0]
