@@ -383,7 +383,17 @@ def _segment_sum_wide(contrib: DataFrame, width: int) -> DataFrame:
 # Same work unit and threshold as queries.mlops._kernel_parts: one
 # "op" ≈ one interpreted lambda evaluation; the merge kernel is one
 # zip_with over `width` elements per row.
-_MERGE_OPS_PER_TASK = 2_000_000
+# r15 recalibration: the array-form chain merge (join + zip_with +
+# checkpoint write) measures ~1.4 µs per row·width element — ~5× the
+# interpreted-lambda estimate the original 2M budget assumed — so the
+# full-KG intermediate merges of the multi-step chains (n_ent·dim
+# ≈ 1.3M at sf0.1) fell under the threshold and ran as single-task
+# 1.6-1.9 s stages (profiled).  400k ⇒ ~0.5 s tasks; in-process A/B
+# (alternating, min-of-3): hole_two_step_entity 0.92×,
+# rescal_two_step_entity 0.94×, transe_three_step_entity 0.98×, no
+# regression on the subset queries (their slot-filtered merges stay
+# below threshold and keep skipping the spread).
+_MERGE_OPS_PER_TASK = 400_000
 
 
 def _params_spread(
