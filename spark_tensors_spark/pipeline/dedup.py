@@ -117,9 +117,22 @@ def minhash_signatures(
             texts = pdf[text_col].astype(str).tolist()
             # utf-32 view = vectorized codepoints ≡ SQL ascii(); one
             # encode for the whole batch (len(str) == codepoint count)
-            cp = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
+            try:
+                cp = np.frombuffer(
+                    "".join(texts).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+            except UnicodeEncodeError:
+                # ADVICE r14: the batch encode loses the offending row;
+                # re-scan per row so the error names the document
+                for did, t in zip(pdf["doc_id"], texts):
+                    try:
+                        t.encode("utf-32-le")
+                    except UnicodeEncodeError as ex:
+                        raise UnicodeEncodeError(
+                            ex.encoding, ex.object, ex.start, ex.end,
+                            f"doc_id={did}: {ex.reason}",
+                        ) from None
+                raise  # only reachable if the join itself was at fault
             lens = np.fromiter(
                 (len(t) for t in texts), dtype=np.int64, count=n_docs
             )

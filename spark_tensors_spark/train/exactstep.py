@@ -61,8 +61,11 @@ from pyspark.sql import functions as F
 # "arrow" (default): numpy batch kernels via mapInPandas — the fast
 # path.  "sql": the original higher-order-function column expressions —
 # interpreted (no codegen for HOF lambdas) but JVM-only; kept for
-# equivalence pinning and as an escape hatch.
-_KERNEL_MODE = os.environ.get("SPARK_GRAFT_EXACTSTEP_KERNEL", "arrow")
+# equivalence pinning and as an escape hatch.  Read per call (ADVICE
+# r14: the import-time read silently ignored env changes made after
+# import, a footgun for the documented escape hatch).
+def _kernel_mode() -> str:
+    return os.environ.get("SPARK_GRAFT_EXACTSTEP_KERNEL", "arrow")
 
 
 def _isign(col):
@@ -136,7 +139,7 @@ def _gather_and_score(
     of the differences the backward pass needs) and raw_loss the raw
     margin loss, exact BIGINT."""
     g = _gather_joined(triples, entity_emb, relation_emb, n_entities, "pv")
-    if _KERNEL_MODE == "arrow":
+    if _kernel_mode() == "arrow":
         def batch(it):
             for pdf in it:
                 if not len(pdf):
@@ -535,9 +538,16 @@ def _rescal_gather_score(
     (`kge/hole.py:145-147` objective) — raw pairwise margin loss plus
     every vector the backward pass consumes: up = Wₚo⁺, un = Wₚo⁻,
     vv = Wₚᵀs and the flattened outer-product relation gradient
-    gw[i·d+j] = sᵢ·(o⁻ⱼ − o⁺ⱼ)."""
+    gw[i·d+j] = sᵢ·(o⁻ⱼ − o⁺ⱼ).
+
+    Accepted footprint tradeoff (ADVICE r14): gw is dim²-wide and built
+    for ALL gathered rows, so the scored frame carries dim²·n_triples
+    bigints even for loss-summary-only consumers — measured neutral at
+    the bench dims (d ≤ 8) but quadratic in dim.  If larger dims are
+    ever used, move the gw build behind the raw_loss > 0 filter (a
+    second small mapInPandas over violations only)."""
     g = _gather_joined(triples, entity_emb, rel_w, n_entities, "wv")
-    if _KERNEL_MODE == "arrow":
+    if _kernel_mode() == "arrow":
         def batch(it):
             for pdf in it:
                 if not len(pdf):
@@ -722,7 +732,7 @@ def _hole_gather_score(
     cn = ccorr(s,o⁻), gs = ccorr(r,o⁻) − ccorr(r,o⁺) (the subject
     gradient) and cv = cconv(s,r) (±the object gradients)."""
     g = _gather_joined(triples, entity_emb, relation_emb, n_entities, "rv")
-    if _KERNEL_MODE == "arrow":
+    if _kernel_mode() == "arrow":
         def batch(it):
             for pdf in it:
                 if not len(pdf):

@@ -538,7 +538,9 @@ def test_arrow_kernel_equals_sql_kernel(spark, fixtures, model, monkeypatch):
 
     out = {}
     for mode in ("arrow", "sql"):
-        monkeypatch.setattr(es, "_KERNEL_MODE", mode)
+        # the switch is env-read per call since r15 (ADVICE r14 fix) —
+        # setting the variable mid-session is the supported toggle
+        monkeypatch.setenv("SPARK_GRAFT_EXACTSTEP_KERNEL", mode)
         sc = gather()
         key = [c for c in ("s_id", "p_id", "o_id", "n_id")]
         out[mode] = (
